@@ -1,0 +1,136 @@
+"""Functional streaming-block protocol.
+
+The reference's central abstraction is the stateful virtual filter
+``FiltreGen<Te,Ts>::step(x) -> y`` (core/include/tsd/tsd.hpp:626-657) with
+``Source`` / ``Sink`` variants.  The TPU-native equivalent is a *pure*
+protocol::
+
+    state = block.init()
+    state, y = block.step(state, x_block)
+
+* ``block`` is a frozen ``flax.struct`` pytree: coefficient arrays are leaves,
+  config is static metadata.  Blocks therefore pass through ``jax.jit`` /
+  ``shard_map`` / ``lax.scan`` unchanged.
+* ``state`` is a pytree of arrays — trivially checkpointable (an improvement
+  slot over the reference, whose filter state is hidden inside C++ objects and
+  never serialisable, SURVEY §5.4).
+* Delay/halo bookkeeping is explicit: every block reports ``delay`` (group
+  delay in output samples, possibly fractional) and ``ratio`` (output/input
+  rate), mirroring the reference's careful latency accounting
+  (core/src/reechan/polyphase.cc:363-393, core/src/telecom/recepteur.cc:112-129).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+State = Any
+
+
+class Block(struct.PyTreeNode):
+    """Base class for streaming blocks. Subclasses implement ``init`` and
+    ``step``; both must be pure."""
+
+    def init(self) -> State:
+        return ()
+
+    def step(self, state: State, x: jax.Array) -> Tuple[State, jax.Array]:
+        raise NotImplementedError
+
+    # --- bookkeeping -----------------------------------------------------
+    @property
+    def delay(self) -> float:
+        """Group delay introduced by this block, in *output* samples."""
+        return 0.0
+
+    @property
+    def ratio(self) -> float:
+        """Output samples produced per input sample (rate change factor)."""
+        return 1.0
+
+    # --- conveniences ----------------------------------------------------
+    def __call__(self, state: State, x: jax.Array) -> Tuple[State, jax.Array]:
+        return self.step(state, x)
+
+    def apply(self, x: jax.Array) -> jax.Array:
+        """One-shot: fresh state, single step over the whole signal."""
+        _, y = self.step(self.init(), x)
+        return y
+
+
+class Chain(Block):
+    """Sequential composition of blocks (a TX/RX chain).
+
+    Parity concept: the reference composes filters by manual ``step`` call
+    nesting (e.g. core/src/telecom/recepteur.cc:404-650); here composition is
+    a first-class block whose state is the tuple of member states.
+    """
+
+    blocks: Tuple[Block, ...]
+
+    def init(self) -> State:
+        return tuple(b.init() for b in self.blocks)
+
+    def step(self, state: State, x: jax.Array):
+        new_states = []
+        for b, s in zip(self.blocks, state):
+            s, x = b.step(s, x)
+            new_states.append(s)
+        return tuple(new_states), x
+
+    @property
+    def delay(self) -> float:
+        d = 0.0
+        for b in self.blocks:
+            d = d * b.ratio + b.delay
+        return d
+
+    @property
+    def ratio(self) -> float:
+        r = 1.0
+        for b in self.blocks:
+            r *= b.ratio
+        return r
+
+
+def chain(*blocks: Block) -> Chain:
+    return Chain(blocks=tuple(blocks))
+
+
+class Identity(Block):
+    """Pass-through (parity: FiltreId, core/src/filtrage/filtre-rt.cc:111)."""
+
+    def step(self, state, x):
+        return state, x
+
+
+def stream(block: Block, x: jax.Array, block_size: int):
+    """Drive ``block`` over ``x`` in fixed-size chunks with ``lax.scan``,
+    carrying state across chunks — the jit-able equivalent of repeatedly
+    calling ``FiltreGen::step`` on a long signal.
+
+    The tail (len(x) % block_size) is dropped; use ``pad_to_multiple`` first
+    if every sample matters.
+    """
+    n = (x.shape[0] // block_size) * block_size
+    chunks = x[:n].reshape(-1, block_size, *x.shape[1:])
+
+    def body(state, xb):
+        state, yb = block.step(state, xb)
+        return state, yb
+
+    state, ys = jax.lax.scan(body, block.init(), chunks)
+    return state, ys.reshape(-1, *ys.shape[2:])
+
+
+def pad_to_multiple(x: jax.Array, m: int, axis: int = 0) -> jax.Array:
+    n = x.shape[axis]
+    pad = (-n) % m
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)

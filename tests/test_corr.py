@@ -1,0 +1,100 @@
+"""Correlation tests vs naive O(n^2) references — mirrors xcorr_ref in
+core/tests/test-fourier.cc:477-570."""
+import numpy as np
+import pytest
+
+from libtsd_tpu.ops import corr as C
+from libtsd_tpu.utils.testing import check_max_error
+
+
+def naive_ccorr(x0, x1):
+    m = len(x0)
+    return np.array([
+        np.sum(x0 * np.conj(np.roll(x1, -k))) / m for k in range(m)
+    ])
+
+
+def naive_xcorrb(x, y, m):
+    n = len(x)
+    lags = np.arange(-(m - 1), m)
+    out = []
+    for k in lags:
+        acc = 0.0 + 0j
+        for i in range(n):
+            j = i + k
+            if 0 <= j < n:
+                acc += x[i] * np.conj(y[j])
+        out.append(acc / n)
+    return lags, np.array(out)
+
+
+@pytest.fixture
+def signals():
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal(64) + 1j * rng.standard_normal(64)).astype(np.complex64)
+    y = (rng.standard_normal(64) + 1j * rng.standard_normal(64)).astype(np.complex64)
+    return x, y
+
+
+def test_ccorr(signals):
+    x, y = signals
+    _, c = C.ccorr(x, y)
+    check_max_error(np.asarray(c), naive_ccorr(x, y), 1e-5)
+
+
+def test_ccorr_auto_peak(signals):
+    x, _ = signals
+    _, c = C.ccorr(x, x)
+    c = np.asarray(c)
+    # lag-0 autocorrelation is the mean power, and is the max
+    assert abs(c[0] - np.mean(np.abs(x) ** 2)) < 1e-5
+    assert np.argmax(np.abs(c)) == 0
+
+
+def test_xcorrb(signals):
+    x, y = signals
+    lags, c = C.xcorrb(x, y, 16)
+    nl, nc = naive_xcorrb(x, y, 16)
+    assert np.array_equal(np.asarray(lags), nl)
+    check_max_error(np.asarray(c), nc, 1e-5)
+
+
+def test_xcorr_unbiased(signals):
+    x, _ = signals
+    n = len(x)
+    lags, c = C.xcorr(x, x, n)
+    nl, nc = naive_xcorrb(x, x, n)
+    unbias = n / (n - np.abs(nl))
+    check_max_error(np.asarray(c), nc * unbias, 1e-4)
+
+
+def test_estimate_delay():
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal(512).astype(np.float32)
+    d_true = 37
+    y = np.roll(x, d_true)
+    y[:d_true] = 0
+    d, score = C.estimate_delay(x, y)
+    assert abs(float(d) - d_true) < 0.5
+    assert float(score) > 0.8
+
+
+def test_estimate_delay_fractional():
+    # bandlimited signal, fractional shift via freq domain
+    n = 1024
+    rng = np.random.default_rng(9)
+    X = np.zeros(n, complex)
+    X[1:100] = rng.standard_normal(99) + 1j * rng.standard_normal(99)
+    x = np.fft.ifft(X).real.astype(np.float32)
+    d_true = 20.3
+    k = np.fft.fftfreq(n)
+    y = np.fft.ifft(np.fft.fft(x) * np.exp(-2j * np.pi * k * d_true)).real.astype(np.float32)
+    d, score = C.estimate_delay(x, y)
+    assert abs(float(d) - d_true) < 0.1
+    assert float(score) > 0.9
+
+
+def test_coherence(signals):
+    x, _ = signals
+    c = np.asarray(C.coherence(x, x))
+    check_max_error(c, np.ones_like(c), 1e-4)
