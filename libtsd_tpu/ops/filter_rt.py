@@ -1,0 +1,589 @@
+"""Streaming filter runtime (JAX, jit-able, TPU-first).
+
+Parity: core/src/filtrage/filtre-rt.cc (delay line, FIR, decimator, IIR DF1,
+SOS cascade, DC blocker, moving average, exponential smoother) and
+core/src/fourier/fourier.cc:741-1010 (OLA FFT filtering).
+
+TPU design (not a port):
+
+* **FIR = banded Toeplitz matmul on the MXU.**  Frame the signal into rows of
+  L=128 samples; then ``Y[r] = sum_d X[r-d] @ G_d`` where ``G_d[m, i] =
+  h[d*L + i - m]`` are precomputed L x L tap matrices (D = ceil(K/L)+1 of
+  them).  All FLOPs land on the 128x128 systolic array; throughput is
+  HBM-bound, which is the roofline.  The reference's per-sample sliding
+  window loop (filtre-rt.cc:67-110) has no TPU equivalent worth keeping.
+* **Streaming state is explicit**: a FIR block carries the last K-1 input
+  samples; an OLA block carries the overlap tail; IIR carries canonical
+  state.  `state, y = block.step(state, x)`.
+* **Recursive filters** use `lax.associative_scan` for first order
+  (log-depth) and `lax.scan` over samples for SOS cascades (the sequential
+  dependency is irreducible; batch across channels/sections instead).
+
+All blocks accept batched inputs with leading channel axes where documented.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..block import Block
+from ..config import complex_dtype, real_dtype
+
+__all__ = [
+    "fir_toeplitz_mats", "fir_filter", "fir_filter_valid", "Fir",
+    "Decimator", "DelayLine", "FirDecim", "MovingAverage", "ExpSmoother",
+    "DcBlocker", "Iir", "Sos", "OlaFft", "FirFft", "filter_signal",
+    "filtfilt",
+]
+
+_L = 128  # MXU lane width / frame size
+
+
+def _as_f32(h) -> jax.Array:
+    h = jnp.asarray(h)
+    if jnp.iscomplexobj(h):
+        return h.astype(complex_dtype)
+    return h.astype(real_dtype)
+
+
+def fir_toeplitz_mats(h: np.ndarray, L: int = _L) -> np.ndarray:
+    """Precompute the banded Toeplitz tap matrices G_d (host, float64 in,
+    float32 out).
+
+    G_d[m, i] = h[d*L + i - m] (0 <= m,i < L), zero outside [0, K).
+    Then y[r*L + i] = sum_d sum_m x[(r-d)*L + m] * G_d[m, i].
+    """
+    h = np.asarray(h)
+    K = len(h)
+    D = (K - 2) // L + 2  # number of diagonal blocks covering lag K-1
+    G = np.zeros((D, L, L), dtype=h.dtype)
+    m = np.arange(L)[:, None]
+    i = np.arange(L)[None, :]
+    for d in range(D):
+        idx = d * L + i - m
+        valid = (idx >= 0) & (idx < K)
+        G[d] = np.where(valid, h[np.clip(idx, 0, K - 1)], 0.0)
+    return G
+
+
+def _fir_frames(xf: jax.Array, G: jax.Array) -> jax.Array:
+    """Apply the Toeplitz matmul to framed input.
+
+    xf: (..., nf + D - 1, L) — includes D-1 history frames in front.
+    G:  (D, L, L).
+    Returns (..., nf, L).
+    """
+    D = G.shape[0]
+    nf = xf.shape[-2] - (D - 1)
+    out = None
+    for d in range(D):
+        seg = jax.lax.slice_in_dim(xf, D - 1 - d, D - 1 - d + nf, axis=-2)
+        if jnp.iscomplexobj(seg) or jnp.iscomplexobj(G):
+            term = _cmatmul(seg, G[d])
+        else:
+            term = jnp.matmul(seg, G[d], preferred_element_type=real_dtype,
+                              precision=jax.lax.Precision.HIGHEST)
+        out = term if out is None else out + term
+    return out
+
+
+def _cmatmul(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Complex matmul via 4 real matmuls (MXU has no complex support)."""
+    ar, ai = jnp.real(a), jnp.imag(a)
+    br, bi = jnp.real(b), jnp.imag(b)
+    mm = functools.partial(jnp.matmul, preferred_element_type=real_dtype,
+                           precision=jax.lax.Precision.HIGHEST)
+    rr = mm(ar, br) - mm(ai, bi)
+    ri = mm(ar, bi) + mm(ai, br)
+    return (rr + 1j * ri).astype(complex_dtype)
+
+
+def fir_filter(h, x: jax.Array) -> jax.Array:
+    """One-shot FIR, same-length output, zero initial state:
+    y[n] = sum_k h[k] x[n-k] (parity: filtrer(h, x),
+    core/include/tsd/filtrage.hpp:1730-1744 / FiltreRIF::step).
+
+    x may have leading batch axes; filtering runs along the last axis.
+    """
+    h = np.asarray(h)
+    x = jnp.asarray(x)
+    if jnp.iscomplexobj(x) and not np.iscomplexobj(h):
+        h = h.astype(np.complex64)
+    blk = Fir.create(h)
+    state = blk.init_for(x)
+    _, y = blk.step(state, x)
+    return y
+
+
+def fir_filter_valid(h, x: jax.Array) -> jax.Array:
+    """FIR with 'valid' output: only the len(x)-K+1 samples with full overlap."""
+    y = fir_filter(h, x)
+    K = len(np.asarray(h))
+    return y[..., K - 1:]
+
+
+class Fir(Block):
+    """Streaming FIR block (MXU Toeplitz-matmul path).
+
+    State: the last K-1 input samples per channel.  Output sample n depends on
+    inputs n-K+1..n, so output aligns with input (group delay (K-1)/2 for
+    linear phase).  Parity: FiltreRIF, filtre-rt.cc:54-110.
+    """
+
+    G: jax.Array          # (D, L, L) tap matrices
+    K: int = struct.field(pytree_node=False)
+    complex_taps: bool = struct.field(pytree_node=False, default=False)
+
+    @classmethod
+    def create(cls, h) -> "Fir":
+        h = np.asarray(h)
+        G = fir_toeplitz_mats(h.astype(np.complex128 if np.iscomplexobj(h)
+                                       else np.float64))
+        return cls(G=_as_f32(G), K=len(h),
+                   complex_taps=bool(np.iscomplexobj(h)))
+
+    def init(self):
+        dt = complex_dtype if self.complex_taps else real_dtype
+        return jnp.zeros((self.K - 1,), dt)
+
+    def init_for(self, x: jax.Array):
+        """State for batched input (leading axes of x)."""
+        dt = complex_dtype if (self.complex_taps or jnp.iscomplexobj(x)) \
+            else real_dtype
+        return jnp.zeros(x.shape[:-1] + (self.K - 1,), dt)
+
+    @property
+    def delay(self) -> float:
+        return (self.K - 1) / 2
+
+    def step(self, state, x: jax.Array):
+        n = x.shape[-1]
+        D = self.G.shape[0]
+        hist = (D - 1) * _L
+        # place state (K-1 samples) right before x, pad front to frame align
+        xx = jnp.concatenate([state, x], axis=-1)
+        pad_front = hist - (self.K - 1)
+        pad_back = (-n) % _L
+        xx = jnp.pad(xx, [(0, 0)] * (x.ndim - 1) + [(pad_front, pad_back)])
+        xf = xx.reshape(*xx.shape[:-1], -1, _L)
+        G = self.G
+        if jnp.iscomplexobj(x) and not self.complex_taps:
+            G = G.astype(complex_dtype)
+        yf = _fir_frames(xf.astype(G.dtype) if jnp.iscomplexobj(G) else xf, G)
+        y = yf.reshape(*x.shape[:-1], -1)[..., :n]
+        new_state = jnp.concatenate([state, x], axis=-1)[..., -(self.K - 1):]
+        return new_state, y
+
+
+class DelayLine(Block):
+    """Integer delay of d samples (parity: LigneARetard,
+    filtre-rt.cc:13-46)."""
+
+    d: int = struct.field(pytree_node=False)
+    dtype: str = struct.field(pytree_node=False, default="float32")
+
+    def init(self):
+        return jnp.zeros((self.d,), jnp.dtype(self.dtype))
+
+    @property
+    def delay(self) -> float:
+        return float(self.d)
+
+    def step(self, state, x):
+        if self.d == 0:
+            return state, x
+        xx = jnp.concatenate([state, x], axis=-1)
+        return xx[..., -self.d:], xx[..., : x.shape[-1]]
+
+
+class Decimator(Block):
+    """Keep 1 sample in R with phase carried across blocks (parity:
+    Decimateur, filtre-rt.cc:120-170).  Block length must be a multiple of R
+    so output shapes stay static."""
+
+    R: int = struct.field(pytree_node=False)
+
+    def init(self):
+        return jnp.zeros((), jnp.int32)  # phase: index of next kept sample
+
+    @property
+    def ratio(self) -> float:
+        return 1.0 / self.R
+
+    def step(self, state, x):
+        n = x.shape[-1]
+        assert n % self.R == 0, "block length must be a multiple of R"
+        idx = state + self.R * jnp.arange(n // self.R)
+        y = jnp.take_along_axis(
+            x, jnp.broadcast_to(idx, x.shape[:-1] + idx.shape), axis=-1)
+        new_phase = (state + 0) % self.R  # phase unchanged when R | n
+        return new_phase, y
+
+
+class FirDecim(Block):
+    """Polyphase decimating FIR: filter + keep-1-in-R, computing only kept
+    outputs (parity: FiltreRIFDecim, core/src/reechan/polyphase.cc:157-245).
+
+    TPU design: reshape input to (n/R, R), multiply with the polyphase tap
+    matrix (Kp, R) summed over taps via matmul — again MXU-bound.
+    """
+
+    P: jax.Array          # (Kp, R) polyphase taps, P[j, r] = h[j*R + r]
+    K: int = struct.field(pytree_node=False)
+    R: int = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, h, R: int) -> "FirDecim":
+        h = np.asarray(h, np.float64)
+        K = len(h)
+        Kp = (K + R - 1) // R
+        P = np.zeros((Kp, R))
+        for j in range(Kp):
+            for r in range(R):
+                if j * R + r < K:
+                    P[j, r] = h[j * R + r]
+        return cls(P=jnp.asarray(P, real_dtype), K=K, R=R)
+
+    def init(self):
+        return jnp.zeros((self.P.shape[0] * self.R,), real_dtype)
+
+    def init_for(self, x):
+        dt = complex_dtype if jnp.iscomplexobj(x) else real_dtype
+        return jnp.zeros(x.shape[:-1] + (self.P.shape[0] * self.R,), dt)
+
+    @property
+    def ratio(self) -> float:
+        return 1.0 / self.R
+
+    @property
+    def delay(self) -> float:
+        return (self.K - 1) / 2 / self.R
+
+    def step(self, state, x):
+        n = x.shape[-1]
+        R = self.R
+        assert n % R == 0, "block length must be a multiple of R"
+        Kp = self.P.shape[0]
+        hist = Kp * R
+        xx = jnp.concatenate([state, x], axis=-1)
+        # output m (global index m*R) needs x[m*R - k] for k in 0..K-1
+        # frame into (nout, R) where row m holds x[m*R + hist - R + 1 .. ]
+        # simpler: gather windows of length Kp*R ending at each kept sample
+        nout = n // R
+        # y[m] = sum_k h[k] * x[m*R - k]  (kept phase 0, matching
+        # downsample(fir_filter(h, x), R)); x[j] lives at xx[hist + j]
+        m = jnp.arange(nout)[:, None]
+        k = jnp.arange(Kp * R)[None, :]
+        idx = hist + m * R - k
+        gath = xx[..., idx]  # (..., nout, Kp*R)
+        hflat = self.P.reshape(-1)  # h[k] with k = j*R+r
+        y = jnp.einsum("...nk,k->...n", gath, hflat.astype(gath.dtype),
+                       precision=jax.lax.Precision.HIGHEST)
+        new_state = xx[..., -hist:]
+        return new_state, y
+
+
+class MovingAverage(Block):
+    """K-sample moving average with double accumulation (parity:
+    MoyenneGlissante, filtre-rt.cc:634-724, accumulator type param).
+
+    Implemented as cumsum difference per block with carried history —
+    O(n) with XLA's parallel prefix sum, no per-sample loop."""
+
+    K: int = struct.field(pytree_node=False)
+
+    def init(self):
+        return jnp.zeros((self.K - 1,), real_dtype)
+
+    def init_for(self, x):
+        dt = complex_dtype if jnp.iscomplexobj(x) else real_dtype
+        return jnp.zeros(x.shape[:-1] + (self.K - 1,), dt)
+
+    @property
+    def delay(self) -> float:
+        return (self.K - 1) / 2
+
+    def step(self, state, x):
+        xx = jnp.concatenate([state, x], axis=-1)
+        c = jnp.cumsum(xx.astype(jnp.float32 if not jnp.iscomplexobj(xx)
+                                 else complex_dtype), axis=-1)
+        zero = jnp.zeros_like(c[..., :1])
+        c = jnp.concatenate([zero, c], axis=-1)
+        y = (c[..., self.K:] - c[..., :-self.K]) / self.K
+        return xx[..., -(self.K - 1):], y.astype(x.dtype)
+
+
+class ExpSmoother(Block):
+    """First-order exponential smoother y = g x + (1-g) y_prev via
+    associative scan (parity: FiltreLExp, filtre-rt.cc:726-780)."""
+
+    g: jax.Array
+
+    @classmethod
+    def create(cls, gamma: float) -> "ExpSmoother":
+        return cls(g=jnp.asarray(gamma, real_dtype))
+
+    def init(self):
+        return jnp.zeros((), real_dtype)
+
+    def step(self, state, x):
+        y = _first_order_scan(1.0 - self.g, self.g * x, state)
+        return y[..., -1], y
+
+
+class DcBlocker(Block):
+    """DC blocker y[n] = x[n] - x[n-1] + r y[n-1] (parity: FiltreDC,
+    filtre-rt.cc:605-633)."""
+
+    r: jax.Array
+
+    @classmethod
+    def create(cls, fc: float) -> "DcBlocker":
+        from .iir_design import lexp_coef
+        return cls(r=jnp.asarray(1.0 - lexp_coef(fc), real_dtype))
+
+    def init(self):
+        # (previous input, previous output)
+        return (jnp.zeros((), real_dtype), jnp.zeros((), real_dtype))
+
+    def step(self, state, x):
+        x_prev, y_prev = state
+        xd = x - jnp.concatenate(
+            [jnp.broadcast_to(x_prev, x.shape[:-1] + (1,)), x[..., :-1]],
+            axis=-1)
+        y = _first_order_scan(self.r, self.r * xd, y_prev / self.r)
+        return (x[..., -1], y[..., -1]), y
+
+
+def _first_order_scan(a, b: jax.Array, y0) -> jax.Array:
+    """Solve y[n] = a*y[n-1] + b[n] with y[-1] = y0, via associative scan.
+
+    The affine recurrence composes associatively:
+    (a1, b1) o (a2, b2) = (a1*a2, a2*b1 + b2).
+    """
+    n = b.shape[-1]
+    a_arr = jnp.broadcast_to(jnp.asarray(a, b.dtype), b.shape)
+    b0 = b.at[..., 0].add(a_arr[..., 0] * y0)
+
+    def combine(l, r):
+        al, bl = l
+        ar, br = r
+        return al * ar, ar * bl + br
+
+    _, y = jax.lax.associative_scan(combine, (a_arr, b0), axis=-1)
+    return y
+
+
+class Iir(Block):
+    """Direct-form-II IIR from (b, a) coefficients via lax.scan (parity:
+    FiltreRII, filtre-rt.cc:178-284).
+
+    For order 1 the associative-scan fast path is used automatically.
+    """
+
+    b: jax.Array
+    a: jax.Array  # a[0] == 1
+
+    @classmethod
+    def create(cls, b, a) -> "Iir":
+        b = np.atleast_1d(np.asarray(b, np.float64))
+        a = np.atleast_1d(np.asarray(a, np.float64))
+        b = b / a[0]
+        a = a / a[0]
+        n = max(len(b), len(a))
+        b = np.pad(b, (0, n - len(b)))
+        a = np.pad(a, (0, n - len(a)))
+        return cls(b=jnp.asarray(b, real_dtype), a=jnp.asarray(a, real_dtype))
+
+    def init(self):
+        return jnp.zeros((self.b.shape[0] - 1,), real_dtype)
+
+    def init_for(self, x):
+        dt = complex_dtype if jnp.iscomplexobj(x) else real_dtype
+        return jnp.zeros(x.shape[:-1] + (self.b.shape[0] - 1,), dt)
+
+    def step(self, state, x):
+        order = self.b.shape[0] - 1
+        if order == 0:
+            return state, self.b[0] * x
+        if order == 1:
+            # transposed DF-II, order 1: y[n] = b0 x[n] + w[n-1];
+            # w[n] = b1 x[n] - a1 y[n].  Substituting gives the affine
+            # recurrence w[n] = -a1 w[n-1] + (b1 - a1 b0) x[n], solved in
+            # log-depth by associative scan; then y from w.
+            b0, b1, a1 = self.b[0], self.b[1], self.a[1]
+            w = _first_order_scan(-a1, (b1 - a1 * b0) * x, state[..., 0])
+            wprev = jnp.concatenate(
+                [jnp.broadcast_to(state[..., 0:1], x.shape[:-1] + (1,)),
+                 w[..., :-1]], axis=-1)
+            y = b0 * x + wprev
+            return w[..., -1:], y
+        return self._scan_step(state, x)
+
+    def _scan_step(self, state, x):
+        b, a = self.b, self.a
+        order = b.shape[0] - 1
+
+        def body(w, xn):
+            # transposed direct form II
+            yn = b[0] * xn + w[..., 0]
+            wn = jnp.concatenate(
+                [w[..., 1:], jnp.zeros_like(w[..., :1])], axis=-1)
+            wn = wn + b[1:] * xn[..., None] - a[1:] * yn[..., None]
+            return wn, yn
+
+        # scan over the sample axis (move it to front)
+        xs = jnp.moveaxis(x, -1, 0)
+        state, ys = jax.lax.scan(body, state, xs)
+        return state, jnp.moveaxis(ys, 0, -1)
+
+
+class Sos(Block):
+    """Cascade of second-order sections, transposed DF-II per section,
+    single fused scan over samples (parity: SOIS/ChaineSOIS/filtre_sois,
+    filtre-rt.cc:295-581).
+
+    sos: (nsec, 6) rows [b0 b1 b2 1 a1 a2]; gain applied once at input.
+    """
+
+    sos: jax.Array   # (nsec, 6)
+    k: jax.Array     # scalar gain
+
+    @classmethod
+    def create(cls, sos, k: float = 1.0) -> "Sos":
+        sos = np.asarray(sos, np.float64)
+        return cls(sos=jnp.asarray(sos, real_dtype),
+                   k=jnp.asarray(k, real_dtype))
+
+    @classmethod
+    def from_zpk(cls, zpk) -> "Sos":
+        from .iir_design import zpk_to_sos
+        sos, k = zpk_to_sos(zpk)
+        return cls.create(sos, k)
+
+    def init(self):
+        return jnp.zeros((self.sos.shape[0], 2), real_dtype)
+
+    def init_for(self, x):
+        dt = complex_dtype if jnp.iscomplexobj(x) else real_dtype
+        return jnp.zeros(x.shape[:-1] + (self.sos.shape[0], 2), dt)
+
+    def step(self, state, x):
+        sos = self.sos
+        nsec = sos.shape[0]
+        b0, b1, b2 = sos[:, 0], sos[:, 1], sos[:, 2]
+        a1, a2 = sos[:, 4], sos[:, 5]
+
+        def body(w, xn):
+            # w: (..., nsec, 2)
+            v = self.k * xn
+            new_w = []
+            for s in range(nsec):
+                y = b0[s] * v + w[..., s, 0]
+                w0 = b1[s] * v - a1[s] * y + w[..., s, 1]
+                w1 = b2[s] * v - a2[s] * y
+                new_w.append(jnp.stack([w0, w1], axis=-1))
+                v = y
+            return jnp.stack(new_w, axis=-2), v
+
+        xs = jnp.moveaxis(x, -1, 0)
+        state, ys = jax.lax.scan(body, state, xs)
+        return state, jnp.moveaxis(ys, 0, -1)
+
+
+class OlaFft(Block):
+    """Overlap-add FFT-domain block filter with a frequency-domain transform
+    callback (parity: filtre_fft / FiltreFFT, fourier.cc:708-935).
+
+    Processes fixed blocks of Ne input samples; each block is zero-padded to
+    Nf = next_pow2(Ne + M - 1), transformed, multiplied/transformed by the
+    user callback, inverse-transformed, and overlap-added with the carried
+    tail.  Streaming: step() input length must be a multiple of Ne.
+    """
+
+    H: jax.Array          # (Nf,) frequency response applied per block
+    Ne: int = struct.field(pytree_node=False)
+    Nf: int = struct.field(pytree_node=False)
+    M: int = struct.field(pytree_node=False)   # filter length (tail M-1)
+
+    @classmethod
+    def create(cls, h, Ne: Optional[int] = None) -> "OlaFft":
+        from .fft import ola_complexity_optimize, next_pow2
+        h = np.asarray(h)
+        M = len(h)
+        if Ne is None:
+            _, Nf, _, Ne = ola_complexity_optimize(M)
+        else:
+            Nf = next_pow2(Ne + M - 1)
+        H = np.fft.fft(h, Nf)
+        return cls(H=jnp.asarray(H, complex_dtype), Ne=Ne, Nf=Nf, M=M)
+
+    def init(self):
+        return jnp.zeros((self.Nf - self.Ne,), complex_dtype)
+
+    def init_for(self, x):
+        return jnp.zeros(x.shape[:-1] + (self.Nf - self.Ne,), complex_dtype)
+
+    @property
+    def delay(self) -> float:
+        return (self.M - 1) / 2
+
+    def step(self, state, x):
+        n = x.shape[-1]
+        Ne, Nf = self.Ne, self.Nf
+        assert n % Ne == 0, "input must be a multiple of Ne"
+        nblk = n // Ne
+        is_complex = jnp.iscomplexobj(x)
+        xb = x.reshape(*x.shape[:-1], nblk, Ne)
+        X = jnp.fft.fft(xb.astype(complex_dtype), n=Nf, axis=-1)
+        Y = X * self.H
+        yb = jnp.fft.ifft(Y, axis=-1)  # (..., nblk, Nf)
+        # overlap-add: carry tail of length Nf-Ne across blocks.
+        # carry_padded = [carry, 0...Ne zeros]; out = yrow[:Ne] + carry_p[:Ne];
+        # new carry = carry_p[Ne:] + yrow[Ne:].  Handles tail_len ><= Ne.
+        def body(tail, yrow):
+            tail_p = jnp.pad(tail, [(0, 0)] * (tail.ndim - 1) + [(0, Ne)])
+            out = yrow[..., :Ne] + tail_p[..., :Ne]
+            new_tail = tail_p[..., Ne:] + yrow[..., Ne:]
+            return new_tail, out
+
+        ybm = jnp.moveaxis(yb, -2, 0)  # (nblk, ..., Nf)
+        state, ys = jax.lax.scan(body, state, ybm)
+        y = jnp.moveaxis(ys, 0, -2).reshape(*x.shape[:-1], n)
+        if not is_complex:
+            y = jnp.real(y)
+        return state, y
+
+
+class FirFft(OlaFft):
+    """FIR filtering through the OLA engine (parity: filtre_rif_fft,
+    fourier.cc:974-1010)."""
+    pass
+
+
+def filter_signal(h, x: jax.Array, mode: str = "direct") -> jax.Array:
+    """One-shot filtering, choosing the direct MXU path or the OLA FFT path
+    (parity: filtrer / filtre_rif_fft one-shot wrappers)."""
+    if mode == "fft":
+        h = np.asarray(h)
+        blk = OlaFft.create(h)
+        n = x.shape[-1]
+        from ..block import pad_to_multiple
+        xp = pad_to_multiple(x, blk.Ne, axis=x.ndim - 1)
+        _, y = blk.step(blk.init_for(xp), xp)
+        return y[..., :n]
+    return fir_filter(h, x)
+
+
+def filtfilt(h, x: jax.Array) -> jax.Array:
+    """Zero-phase forward-backward FIR filtering (parity: filtfilt,
+    filtrage.hpp:1663-1782)."""
+    y = fir_filter(h, x)
+    y = jnp.flip(y, axis=-1)
+    y = fir_filter(h, y)
+    return jnp.flip(y, axis=-1)

@@ -1,0 +1,508 @@
+"""Resampling: polyphase interpolation/decimation, half-band, CIC,
+fractional-delay interpolators, rational-ratio rate adaptation.
+
+Parity: core/src/reechan/ (polyphase.cc, cic.cc, itrp.cc, ra.cc, hb.cc).
+
+TPU design notes:
+* The polyphase upsampler is a single MXU matmul: window matrix (n, Kp) x
+  phase-tap matrix (Kp, R) -> (n, R) -> interleave.  No per-sample loop
+  (reference: FiltreRIFUps, polyphase.cc:247-343).
+* The arbitrary-ratio adapter reformulates the reference's per-sample phase
+  accumulator (AdaptationRythmeSimple, ra.cc:14-80) as a *rational* resampler
+  p/q with static output shapes: output j interpolates input time j*q/p,
+  computed vectorized (gather + LUT dot), jit-able and shardable.  Arbitrary
+  float ratios are approximated by a fraction to < 1e-9 relative error.
+* CIC runs on int32 with two's-complement wraparound — overflow-exact, the
+  classic CIC property (reference uses C++ ints, cic.cc:12-101).
+"""
+from __future__ import annotations
+
+import fractions
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..block import Block
+from ..config import complex_dtype, real_dtype
+from .filter_rt import Fir, FirDecim
+from .fir_design import fir_design_windowed, fir_halfband
+
+__all__ = [
+    "FirUps", "fir_ups_delay", "HalfbandDecim", "CicConfig", "Cic",
+    "cic_design_ba", "cic_freq", "cic_bits", "cic_comp_design",
+    "sinc_interp_lut", "cspline_coefs", "cspline_lut", "linear_coefs",
+    "lagrange_coefs", "Interpolator", "make_interpolator",
+    "RationalResampler", "resample", "Resampler",
+]
+
+
+# ----------------------------------------------------------- upsampling
+
+class FirUps(Block):
+    """Polyphase upsampling FIR: insert R-1 zeros + anti-image filter, taps
+    scaled by R to preserve amplitude (parity: FiltreRIFUps,
+    polyphase.cc:247-343).
+
+    y[n*R + r] = sum_j h[(n-j)*R + r] * x[j] — per-phase FIR via one matmul.
+    """
+
+    Hm: jax.Array   # (Kp, R) phase-tap matrix, Hm[i, r] = hR[i*R + r]
+    K: int = struct.field(pytree_node=False)   # padded tap count
+    R: int = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, h, R: int) -> "FirUps":
+        h = np.asarray(h, np.float64) * R
+        K = len(h)
+        if K % R:
+            h = np.concatenate([h, np.zeros(R - K % R)])
+            K = len(h)
+        Kp = K // R
+        Hm = h.reshape(Kp, R)
+        return cls(Hm=jnp.asarray(Hm, real_dtype), K=K, R=R)
+
+    def init(self):
+        return jnp.zeros((self.Hm.shape[0] - 1,), real_dtype)
+
+    def init_for(self, x):
+        dt = complex_dtype if jnp.iscomplexobj(x) else real_dtype
+        return jnp.zeros(x.shape[:-1] + (self.Hm.shape[0] - 1,), dt)
+
+    @property
+    def ratio(self) -> float:
+        return float(self.R)
+
+    @property
+    def delay(self) -> float:
+        # parity: filtre_rif_ups_délais, polyphase.cc:363-372 (output rate)
+        return (self.K - 1) / 2.0 if self.K % self.R == 0 else (self.K - 1) / 2.0
+
+    def step(self, state, x):
+        n = x.shape[-1]
+        Kp = self.Hm.shape[0]
+        xx = jnp.concatenate([state, x], axis=-1)  # (..., n + Kp - 1)
+        # windows W[m, i] = x[m - i] = xx[Kp - 1 + m - i]
+        m = jnp.arange(n)[:, None]
+        i = jnp.arange(Kp)[None, :]
+        W = xx[..., Kp - 1 + m - i]  # (..., n, Kp)
+        Hm = self.Hm.astype(W.dtype) if jnp.iscomplexobj(W) else self.Hm
+        hp = jax.lax.Precision.HIGHEST
+        if jnp.iscomplexobj(W):
+            Y = (jnp.matmul(jnp.real(W), self.Hm,
+                            preferred_element_type=real_dtype, precision=hp)
+                 + 1j * jnp.matmul(jnp.imag(W), self.Hm,
+                                   preferred_element_type=real_dtype,
+                                   precision=hp))
+            Y = Y.astype(complex_dtype)
+        else:
+            Y = jnp.matmul(W, self.Hm, preferred_element_type=real_dtype,
+                           precision=hp)
+        y = Y.reshape(*x.shape[:-1], n * self.R)
+        return xx[..., -(Kp - 1):], y
+
+
+def fir_ups_delay(nc: int, R: int) -> float:
+    """Group delay (in output samples) of FirUps (parity:
+    filtre_rif_ups_délais, polyphase.cc:363-372)."""
+    pad = (R - nc % R) % R
+    return (nc - 1) / 2.0 + pad
+
+
+class HalfbandDecim(Block):
+    """Decimate-by-2 with a half-band FIR (zeros at odd taps) — thin wrapper
+    over the polyphase decimator (parity: FiltreRIFDemiBande,
+    polyphase.cc:55-155; on the MXU the dense matmul is already optimal,
+    the zero-tap trick buys nothing)."""
+
+    inner: FirDecim
+
+    @classmethod
+    def create(cls, h=None, n: int = 31) -> "HalfbandDecim":
+        if h is None:
+            h = fir_halfband(n)
+        return cls(inner=FirDecim.create(h, 2))
+
+    def init(self):
+        return self.inner.init()
+
+    def init_for(self, x):
+        return self.inner.init_for(x)
+
+    @property
+    def ratio(self):
+        return 0.5
+
+    @property
+    def delay(self):
+        return self.inner.delay
+
+    def step(self, state, x):
+        return self.inner.step(state, x)
+
+
+# ------------------------------------------------------------------- CIC
+
+class CicConfig(struct.PyTreeNode):
+    """Parity: CICConfig, core/include/tsd/filtrage.hpp:1014-1024."""
+    R: int = struct.field(pytree_node=False, default=4)   # decimation ratio
+    N: int = struct.field(pytree_node=False, default=4)   # number of stages
+    M: int = struct.field(pytree_node=False, default=1)   # design delay
+
+
+class Cic(Block):
+    """CIC decimator ('d') or interpolator ('i'/'u') with int32 wraparound
+    arithmetic (parity: FiltreCIC, cic.cc:12-101).
+
+    Input is cast to int32 (like the reference's as<Ti>); use ``scale`` to
+    pre-quantize float signals (y is rescaled back).
+    """
+
+    config: CicConfig
+    mode: str = struct.field(pytree_node=False, default="d")
+    scale: float = struct.field(pytree_node=False, default=1.0)
+
+    def __post_init__(self):
+        assert self.config.M == 1, "only M=1 supported (like the reference)"
+        assert self.mode in ("d", "i", "u")
+
+    @property
+    def gain(self) -> float:
+        RM = self.config.R * self.config.M
+        N = self.config.N
+        if self.mode == "d":
+            return 1.0 / RM ** N
+        return float(self.config.R) / RM ** N
+
+    @property
+    def ratio(self):
+        return 1.0 / self.config.R if self.mode == "d" else float(self.config.R)
+
+    def init(self):
+        N = self.config.N
+        # integrator carries + comb memories
+        return (jnp.zeros((N,), jnp.int32), jnp.zeros((N,), jnp.int32))
+
+    def init_for(self, x):
+        N = self.config.N
+        return (jnp.zeros(x.shape[:-1] + (N,), jnp.int32),
+                jnp.zeros(x.shape[:-1] + (N,), jnp.int32))
+
+    def step(self, state, x):
+        integ, combs = state
+        N, R = self.config.N, self.config.R
+        xi = jnp.round(x * self.scale).astype(jnp.int32)
+        if self.mode == "d":
+            # N cascaded integrators (wraparound-exact int32 cumsum)
+            for i in range(N):
+                xi = jnp.cumsum(xi, axis=-1, dtype=jnp.int32) + integ[..., i:i + 1]
+                integ = integ.at[..., i].set(xi[..., -1])
+            # decimate
+            xd = xi[..., ::R]
+            # N comb stages at low rate: y = x - x_prev (memory carried)
+            for i in range(N):
+                prev = jnp.concatenate(
+                    [combs[..., i:i + 1], xd[..., :-1]], axis=-1)
+                combs = combs.at[..., i].set(xd[..., -1])
+                xd = xd - prev
+            y = xd.astype(real_dtype) * (self.gain / self.scale)
+            return (integ, combs), y
+        # interpolation: combs first, then zero-stuff, then integrators
+        for i in range(N):
+            prev = jnp.concatenate([combs[..., i:i + 1], xi[..., :-1]], axis=-1)
+            combs = combs.at[..., i].set(xi[..., -1])
+            xi = xi - prev
+        n = xi.shape[-1]
+        up = jnp.zeros(xi.shape[:-1] + (n, R), jnp.int32)
+        up = up.at[..., 0].set(xi).reshape(*xi.shape[:-1], n * R)
+        xi = up
+        for i in range(N):
+            xi = jnp.cumsum(xi, axis=-1, dtype=jnp.int32) + integ[..., i:i + 1]
+            integ = integ.at[..., i].set(xi[..., -1])
+        y = xi.astype(real_dtype) * (self.gain / self.scale)
+        return (integ, combs), y
+
+
+def cic_design_ba(config: CicConfig) -> Tuple[np.ndarray, np.ndarray]:
+    """CIC equivalent FIR transfer function ((1/RM) sum z^-i)^N (parity:
+    design_cic, cic.cc:107-115)."""
+    RM = config.R * config.M
+    h = np.ones(RM) / RM
+    out = np.array([1.0])
+    for _ in range(config.N):
+        out = np.convolve(out, h)
+    return out, np.array([1.0])
+
+
+def cic_freq(config: CicConfig, f: np.ndarray) -> np.ndarray:
+    """|H(f)| of the CIC (parity: cic_freq, cic.cc:222-235)."""
+    f = np.asarray(f, float)
+    RM = config.R * config.M
+    d = RM * np.sin(np.pi * f)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mag = np.abs(np.sin(RM * np.pi * f) / d) ** config.N
+    return np.where(d == 0, 1.0, mag)
+
+
+def cic_bits(config: CicConfig) -> int:
+    """Additional accumulator bits needed (parity: cic_analyse,
+    cic.cc:209-211)."""
+    return int(np.ceil(config.N * np.log2(config.R) - 1))
+
+
+def cic_comp_design(config: CicConfig, fe: float, R2: int, fc: float,
+                    ncoefs: int) -> np.ndarray:
+    """FIR compensation filter for the CIC droop, by frequency sampling of
+    the inverse CIC response with a cutoff at fc (parity: design_cic_comp,
+    cic.cc:238-331)."""
+    from .fir_design import fir_design_freq_sampling
+    fs = fe / config.R
+    m = (ncoefs + 1) // 2
+    # frequency grid of the freq-sampling design, at the decimated rate
+    fr = np.linspace(0, 0.5 * (1 - 1.0 / m), m) * fs
+    mag = cic_freq(config, fr / fe)
+    ideal = 1.0 / np.maximum(mag, 1e-9)
+    idx = np.searchsorted(fr, fc)
+    idx = min(max(idx, 2), m - 2)
+    ideal[idx - 1] = ideal[idx - 2] / 2
+    ideal[idx] = ideal[idx - 1] / 2
+    ideal[idx + 1] = ideal[idx] / 2
+    ideal[idx + 2:] = 0.0
+    return fir_design_freq_sampling(ncoefs, ideal)
+
+
+# ------------------------------------------------- fractional interpolators
+
+def sinc_interp_coefs(nc: int, fcut: float, tau: float,
+                      fen: str = "hn") -> np.ndarray:
+    """Windowed-sinc fractional-delay taps at offset tau in [0,1]
+    (parity: InterpolateurSinc::coefs_calcule, itrp.cc:24-39, including the
+    tau-shifted Hann window)."""
+    i = np.arange(nc)
+    # reference two-arg sinc(2fc, k) = 2fc * sinc(2fc * k)
+    k = i - nc // 2 - tau
+    h = 2 * fcut * np.sinc(2 * fcut * k)
+    if fen == "hn":
+        a, b = 0.5, 0.25
+        t = (np.linspace(-(nc // 2), (nc - 1) // 2, nc) - tau) * (2 * np.pi / nc)
+        h = h * (a + 2 * b * np.cos(t))
+    s = h.sum()
+    return h / s if abs(s) > 1e-12 else h
+
+
+def sinc_interp_lut(nc: int = 15, nphases: int = 256, fcut: float = 0.5,
+                    fen: str = "hn") -> np.ndarray:
+    """(nphases+1, nc) LUT of fractional-delay taps (parity:
+    InterpolateurSinc, itrp.cc:11-57)."""
+    return np.stack([sinc_interp_coefs(nc, fcut, p / nphases, fen)
+                     for p in range(nphases + 1)])
+
+
+def cspline_coefs(t: float, c: float = 0.0) -> np.ndarray:
+    """Cardinal cubic spline taps on (p-1, p0, p1, p2) (parity:
+    cspline_filtre, itrp.cc:293-312; c=0 is Catmull-Rom)."""
+    h = np.array([(1 + 2 * t) * (t - 1) ** 2,
+                  t * (t - 1) ** 2,
+                  t * t * (3 - 2 * t),
+                  t * t * (t - 1)])
+    return np.array([
+        -(1 - c) * h[1] / 2,
+        h[0] - (1 - c) * h[3] / 2,
+        h[2] + (1 - c) * h[1] / 2,
+        (1 - c) * h[3] / 2])
+
+
+def cspline_lut(n: int = 256, c: float = 0.0) -> np.ndarray:
+    """(n+1, 4) spline LUT (parity: cspline_calc_lut, itrp.cc:315-321)."""
+    return np.stack([cspline_coefs(i / n, c) for i in range(n + 1)])
+
+
+def linear_coefs(t: float) -> np.ndarray:
+    """Parity: InterpolateurLineaire, itrp.cc:82-95."""
+    return np.array([1 - t, t])
+
+
+def lagrange_coefs(d: int, tau: float) -> np.ndarray:
+    """Lagrange interpolator of degree d, K=d+1 taps, interpolating at
+    (d-1)/2 + tau (parity: InterpolateurLagrange, itrp.cc:98-140)."""
+    t = (d - 1.0) / 2 + tau
+    pts = np.arange(d + 1, dtype=float)
+    h = np.ones(d + 1)
+    for i in range(d + 1):
+        for j in range(d + 1):
+            if i != j:
+                h[i] *= (t - pts[j]) / (pts[i] - pts[j])
+    return h
+
+
+class Interpolator(struct.PyTreeNode):
+    """Phase-LUT fractional interpolator: taps[phase] dot window.
+    ``delay`` is the interpolation center in samples."""
+
+    lut: jax.Array   # (nphases+1, K)
+    K: int = struct.field(pytree_node=False)
+    delay_: float = struct.field(pytree_node=False)
+
+    @property
+    def nphases(self) -> int:
+        return self.lut.shape[0] - 1
+
+    def taps(self, tau: jax.Array) -> jax.Array:
+        """Taps for fractional offsets tau in [0,1] (batched)."""
+        idx = jnp.clip(jnp.round(tau * self.nphases).astype(jnp.int32),
+                       0, self.nphases)
+        return self.lut[idx]
+
+
+def make_interpolator(kind: str = "sinc", **kw) -> Interpolator:
+    """Factory (parity: itrp_sinc / itrp_cspline / itrp_lineaire /
+    itrp_lagrange, itrp.cc)."""
+    if kind == "sinc":
+        nc = kw.get("ncoefs", 15)
+        lut = sinc_interp_lut(nc, kw.get("nphases", 256),
+                              kw.get("fcut", 0.5), kw.get("fen", "hn"))
+        delay = 0.5 * nc
+        return Interpolator(lut=jnp.asarray(lut, real_dtype), K=nc, delay_=delay)
+    if kind == "cspline":
+        lut = cspline_lut(kw.get("nphases", 256), kw.get("c", 0.0))
+        return Interpolator(lut=jnp.asarray(lut, real_dtype), K=4, delay_=1.5)
+    if kind == "linear":
+        n = kw.get("nphases", 256)
+        lut = np.stack([linear_coefs(i / n) for i in range(n + 1)])
+        return Interpolator(lut=jnp.asarray(lut, real_dtype), K=2, delay_=0.5)
+    if kind == "lagrange":
+        d = kw.get("degree", 3)
+        n = kw.get("nphases", 256)
+        lut = np.stack([lagrange_coefs(d, i / n) for i in range(n + 1)])
+        return Interpolator(lut=jnp.asarray(lut, real_dtype), K=d + 1,
+                            delay_=0.5 * d)
+    raise ValueError(f"unknown interpolator {kind!r}")
+
+
+# ------------------------------------------------- rational rate adapter
+
+class RationalResampler(Block):
+    """Resample by the exact rational ratio p/q (output rate = input * p/q)
+    using a fractional interpolator bank — the static-shape TPU
+    reformulation of the reference's phase-accumulator loop
+    (AdaptationRythmeSimple, ra.cc:14-80).
+
+    Block input length must be a multiple of q; output length is n*p/q.
+    Output j interpolates input time j*q/p (plus interpolator delay).
+    """
+
+    itrp: Interpolator
+    p: int = struct.field(pytree_node=False)
+    q: int = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, ratio: float, itrp: Optional[Interpolator] = None,
+               max_den: int = 1 << 16) -> "RationalResampler":
+        fr = fractions.Fraction(ratio).limit_denominator(max_den)
+        if itrp is None:
+            # anti-alias at half the lower of the two rates (ra.cc:151)
+            fcut = min(0.4, 0.5 * min(1.0, float(fr)))
+            itrp = make_interpolator("sinc", ncoefs=15, fcut=fcut)
+        return cls(itrp=itrp, p=fr.numerator, q=fr.denominator)
+
+    @property
+    def ratio(self):
+        return self.p / self.q
+
+    @property
+    def delay(self) -> float:
+        return self.itrp.delay_ * self.ratio
+
+    def init(self):
+        return jnp.zeros((self.itrp.K,), real_dtype)
+
+    def init_for(self, x):
+        dt = complex_dtype if jnp.iscomplexobj(x) else real_dtype
+        return jnp.zeros(x.shape[:-1] + (self.itrp.K,), dt)
+
+    def step(self, state, x):
+        n = x.shape[-1]
+        p, q, K = self.p, self.q, self.itrp.K
+        assert (n * p) % q == 0, "block length * p must be a multiple of q"
+        nout = n * p // q
+        xx = jnp.concatenate([state, x], axis=-1)  # (..., n + K)
+        j = jnp.arange(nout)
+        # exact integer phase: t_j = j*q/p input samples
+        ip = (j * q) // p                      # integer part
+        tau = ((j * q) % p).astype(real_dtype) / p
+        # window for output j: x[ip - K + 1 + i + (K//2)] centered so that
+        # taps(tau) interpolates at position K//2 + tau of the window
+        base = ip + K  # index of x[ip] inside xx is K + ip; window start:
+        i = jnp.arange(K)[None, :]
+        widx = (ip[:, None] + i)               # covers x[ip - K + 1 .. ip]+K-1
+        W = xx[..., widx]                      # (..., nout, K)
+        T = self.itrp.taps(tau)                # (nout, K)
+        y = jnp.sum(W * T.astype(W.dtype), axis=-1)
+        return xx[..., -K:], y
+
+
+class Resampler(Block):
+    """Arbitrary-ratio resampler: cascade of half-band decimators /
+    polyphase x2 upsamplers bringing the residual ratio into [0.5, 2), then a
+    rational interpolator (parity: AdaptationRythmeArbitraire,
+    ra.cc:85-179)."""
+
+    stages: Tuple[Block, ...]
+
+    @classmethod
+    def create(cls, ratio: float) -> "Resampler":
+        stages = []
+        post = ratio
+        h = fir_design_windowed(15, "lp", 0.25, "hn")
+        while post < 0.5:
+            stages.append(HalfbandDecim.create(n=15))
+            post *= 2
+        while post >= 2:
+            stages.append(FirUps.create(h, 2))
+            post /= 2
+        if abs(post - 1.0) > 1e-9:
+            stages.append(RationalResampler.create(post))
+        return cls(stages=tuple(stages))
+
+    @property
+    def ratio(self):
+        r = 1.0
+        for s in self.stages:
+            r *= s.ratio
+        return r
+
+    def init(self):
+        return tuple(s.init() for s in self.stages)
+
+    def init_for(self, x):
+        states = []
+        for s in self.stages:
+            states.append(s.init_for(x) if hasattr(s, "init_for") else s.init())
+        return tuple(states)
+
+    def step(self, state, x):
+        new_states = []
+        for s, st in zip(self.stages, state):
+            st, x = s.step(st, x)
+            new_states.append(st)
+        return tuple(new_states), x
+
+
+def resample(x: jax.Array, ratio: float) -> jax.Array:
+    """One-shot arbitrary-ratio resampling (parity: filtre_reechan one-shot
+    use / rééchan)."""
+    blk = Resampler.create(ratio)
+    # pad so every stage's block-length constraint is met
+    n = x.shape[-1]
+    q = 1
+    for s in blk.stages:
+        if isinstance(s, RationalResampler):
+            q = s.q
+        elif isinstance(s, HalfbandDecim):
+            q *= 2
+    from ..block import pad_to_multiple
+    xp = pad_to_multiple(x, q, axis=x.ndim - 1)
+    _, y = blk.step(blk.init_for(xp), xp)
+    return y

@@ -1,0 +1,2 @@
+from .mesh import make_mesh, channel_sharding  # noqa: F401
+from .halo import halo_exchange_left, sharded_fir, sharded_chain  # noqa: F401

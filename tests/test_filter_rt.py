@@ -1,0 +1,226 @@
+"""Streaming filter runtime tests: MXU-Toeplitz FIR vs np.convolve,
+IIR/SOS vs scipy.lfilter/sosfilt, streaming == one-shot equivalence."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.signal as sps
+
+from libtsd_tpu.block import stream
+from libtsd_tpu.ops import filter_rt as FR
+from libtsd_tpu.ops import fir_design as FD
+from libtsd_tpu.ops import iir_design as ID
+from libtsd_tpu.utils.testing import check_max_error
+
+rng = np.random.default_rng(42)
+
+
+@pytest.mark.parametrize("K,n", [(7, 100), (31, 500), (256, 2048), (129, 300)])
+def test_fir_matches_convolve(K, n):
+    h = rng.standard_normal(K)
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(FR.fir_filter(h, x))
+    expected = np.convolve(x, h)[:n]
+    check_max_error(y, expected, 2e-3 * np.abs(expected).max())
+
+
+def test_fir_complex_signal():
+    h = rng.standard_normal(64)
+    x = (rng.standard_normal(512) + 1j * rng.standard_normal(512)).astype(np.complex64)
+    y = np.asarray(FR.fir_filter(h, x))
+    expected = np.convolve(x, h)[:512]
+    check_max_error(y, expected, 5e-3)
+
+
+def test_fir_complex_taps():
+    h = rng.standard_normal(33) + 1j * rng.standard_normal(33)
+    x = (rng.standard_normal(256) + 1j * rng.standard_normal(256)).astype(np.complex64)
+    y = np.asarray(FR.fir_filter(h, x))
+    expected = np.convolve(x, h)[:256]
+    check_max_error(y, expected, 1e-2)
+
+
+def test_fir_batched():
+    h = rng.standard_normal(31)
+    x = rng.standard_normal((4, 300)).astype(np.float32)
+    y = np.asarray(FR.fir_filter(h, x))
+    for c in range(4):
+        expected = np.convolve(x[c], h)[:300]
+        check_max_error(y[c], expected, 2e-3)
+
+
+def test_fir_streaming_equals_oneshot():
+    h = rng.standard_normal(65)
+    x = rng.standard_normal(1024).astype(np.float32)
+    blk = FR.Fir.create(h)
+    _, y_stream = stream(blk, jnp.asarray(x), 128)
+    y_oneshot = np.asarray(FR.fir_filter(h, x))
+    check_max_error(np.asarray(y_stream), y_oneshot, 1e-4)
+
+
+def test_delay_line():
+    blk = FR.DelayLine(d=5)
+    x = jnp.arange(1.0, 21.0)
+    _, y = stream(blk, x, 10)
+    y = np.asarray(y)
+    assert np.allclose(y[5:], np.arange(1.0, 16.0))
+    assert np.allclose(y[:5], 0)
+
+
+def test_decimator_streaming():
+    blk = FR.Decimator(R=4)
+    x = jnp.arange(64.0)
+    _, y = stream(blk, x, 16)
+    assert np.allclose(np.asarray(y), np.arange(0, 64, 4))
+
+
+@pytest.mark.parametrize("K,R", [(16, 2), (33, 4), (64, 8)])
+def test_fir_decim(K, R):
+    h = rng.standard_normal(K)
+    x = rng.standard_normal(512).astype(np.float32)
+    blk = FR.FirDecim.create(h, R)
+    _, y = blk.step(blk.init_for(jnp.asarray(x)), jnp.asarray(x))
+    full = np.convolve(x, h)[:512]
+    expected = full[::R]
+    check_max_error(np.asarray(y), expected, 2e-3)
+
+
+def test_fir_decim_streaming():
+    h = rng.standard_normal(33)
+    R = 4
+    x = rng.standard_normal(1024).astype(np.float32)
+    blk = FR.FirDecim.create(h, R)
+    _, ys = stream(blk, jnp.asarray(x), 64)
+    full = np.convolve(x, h)[:1024][::R]
+    check_max_error(np.asarray(ys), full, 2e-3)
+
+
+def test_moving_average():
+    K = 8
+    blk = FR.MovingAverage(K=K)
+    x = rng.standard_normal(256).astype(np.float32)
+    _, y = blk.step(blk.init_for(jnp.asarray(x)), jnp.asarray(x))
+    expected = np.convolve(x, np.ones(K) / K)[:256]
+    check_max_error(np.asarray(y), expected, 1e-4)
+
+
+def test_exp_smoother():
+    g = 0.1
+    blk = FR.ExpSmoother.create(g)
+    x = rng.standard_normal(200).astype(np.float32)
+    _, y = blk.step(blk.init(), jnp.asarray(x))
+    expected = sps.lfilter([g], [1, -(1 - g)], x)
+    check_max_error(np.asarray(y), expected, 1e-4)
+
+
+def test_exp_smoother_streaming():
+    g = 0.03
+    blk = FR.ExpSmoother.create(g)
+    x = rng.standard_normal(512).astype(np.float32)
+    _, ys = stream(blk, jnp.asarray(x), 64)
+    expected = sps.lfilter([g], [1, -(1 - g)], x)
+    check_max_error(np.asarray(ys), expected, 1e-4)
+
+
+def test_dc_blocker():
+    blk = FR.DcBlocker.create(0.01)
+    n = 2048
+    x = (np.sin(2 * np.pi * 0.1 * np.arange(n)) + 3.0).astype(np.float32)
+    _, y = stream(blk, jnp.asarray(x), 256)
+    y = np.asarray(y)
+    # steady-state mean ~ 0, AC preserved
+    assert abs(y[1024:].mean()) < 0.05
+    assert abs(np.std(y[1024:]) - np.sqrt(0.5)) < 0.05
+
+
+def test_iir_matches_lfilter():
+    b, a = ID.design_biquad(ID.BiquadSpec("lp", 0.1, 0.9))
+    x = rng.standard_normal(300).astype(np.float32)
+    blk = FR.Iir.create(b, a)
+    _, y = blk.step(blk.init_for(jnp.asarray(x)), jnp.asarray(x))
+    expected = sps.lfilter(b, a, x)
+    check_max_error(np.asarray(y), expected, 1e-3)
+
+
+def test_iir_first_order_fast_path():
+    b, a = ID.design_lexp(0.03)
+    x = rng.standard_normal(512).astype(np.float32)
+    blk = FR.Iir.create(b, a)
+    _, y = blk.step(blk.init_for(jnp.asarray(x)), jnp.asarray(x))
+    expected = sps.lfilter(b, a, x)
+    check_max_error(np.asarray(y), expected, 1e-3)
+    # streaming
+    _, ys = stream(blk, jnp.asarray(x), 64)
+    check_max_error(np.asarray(ys), expected, 1e-3)
+
+
+def test_iir_streaming():
+    h = ID.design_iir(4, "lp", "butt", 0.1)
+    b, a = h.to_ba()
+    x = rng.standard_normal(1024).astype(np.float32)
+    blk = FR.Iir.create(b, a)
+    _, ys = stream(blk, jnp.asarray(x), 128)
+    expected = sps.lfilter(b, a, x)
+    check_max_error(np.asarray(ys), expected, 2e-3)
+
+
+def test_sos_matches_sosfilt():
+    h = ID.design_iir(6, "lp", "ellip", 0.15, rp=0.5, rs=50)
+    sos, k = ID.zpk_to_sos(h)
+    x = rng.standard_normal(500).astype(np.float32)
+    blk = FR.Sos.create(sos, k)
+    _, y = blk.step(blk.init_for(jnp.asarray(x)), jnp.asarray(x))
+    sos_s = sos.copy()
+    sos_s[0, :3] *= k
+    expected = sps.sosfilt(sos_s, x)
+    check_max_error(np.asarray(y), expected, 2e-3)
+
+
+def test_sos_streaming():
+    h = ID.design_iir(5, "hp", "butt", 0.05)
+    sos, k = ID.zpk_to_sos(h)
+    x = rng.standard_normal(1024).astype(np.float32)
+    blk = FR.Sos.create(sos, k)
+    _, ys = stream(blk, jnp.asarray(x), 128)
+    sos_s = sos.copy()
+    sos_s[0, :3] *= k
+    expected = sps.sosfilt(sos_s, x)
+    check_max_error(np.asarray(ys), expected, 2e-3)
+
+
+@pytest.mark.parametrize("M,n", [(31, 1000), (256, 4096)])
+def test_ola_fft_matches_direct(M, n):
+    h = rng.standard_normal(M)
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(FR.filter_signal(h, x, mode="fft"))
+    expected = np.convolve(x, h)[:n]
+    check_max_error(y, expected, 5e-3)
+
+
+def test_ola_fft_complex():
+    h = rng.standard_normal(64)
+    x = (rng.standard_normal(2048) + 1j * rng.standard_normal(2048)).astype(np.complex64)
+    y = np.asarray(FR.filter_signal(h, x, mode="fft"))
+    expected = np.convolve(x, h)[:2048]
+    check_max_error(y, expected, 5e-3)
+
+
+def test_ola_streaming_equals_oneshot():
+    h = rng.standard_normal(100)
+    blk = FR.OlaFft.create(h)
+    n = blk.Ne * 4
+    x = rng.standard_normal(n).astype(np.float32)
+    _, ys = stream(blk, jnp.asarray(x), blk.Ne)
+    expected = np.convolve(x, h)[:n]
+    check_max_error(np.asarray(ys), expected, 5e-3)
+
+
+def test_filtfilt_zero_phase():
+    h = FD.fir_lowpass(31, 0.1)
+    n = 512
+    t = np.arange(n)
+    x = np.sin(2 * np.pi * 0.02 * t).astype(np.float32)
+    y = np.asarray(FR.filtfilt(h, x))
+    # zero phase: peak positions preserved (compare interior)
+    xi, yi = x[100:400], y[100:400]
+    lag = np.argmax(np.correlate(yi, xi, "full")) - (len(xi) - 1)
+    assert lag == 0

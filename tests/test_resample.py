@@ -1,0 +1,208 @@
+"""Resampling tests: polyphase upsampler vs zero-stuff+filter, CIC vs its
+FIR equivalent, interpolators vs exact shifts, rational resampling round
+trips (mirrors core/tests/test-filtres.cc resampling checks, err < 1e-5
+scale — see BASELINE.md)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from libtsd_tpu.block import stream
+from libtsd_tpu.ops import resample as RS
+from libtsd_tpu.ops import filter_rt as FR
+from libtsd_tpu.ops import fir_design as FD
+from libtsd_tpu.utils.testing import check_max_error
+
+rng = np.random.default_rng(3)
+
+
+@pytest.mark.parametrize("R,K", [(2, 15), (4, 33), (8, 64)])
+def test_fir_ups_matches_zero_stuff(R, K):
+    h = FD.fir_lowpass(K, 0.4 / R)
+    x = rng.standard_normal(256).astype(np.float32)
+    blk = RS.FirUps.create(h, R)
+    _, y = blk.step(blk.init_for(jnp.asarray(x)), jnp.asarray(x))
+    # reference semantics: conv(upsample(x, R), h*R)
+    xu = np.zeros(256 * R); xu[::R] = x
+    hp = np.asarray(h, float) * R
+    if len(hp) % R:
+        hp = np.concatenate([hp, np.zeros(R - len(hp) % R)])
+    expected = np.convolve(xu, hp)[: 256 * R]
+    check_max_error(np.asarray(y), expected, 1e-3)
+
+
+def test_fir_ups_streaming():
+    h = FD.fir_lowpass(31, 0.2)
+    blk = RS.FirUps.create(h, 2)
+    x = rng.standard_normal(512).astype(np.float32)
+    _, ys = stream(blk, jnp.asarray(x), 64)
+    xu = np.zeros(1024); xu[::2] = x
+    hp = np.concatenate([np.asarray(h) * 2, np.zeros(1)])
+    expected = np.convolve(xu, hp)[:1024]
+    check_max_error(np.asarray(ys), expected, 1e-3)
+
+
+def test_halfband_decim():
+    blk = RS.HalfbandDecim.create(n=31)
+    f0 = 0.05
+    n = 1024
+    x = np.cos(2 * np.pi * f0 * np.arange(n)).astype(np.float32)
+    _, y = blk.step(blk.init_for(jnp.asarray(x)), jnp.asarray(x))
+    y = np.asarray(y)
+    # output is the tone at 2*f0, delayed by the filter group delay
+    d = blk.inner.delay
+    t = np.arange(len(y))
+    expected = np.cos(2 * np.pi * 2 * f0 * (t - d))
+    check_max_error(y[20:-20], expected[20:-20], 2e-2)
+
+
+@pytest.mark.parametrize("R,N", [(4, 1), (4, 3), (8, 2)])
+def test_cic_decim_matches_fir(R, N):
+    cfg = RS.CicConfig(R=R, N=N)
+    blk = RS.Cic(config=cfg, mode="d", scale=1024.0)
+    n = 512
+    x = rng.standard_normal(n).astype(np.float32)
+    _, y = blk.step(blk.init_for(jnp.asarray(x)), jnp.asarray(x))
+    # equivalent FIR: ((1/RM) sum z^-i)^N then decimate
+    b, _ = RS.cic_design_ba(cfg)
+    full = np.convolve(x, b)[:n]
+    expected = full[::R]
+    # quantization to 1/1024 limits accuracy
+    check_max_error(np.asarray(y), expected, 0.02)
+
+
+def test_cic_decim_streaming():
+    cfg = RS.CicConfig(R=4, N=3)
+    blk = RS.Cic(config=cfg, mode="d", scale=4096.0)
+    x = rng.standard_normal(1024).astype(np.float32)
+    _, ys = stream(blk, jnp.asarray(x), 128)
+    b, _ = RS.cic_design_ba(cfg)
+    expected = np.convolve(x, b)[:1024][::4]
+    check_max_error(np.asarray(ys), expected, 0.02)
+
+
+def test_cic_interp():
+    cfg = RS.CicConfig(R=4, N=2)
+    blk = RS.Cic(config=cfg, mode="i", scale=1024.0)
+    x = rng.standard_normal(128).astype(np.float32)
+    _, y = blk.step(blk.init_for(jnp.asarray(x)), jnp.asarray(x))
+    # equivalent: zero-stuff then FIR, times R (gain compensation)
+    b, _ = RS.cic_design_ba(cfg)
+    xu = np.zeros(128 * 4); xu[::4] = x
+    expected = np.convolve(xu, b)[: 128 * 4] * 4
+    check_max_error(np.asarray(y), expected, 0.02)
+
+
+def test_cic_freq_formula():
+    cfg = RS.CicConfig(R=8, N=3)
+    b, _ = RS.cic_design_ba(cfg)
+    f = np.linspace(0.001, 0.49, 100)
+    H = np.abs([np.sum(b * np.exp(-2j * np.pi * fi * np.arange(len(b))))
+                for fi in f])
+    check_max_error(RS.cic_freq(cfg, f), H, 1e-6)
+
+
+def test_cic_comp_flattens_droop():
+    cfg = RS.CicConfig(R=8, N=4)
+    fe = 1.0
+    fc = 0.04  # passband at the decimated rate: fc/fe_out = 0.32
+    hc = RS.cic_comp_design(cfg, fe, 1, fc, 61)
+    # combined response must be flatter than CIC alone over the passband
+    # interior (the design rolls off starting just below fc, as the
+    # reference does — cic.cc:262-268)
+    f = np.linspace(1e-4, 0.8 * fc, 50)
+    cicm = RS.cic_freq(cfg, f)
+    comp = np.abs([np.sum(hc * np.exp(-2j * np.pi * (fi * cfg.R) * np.arange(len(hc))))
+                   for fi in f])
+    combined = cicm * comp
+    ripple_cic = cicm.max() / cicm.min()
+    ripple_comb = combined.max() / combined.min()
+    assert ripple_comb < ripple_cic
+
+
+@pytest.mark.parametrize("kind,K", [("linear", 2), ("cspline", 4),
+                                    ("lagrange", 4), ("sinc", 15)])
+def test_interpolator_delays_tone(kind, K):
+    itrp = RS.make_interpolator(kind) if kind != "lagrange" else \
+        RS.make_interpolator(kind, degree=3)
+    # interpolate a slow tone at tau=0.5 and check the value
+    n = 64
+    f0 = 0.02
+    x = np.cos(2 * np.pi * f0 * np.arange(n))
+    taus = np.array([0.0, 0.25, 0.5, 0.75])
+    T = np.asarray(itrp.taps(jnp.asarray(taus, jnp.float32)))
+    K = itrp.K
+    base = 30
+    for tau, taps in zip(taus, T):
+        # window covering x[base .. base+K-1]; interpolation lands at
+        # base + center + tau where center depends on the kernel
+        val = np.dot(taps, x[base: base + K])
+        # find effective center by scanning candidates
+        t_eval = np.arange(base, base + K, 0.01)
+        ref = np.cos(2 * np.pi * f0 * t_eval)
+        err = np.abs(ref - val)
+        t_best = t_eval[np.argmin(err)]
+        # the effective interpolation point must shift by tau
+        if tau == 0.0:
+            t0 = t_best
+        else:
+            assert abs((t_best - t0) - tau) < 0.05, (kind, tau, t_best, t0)
+
+
+def test_rational_resampler_tone():
+    # 3/2 resampling of a tone
+    r = RS.RationalResampler.create(1.5)
+    n = 512
+    f0 = 0.03
+    x = np.cos(2 * np.pi * f0 * np.arange(n)).astype(np.float32)
+    _, y = r.step(r.init_for(jnp.asarray(x)), jnp.asarray(x))
+    y = np.asarray(y)
+    assert len(y) == 768
+    # output tone frequency = f0 / ratio... in output samples: f0*q/p
+    t = np.arange(len(y)) * (2.0 / 3.0)
+    # find constant delay by correlation on interior
+    best = None
+    for d in np.arange(0, 15, 0.05):
+        ref = np.cos(2 * np.pi * f0 * (t - d))
+        e = np.max(np.abs(y[64:-64] - ref[64:-64]))
+        if best is None or e < best[1]:
+            best = (d, e)
+    assert best[1] < 0.01, best
+
+
+def test_resampler_48_to_441():
+    # 48k -> 44.1k (ratio 147/160)
+    ratio = 44100 / 48000
+    blk = RS.Resampler.create(ratio)
+    n = 1600
+    f0 = 0.01
+    x = np.cos(2 * np.pi * f0 * np.arange(n)).astype(np.float32)
+    y = np.asarray(RS.resample(jnp.asarray(x), ratio))
+    assert abs(len(y) - n * ratio) <= 2
+    # tone preserved at scaled frequency
+    t = np.arange(len(y)) / ratio
+    best = None
+    for d in np.arange(0, 30, 0.1):
+        ref = np.cos(2 * np.pi * f0 * (t - d))
+        e = np.max(np.abs(y[100:-100] - ref[100:-100]))
+        if best is None or e < best[1]:
+            best = (d, e)
+    assert best[1] < 0.02, best
+
+
+def test_resampler_factor2_roundtrip():
+    # factor 2 up then 2 down ~ identity (BASELINE: err < 1e-5 scale; allow
+    # interpolation error margin here)
+    n = 1024
+    x = np.cos(2 * np.pi * 0.02 * np.arange(n)).astype(np.float32)
+    up = np.asarray(RS.resample(jnp.asarray(x), 2.0))
+    down = np.asarray(RS.resample(jnp.asarray(up), 0.5))
+    # align (total delay of both stages) and compare interior
+    from libtsd_tpu.ops.corr import estimate_delay
+    from libtsd_tpu.ops.fft import delay_signal
+    d, score = estimate_delay(jnp.asarray(x), jnp.asarray(down[:n]))
+    assert float(score) > 0.95
+    # total chain delay is fractional — compensate exactly before comparing
+    x_shift = np.asarray(delay_signal(jnp.asarray(x), float(d)))
+    a = x_shift[100: n - 100]
+    b = down[100: n - 100]
+    check_max_error(b, a, 0.03)
