@@ -1,0 +1,76 @@
+"""BER measurement tooling: bit alignment by correlation, error counting,
+M-PSK phase-ambiguity resolution.
+
+Parity: cmp_bits / cmp_bits_psk (core/include/tsd/telecom.hpp:1745-1792,
+impl in telecom.cc / tests).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["cmp_bits", "cmp_bits_psk", "ber_count"]
+
+
+def _align_bits(a: np.ndarray, b: np.ndarray, max_lag: int = 256):
+    """Best integer lag of b relative to a via +-1 correlation."""
+    aa = 2.0 * a - 1
+    bb = 2.0 * b - 1
+    nmax = min(len(aa), len(bb))
+    best = (0, -1e30)
+    for lag in range(-max_lag, max_lag + 1):
+        if lag >= 0:
+            x, y = aa[lag:nmax], bb[: nmax - lag]
+        else:
+            x, y = aa[: nmax + lag], bb[-lag:nmax]
+        if len(x) < 8:
+            continue
+        c = float(np.dot(x, y)) / len(x)
+        if c > best[1]:
+            best = (lag, c)
+    return best[0]
+
+
+def ber_count(a: jax.Array, b: jax.Array) -> Tuple[float, int]:
+    """Error rate + count over the common length (no alignment)."""
+    n = min(a.shape[0], b.shape[0])
+    errs = int(jnp.sum(a[:n].astype(jnp.int32) ^ b[:n].astype(jnp.int32)))
+    return errs / max(n, 1), errs
+
+
+def cmp_bits(tx: jax.Array, rx: jax.Array,
+             max_lag: int = 256) -> Tuple[float, int, int]:
+    """Align rx to tx by correlation, count bit errors.
+    Returns (ber, nerrs, lag).  Parity: cmp_bits, telecom.hpp:1745."""
+    a = np.asarray(tx, np.int8)
+    b = np.asarray(rx, np.int8)
+    lag = _align_bits(a, b, max_lag)
+    if lag >= 0:
+        x, y = a[lag:], b[: len(a) - lag]
+    else:
+        x, y = a[: len(a) + lag], b[-lag:]
+    n = min(len(x), len(y))
+    errs = int(np.sum(x[:n] != y[:n]))
+    return errs / max(n, 1), errs, lag
+
+
+def cmp_bits_psk(tx: jax.Array, rx: jax.Array, k: int,
+                 max_lag: int = 256) -> Tuple[float, int, int]:
+    """Like cmp_bits but resolves the M-PSK phase ambiguity: tries all M
+    constellation rotations of the received symbol indices and keeps the
+    best (parity: cmp_bits_psk, telecom.hpp:1760-1792)."""
+    from .waveform import bits_to_symbol_indices, symbol_indices_to_bits
+    M = 1 << k
+    a = np.asarray(tx, np.int8)
+    best = (1.0, 1 << 30, 0)
+    rxi = np.asarray(bits_to_symbol_indices(jnp.asarray(rx), k))
+    for rot in range(M):
+        ri = (rxi + rot) % M
+        rb = np.asarray(symbol_indices_to_bits(jnp.asarray(ri), k), np.int8)
+        ber, errs, lag = cmp_bits(a, jnp.asarray(rb), max_lag)
+        if ber < best[0]:
+            best = (ber, errs, lag)
+    return best

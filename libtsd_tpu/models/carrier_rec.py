@@ -1,0 +1,230 @@
+"""Carrier (phase/frequency) recovery: loop filters, phase-error detectors,
+PLLs, FFT-based coarse frequency estimation.
+
+Parity: core/src/telecom/carrier-rec.cc and
+core/include/tsd/telecom.hpp:774-792.
+
+The per-sample PLL is a `lax.scan` (irreducible feedback, SURVEY
+hard-part #1); PEDs are pure functions usable inside any scan.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..block import Block
+from ..config import complex_dtype, real_dtype
+
+__all__ = [
+    "LoopFilter1", "LoopFilter2", "ped_costas", "ped_ploop", "ped_tloop",
+    "ped_decision", "make_ped", "Cpll", "CpllConfig", "peak_frequency",
+]
+
+
+# ------------------------------------------------------------ loop filters
+
+@dataclasses.dataclass(frozen=True)
+class LoopFilter1:
+    """First-order loop: theta += alpha * e (parity: LF1,
+    carrier-rec.cc:38-56; alpha from time constant)."""
+    tau: float = 10.0
+
+    @property
+    def alpha(self) -> float:
+        from ..ops.iir_design import lexp_tc_to_coef
+        return lexp_tc_to_coef(self.tau)
+
+    def init(self):
+        return jnp.zeros((), real_dtype)  # theta
+
+    def step(self, st, e):
+        theta = st + self.alpha * e
+        return theta, theta
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopFilter2:
+    """Second-order loop (parity: LF2, carrier-rec.cc:13-36):
+    gamma = 16 eta^2 BL / (1+4 eta^2); rho = 4 BL / (1+4 eta^2);
+    theta += mu; mu += gamma ((1+rho) e - e_prev)."""
+    BL: float = 0.01
+    eta: float = 1.0
+
+    @property
+    def gamma(self) -> float:
+        return (16 * self.eta ** 2 * self.BL) / (1 + 4 * self.eta ** 2)
+
+    @property
+    def rho(self) -> float:
+        return (4 * self.BL) / (1 + 4 * self.eta ** 2)
+
+    def init(self):
+        return (jnp.zeros((), real_dtype),  # theta
+                jnp.zeros((), real_dtype),  # mu
+                jnp.zeros((), real_dtype))  # last ped
+
+    def step(self, st, e):
+        theta, mu, last = st
+        theta = theta + mu
+        mu = mu + self.gamma * ((1 + self.rho) * e - last)
+        return (theta, mu, e), theta
+
+
+# --------------------------------------------------------------- PEDs
+
+def ped_costas(M: int) -> Callable:
+    """Costas loop PED for BPSK/QPSK (parity: ped_costa,
+    carrier-rec.cc:70-97)."""
+    if M == 2:
+        return lambda x: jnp.real(x) * jnp.imag(x)
+    assert M == 4
+
+    def f(x):
+        z = x * jnp.exp(1j * jnp.pi / 4).astype(complex_dtype)
+        return (jnp.imag(z) * jnp.sign(jnp.real(z))
+                - jnp.real(z) * jnp.sign(jnp.imag(z)))
+    return f
+
+
+def ped_ploop(M: int, ref: complex = 1.0 + 0j) -> Callable:
+    """Power loop: Im(x^M * conj(ref^M))/M (parity: ped_ploop,
+    carrier-rec.cc:98-105; needs an AGC upstream).
+
+    ``ref`` is an ideal constellation point — x^M must be derotated by the
+    constellation's M-th-power phase (e.g. QPSK at pi/4 offsets has
+    ref^4 = -1), otherwise the loop locks 45 degrees off.
+    """
+    rot = np.conj(complex(ref) ** M)
+    rot /= abs(rot) if abs(rot) > 0 else 1.0
+
+    def f(x):
+        return jnp.imag(x ** M * rot) / M
+    return f
+
+
+def ped_tloop(M: int, ref: complex = 1.0 + 0j) -> Callable:
+    """Tan loop: arg(x^M * conj(ref^M))/M (parity: ped_tloop,
+    carrier-rec.cc:106-113)."""
+    rot = np.conj(complex(ref) ** M)
+    rot /= abs(rot) if abs(rot) > 0 else 1.0
+
+    def f(x):
+        xm = x ** M * rot
+        return jnp.where(jnp.abs(x) > 0,
+                         jnp.angle(xm) / M, 0.0).astype(real_dtype)
+    return f
+
+
+def ped_decision(wf) -> Callable:
+    """Decision-directed PED: arg(x * conj(nearest symbol)) (parity:
+    ped_decision, carrier-rec.cc:114-123)."""
+    symbols = wf.symbols
+
+    def f(x):
+        d = jnp.abs(x - symbols) ** 2
+        s = symbols[jnp.argmin(d)]
+        c = x * jnp.conj(s)
+        return jnp.where(jnp.abs(c) > 0, jnp.angle(c), 0.0).astype(real_dtype)
+    return f
+
+
+def make_ped(kind: str, wf=None, M: Optional[int] = None) -> Callable:
+    """Parity: ped_init, carrier-rec.cc:126-154 (incl. AUTO selection)."""
+    if M is None and wf is not None:
+        M = wf.info.M
+        if wf.info.is_ask:
+            M = 2
+    if kind == "auto":
+        if wf is not None and wf.info.is_psk:
+            kind = "ploop"
+        elif wf is not None and wf.info.is_ask:
+            kind = "tloop"
+        else:
+            kind = "dec"
+    ref = 1.0 + 0j
+    if wf is not None:
+        ref = complex(np.asarray(wf.symbols)[wf.info.M - 1 if wf.info.is_ask
+                                             else 0])
+        if abs(ref) < 1e-9:
+            ref = 1.0 + 0j
+    if kind in ("costa", "costas"):
+        return ped_costas(M)
+    if kind == "ploop":
+        return ped_ploop(M, ref)
+    if kind == "tloop":
+        return ped_tloop(M, ref)
+    if kind in ("dec", "decision"):
+        return ped_decision(wf)
+    raise ValueError(f"unknown PED {kind!r}")
+
+
+# ---------------------------------------------------------------- PLLs
+
+@dataclasses.dataclass(frozen=True)
+class CpllConfig:
+    """Complex PLL config (parity: PLLConfig, telecom.hpp)."""
+    ped: str = "costas"
+    M: int = 2
+    order: int = 2
+    BL: float = 0.01      # normalized loop bandwidth (order 2)
+    eta: float = 1.0
+    tau: float = 10.0     # time constant (order 1)
+
+
+class Cpll(Block):
+    """Complex PLL: y[n] = x[n] * exp(-i theta[n]); theta from PED + loop
+    filter (parity: CPLL, carrier-rec.cc:295-384)."""
+
+    cfg: CpllConfig = struct.field(pytree_node=False)
+    wf: Optional[object] = None
+
+    @property
+    def _lf(self):
+        return (LoopFilter2(self.cfg.BL, self.cfg.eta)
+                if self.cfg.order == 2 else LoopFilter1(self.cfg.tau))
+
+    @property
+    def _ped(self):
+        return make_ped(self.cfg.ped, wf=self.wf, M=self.cfg.M)
+
+    def init(self):
+        return self._lf.init()
+
+    def step(self, state, x: jax.Array):
+        lf = self._lf
+        ped = self._ped
+
+        def body(st, xi):
+            # apply current phase estimate, then update
+            theta = st[0] if isinstance(st, tuple) else st
+            y = xi * jnp.exp(-1j * theta).astype(complex_dtype)
+            e = ped(y)
+            st, _ = lf.step(st, e)
+            return st, y
+
+        state, y = jax.lax.scan(body, state, x)
+        return state, y
+
+
+# ----------------------------------------------- coarse frequency tracking
+
+def peak_frequency(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Estimate dominant frequency by FFT peak with barycentric refinement;
+    returns (freq, snr) (parity: localise_pic_frequence / SuiviPicFrequence,
+    carrier-rec.cc:155-199)."""
+    n = x.shape[-1]
+    X = jnp.fft.fft(x.astype(complex_dtype))
+    a2 = jnp.abs(X) ** 2
+    i2 = jnp.argmax(a2)
+    snr = a2[i2] / jnp.mean(a2)
+    y1 = a2[(i2 - 1) % n]
+    y2 = a2[i2]
+    y3 = a2[(i2 + 1) % n]
+    i2s = jnp.where(i2 >= n // 2, i2 - n, i2).astype(real_dtype)
+    d = (y3 - y1) / (y1 + y2 + y3 + 1e-30)
+    return (i2s + d) / n, snr

@@ -1,0 +1,145 @@
+"""Clock (symbol timing) recovery.
+
+Parity: core/src/telecom/clock-rec.cc (TEDs :11-95, ClockRec :97-392) and
+core/include/tsd/telecom.hpp:703-745 (ClockRecConfig).
+
+TPU design: the per-sample feedback loop is irreducibly sequential
+(SURVEY hard-part #1), so it runs as a `lax.scan` over input samples at the
+*input* rate, kept cheap (a LUT gather + dot per step) and batched across
+channels via `vmap`.  Output symbols are emitted with a validity mask and
+compacted by scatter — static shapes throughout.
+
+Loop structure per input sample (parity: ClockRec::step,
+clock-rec.cc:186-310):
+  phase -= 1; push sample into interpolator window
+  if phase < 1:
+      y = interp(window, frac(phase));  phase += K1/K2
+      every K2-th interpolation -> output symbol;
+      TED e = Re((x2-x0)*conj(x1));  phase -= clamp(gain*e, +-K1/4)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..block import Block
+from ..config import complex_dtype, real_dtype
+from ..ops.resample import Interpolator, make_interpolator
+
+__all__ = ["ted_gardner", "ClockRecConfig", "ClockRec", "clock_rec"]
+
+
+def ted_gardner(x0, x1, x2):
+    """Gardner timing error detector (parity: TedGardner,
+    clock-rec.cc:61-77): e = Re((x2 - x0) * conj(x1))."""
+    return jnp.real((x2 - x0) * jnp.conj(x1))
+
+
+@dataclasses.dataclass(frozen=True)
+class ClockRecConfig:
+    """Parity: ClockRecConfig, telecom.hpp:703-745."""
+    osf: int = 4          # input oversampling factor (K1)
+    tc: float = 5.0       # loop time constant, in symbols
+    ted_osf: int = 2      # TED working rate (K2), Gardner = 2
+    itrp: str = "cspline"  # interpolator kind
+
+
+class ClockRec(Block):
+    """Streaming Gardner clock recovery.
+
+    ``step(state, x)`` returns ``(state, (symbols, valid))`` where symbols
+    has static length ``len(x)//osf + 2`` and ``valid`` marks real outputs
+    (the instantaneous symbol rate wanders around fe/osf while the loop
+    pulls in).
+    """
+
+    itrp: Interpolator
+    cfg: ClockRecConfig = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, cfg: ClockRecConfig) -> "ClockRec":
+        itrp = make_interpolator(cfg.itrp)
+        return cls(itrp=itrp, cfg=cfg)
+
+    @property
+    def gain(self) -> float:
+        K1 = self.cfg.osf
+        return K1 * (1 - np.exp(-1.0 / (self.cfg.tc * K1)))
+
+    def init(self):
+        K = self.itrp.K
+        return dict(
+            phase=jnp.asarray(self.cfg.osf / 2.0, real_dtype),
+            window=jnp.zeros((K,), complex_dtype),
+            x0=jnp.zeros((), complex_dtype),
+            x1=jnp.zeros((), complex_dtype),
+            x2=jnp.zeros((), complex_dtype),
+            cnt=jnp.zeros((), jnp.int32),
+        )
+
+    @property
+    def ratio(self) -> float:
+        return 1.0 / self.cfg.osf
+
+    def step(self, state, x: jax.Array):
+        K1 = self.cfg.osf
+        K2 = self.cfg.ted_osf
+        gain = self.gain
+        K = self.itrp.K
+        lut = self.itrp.lut
+        nph = self.itrp.nphases
+        max_interp = 2 if K1 <= K2 else 1  # interps per input sample
+
+        def interp_once(carry):
+            ph, win, x0, x1, x2, cnt = carry
+            frac = jnp.clip(ph, 0.0, 1.0)
+            taps = lut[jnp.clip(jnp.round(frac * nph).astype(jnp.int32),
+                                0, nph)]
+            y = jnp.sum(win * taps.astype(complex_dtype))
+            ph = ph + K1 / K2
+            x0, x1, x2 = x1, x2, y
+            emit = cnt == (K2 - 1)
+            e = ted_gardner(x0, x1, x2)
+            dec = jnp.clip(gain * e, -K1 / 4.0, K1 / 4.0)
+            ph = jnp.where(emit, ph - dec, ph)
+            cnt = jnp.where(emit, 0, cnt + 1)
+            return (ph, win, x0, x1, x2, cnt), y, emit
+
+        def body(st, xi):
+            ph = st["phase"] - 1.0
+            win = jnp.roll(st["window"], -1).at[-1].set(xi)
+            carry = (ph, win, st["x0"], st["x1"], st["x2"], st["cnt"])
+            sym = jnp.zeros((), complex_dtype)
+            valid = jnp.zeros((), jnp.bool_)
+            for _ in range(max_interp):
+                do = carry[0] < 1.0
+                new_carry, y, emit = interp_once(carry)
+                carry = jax.tree.map(
+                    lambda a, b: jnp.where(do, b, a), carry, new_carry)
+                sym = jnp.where(do & emit, y, sym)
+                valid = valid | (do & emit)
+            ph, win, x0, x1, x2, cnt = carry
+            new_st = dict(phase=ph, window=win, x0=x0, x1=x1, x2=x2, cnt=cnt)
+            return new_st, (sym, valid)
+
+        state, (syms, valids) = jax.lax.scan(body, state, x)
+        # compact into a static-length buffer
+        nmax = x.shape[-1] // K1 + 2
+        pos = jnp.cumsum(valids.astype(jnp.int32)) - 1
+        pos = jnp.where(valids, pos, nmax)  # invalid -> dumped past the end
+        out = jnp.zeros((nmax + 1,), complex_dtype).at[pos].set(syms)
+        count = jnp.sum(valids.astype(jnp.int32))
+        mask = jnp.arange(nmax) < count
+        return state, (out[:nmax], mask)
+
+
+def clock_rec(x: jax.Array, cfg: ClockRecConfig) -> Tuple[jax.Array, jax.Array]:
+    """One-shot clock recovery; returns (symbols, valid_mask)."""
+    blk = ClockRec.create(cfg)
+    _, (syms, mask) = blk.step(blk.init(), x)
+    return syms, mask

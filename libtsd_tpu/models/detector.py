@@ -1,0 +1,175 @@
+"""Pattern detector: streaming normalized cross-correlator with peak
+extraction -> Detection records.  Core of frame synchronization.
+
+Parity: Detecteur / DetecteurImpl, core/src/fourier/detection.cc:26-517,
+core/include/tsd/fourier.hpp:546-683.
+
+TPU design (SURVEY hard-part #3): the correlation is computed densely via
+the OLA-FFT engine; peak extraction uses per-M-segment max + neighborhood
+suppression and emits a FIXED number of candidate peaks per block with a
+validity mask — no data-dependent shapes, the host stays out of the loop.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..block import Block
+from ..config import complex_dtype, real_dtype
+from ..ops.filter_rt import MovingAverage, OlaFft
+
+__all__ = ["DetectorConfig", "Detection", "Detector", "detect_pattern"]
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """Parity: DetecteurConfig, fourier.hpp:576-640."""
+    threshold: float = 0.7       # seuil, in [0, 1]
+    max_peaks: int = 4           # per block (static)
+    Ne: int = 0                  # OLA input block (0 = auto)
+
+
+class Detection(struct.PyTreeNode):
+    """Parity: Detection, fourier.hpp:546-574.  Arrays of shape
+    (max_peaks,) with ``valid`` mask."""
+    position: jax.Array        # start of pattern in the block (int)
+    position_frac: jax.Array   # sub-sample refinement (float, add to pos)
+    score: jax.Array           # normalized correlation in [0,1]
+    gain: jax.Array            # estimated channel amplitude
+    theta: jax.Array           # estimated carrier phase (rad)
+    snr_db: jax.Array          # SNR estimate from the score
+    valid: jax.Array           # bool mask
+
+
+class Detector(Block):
+    """step(state, x) -> (state, (Detection, corr_score_track)).
+
+    Positions are relative to the current input block x (may be negative:
+    peak started in the carried tail of the previous block).
+    """
+
+    corr: OlaFft
+    energy: MovingAverage
+    pattern_norm: float = struct.field(pytree_node=False)
+    M: int = struct.field(pytree_node=False)
+    cfg: DetectorConfig = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, pattern, cfg: DetectorConfig = DetectorConfig()) -> "Detector":
+        p = np.asarray(pattern, np.complex128)
+        M = len(p)
+        norm = float(np.linalg.norm(p))
+        pn = p / norm
+        # correlation as FIR with taps conj(reversed normalized pattern)
+        # (parity: detection.cc:178-188); run through the OLA engine
+        taps = np.conj(pn[::-1])
+        corr = OlaFft.create(taps, Ne=cfg.Ne if cfg.Ne else None)
+        return cls(corr=corr, energy=MovingAverage(K=M),
+                   pattern_norm=norm, M=M, cfg=cfg)
+
+    def init(self):
+        return dict(
+            corr=self.corr.init(),
+            en=jnp.zeros((self.M - 1,), real_dtype),
+            # carried tail of correlation/energy for boundary peaks
+            tail_c=jnp.zeros((self.M,), complex_dtype),
+            tail_e=jnp.zeros((self.M,), real_dtype),
+        )
+
+    def step(self, state, x: jax.Array):
+        M = self.M
+        n = x.shape[-1]
+        cstate, c = self.corr.step(state["corr"], x.astype(complex_dtype))
+        estate, en = self.energy.step(state["en"], jnp.abs(x) ** 2)
+        en = en * M  # MovingAverage divides by K; we need the sum
+
+        # extended buffers: [prev tail | this block]
+        cx = jnp.concatenate([state["tail_c"], c])
+        ex = jnp.concatenate([state["tail_e"], en])
+        score = jnp.abs(cx) / jnp.sqrt(ex * 1.0 + 1e-20)
+        # guard against near-zero-energy regions (e.g. zero padding), where
+        # FFT roundoff residue in corr would otherwise explode the
+        # normalized score; a true detection needs real window energy
+        en_floor = 1e-6 * jnp.mean(ex)
+        score = jnp.where((jnp.abs(cx) < 1e-6) | (ex < en_floor), 0.0, score)
+        score = jnp.minimum(score, 1.0)
+
+        # consider peaks with extended index in [M/2, M/2 + n)
+        lo = M // 2
+        nseg = (n + M - 1) // M
+        det = self._extract_peaks(cx, score, lo, n, nseg)
+
+        new_state = dict(corr=cstate, en=estate,
+                         tail_c=cx[-M:], tail_e=ex[-M:])
+        return new_state, (det, score[lo:lo + n])
+
+    def _extract_peaks(self, cx, score, lo, n, nseg):
+        M = self.M
+        P = self.cfg.max_peaks
+        region = jax.lax.dynamic_slice_in_dim(score, lo, n)
+        # segment-wise max (erosion, parity: detection.cc:264-270)
+        pad = nseg * M - n
+        seg = jnp.pad(region, (0, pad)).reshape(nseg, M)
+        seg_max = jnp.max(seg, axis=1)
+        seg_arg = jnp.argmax(seg, axis=1) + jnp.arange(nseg) * M
+        # neighborhood suppression: a segment max survives if it beats the
+        # adjacent segment maxima within distance M
+        left = jnp.concatenate([jnp.zeros(1), seg_max[:-1]])
+        right = jnp.concatenate([seg_max[1:], jnp.zeros(1)])
+        dist_l = seg_arg - jnp.concatenate([jnp.zeros(1, jnp.int32) - M,
+                                            seg_arg[:-1].astype(jnp.int32)])
+        dist_r = jnp.concatenate([seg_arg[1:].astype(jnp.int32),
+                                  jnp.zeros(1, jnp.int32) + 10 ** 9]) - seg_arg
+        ok = (seg_max > self.cfg.threshold)
+        ok &= ~((left > seg_max) & (dist_l < M))
+        ok &= ~((right >= seg_max) & (dist_r < M))
+        # top-P by score among survivors
+        masked = jnp.where(ok, seg_max, -1.0)
+        order = jnp.argsort(-masked)[:P]
+        val = masked[order] > 0
+        idx = seg_arg[order]  # position within region
+
+        # sub-sample refinement + gain/theta from the complex correlation
+        exi = idx + lo
+        c1 = cx[exi]
+        s0 = score[jnp.maximum(exi - 1, 0)]
+        s1 = score[exi]
+        s2 = score[jnp.minimum(exi + 1, cx.shape[0] - 1)]
+        denom = s0 - 2 * s1 + s2
+        frac = jnp.where(jnp.abs(denom) > 1e-12,
+                         0.5 * (s0 - s2) / denom, 0.0)
+        frac = jnp.clip(frac, -0.5, 0.5)
+        # if window = g*e^{i theta}*pattern: corr = g*e^{i theta}*||pattern||
+        gain = jnp.abs(c1) / self.pattern_norm
+        theta = jnp.angle(c1)
+        s1c = jnp.clip(s1, 0.0, 0.999999)
+        snr = s1c ** 2 / (1 - s1c ** 2)
+        snr_db = 10.0 * jnp.log10(snr + 1e-12)
+        # extended index e maps to block position e - M (tail holds the
+        # previous M positions); the peak marks the window END; the pattern
+        # START is end - (M-1)
+        pos_end = idx.astype(jnp.int32) + lo - M
+        pos = pos_end - (M - 1)
+        return Detection(position=pos,
+                         position_frac=frac.astype(real_dtype),
+                         score=s1.astype(real_dtype),
+                         gain=gain.astype(real_dtype),
+                         theta=theta.astype(real_dtype),
+                         snr_db=snr_db.astype(real_dtype),
+                         valid=val)
+
+
+def detect_pattern(x: jax.Array, pattern,
+                   cfg: DetectorConfig = DetectorConfig()):
+    """One-shot detection over a whole buffer; returns (Detection, score)."""
+    det = Detector.create(pattern, cfg)
+    from ..block import pad_to_multiple
+    n = x.shape[-1]
+    xp = pad_to_multiple(x, det.corr.Ne, axis=x.ndim - 1)
+    _, (d, score) = det.step(det.init(), xp)
+    return d, score[:n]

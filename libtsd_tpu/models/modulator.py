@@ -1,0 +1,118 @@
+"""Modulator: bits -> shaped I/Q (or real IF) samples, streaming.
+
+Parity: Modulateur / ModConfig, core/src/telecom/modulateur.cc:19-250,
+core/include/tsd/telecom.hpp:852-875.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..block import Block
+from ..config import complex_dtype, real_dtype
+from ..ops.resample import fir_ups_delay
+from .waveform import PulseShape, Waveform
+
+__all__ = ["ModConfig", "Modulator"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ModConfig:
+    """Parity: ModConfig, telecom.hpp:852-875."""
+    wf: Waveform = None
+    fe: float = 1.0        # sample rate
+    fi: float = 0.0        # intermediate (carrier) frequency
+    fsymb: float = 0.25    # symbol rate
+    real_output: bool = False  # sortie_réelle
+    ncoefs: int = 0
+
+    @property
+    def osf(self) -> int:
+        osf = self.fe / self.fsymb
+        assert abs(osf - round(osf)) < 1e-6, "fe/fsymb must be an integer"
+        return int(round(osf))
+
+
+class Modulator(Block):
+    """bits -> symbols -> pulse shaping (polyphase x OSF) -> optional IF
+    upconversion (NCO mix) (parity: Modulateur::step,
+    modulateur.cc:~130-237).
+
+    State: (shaping filter state, NCO phase, symbol parity counter).
+    ``delay`` is in output samples to the center of the first symbol
+    (parity: latency accounting via filtre_rif_ups_délais).
+    """
+
+    shaper: Block
+    wf: Waveform                        # pytree: constellation arrays are
+    config: ModConfig = struct.field(pytree_node=False)  # leaves, jit-safe
+    nc: int = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, config: ModConfig) -> "Modulator":
+        wf = config.wf
+        osf = config.osf
+        shaper = wf.shaping.shaping_filter(config.ncoefs, osf)
+        nc = len(wf.shaping.get_coefs(config.ncoefs, osf))
+        # static metadata must not hold arrays: keep the waveform only as a
+        # pytree field, store the config with wf stripped
+        cfg_static = dataclasses.replace(config, wf=None)
+        return cls(shaper=shaper, wf=wf, config=cfg_static, nc=nc)
+
+    @property
+    def delay(self) -> float:
+        # our FirUps convention: end-padded taps, delay = (nc-1)/2 output
+        # samples (see FirUps.delay)
+        return (self.nc - 1) / 2.0
+
+    @property
+    def ratio(self) -> float:
+        return self.config.osf / self.wf.info.k
+
+    def init(self):
+        return (self.shaper.init_for(jnp.zeros((0,), complex_dtype)),
+                jnp.zeros((), real_dtype),   # NCO phase
+                jnp.zeros((), real_dtype))   # FSK integrated phase
+
+    def step(self, state, bits: jax.Array):
+        sh_state, ph, fsk_ph = state
+        cfg = self.config
+        osf = cfg.osf
+        symbs = self.wf.make_symbols(bits)
+        sh_state, y = self.shaper.step(sh_state, symbs)
+        if self.wf.info.is_fsk:
+            om_max = jnp.pi * self.wf.info.index / osf
+            vr = jnp.real(y)
+            vf = vr * (om_max / (jnp.max(jnp.abs(vr)) + 1e-30))
+            phases = fsk_ph + jnp.cumsum(vf)
+            y = jnp.exp(1j * phases).astype(complex_dtype)
+            fsk_ph = jnp.mod(phases[-1], 2 * jnp.pi)
+        if cfg.fi != 0.0:
+            n = y.shape[-1]
+            f = cfg.fi / cfg.fe
+            k = jnp.arange(n, dtype=real_dtype)
+            lo = jnp.exp(1j * (ph + 2 * jnp.pi * f * k)).astype(complex_dtype)
+            y = y * lo
+            ph = jnp.mod(ph + 2 * jnp.pi * f * n, 2 * jnp.pi)
+        if cfg.real_output:
+            y = jnp.sqrt(2.0) * jnp.real(y)
+        return (sh_state, ph, fsk_ph), y
+
+    def flush(self, state) -> Tuple[tuple, jax.Array]:
+        """Push zero symbols through to drain the filter delay (parity:
+        Modulateur flush, modulateur.cc / emetteur.cc:108)."""
+        nflush = (self.nc + self.config.osf - 1) // self.config.osf
+        zeros_bits = jnp.zeros(nflush * self.wf.info.k, jnp.int8)
+        return self.step(state, zeros_bits)
+
+    def modulate(self, bits: jax.Array) -> Tuple[jax.Array, float]:
+        """One-shot: modulate + flush; returns (samples, delay)."""
+        st = self.init()
+        st, y1 = self.step(st, bits)
+        _, y2 = self.flush(st)
+        return jnp.concatenate([y1, y2]), float(self.delay)

@@ -50,19 +50,21 @@ class FirUps(Block):
     """
 
     Hm: jax.Array   # (Kp, R) phase-tap matrix, Hm[i, r] = hR[i*R + r]
-    K: int = struct.field(pytree_node=False)   # padded tap count
+    K: int = struct.field(pytree_node=False)    # padded tap count
     R: int = struct.field(pytree_node=False)
+    K0: int = struct.field(pytree_node=False, default=0)  # original tap count
 
     @classmethod
     def create(cls, h, R: int) -> "FirUps":
         h = np.asarray(h, np.float64) * R
-        K = len(h)
+        K0 = len(h)
+        K = K0
         if K % R:
             h = np.concatenate([h, np.zeros(R - K % R)])
             K = len(h)
         Kp = K // R
         Hm = h.reshape(Kp, R)
-        return cls(Hm=jnp.asarray(Hm, real_dtype), K=K, R=R)
+        return cls(Hm=jnp.asarray(Hm, real_dtype), K=K, R=R, K0=K0)
 
     def init(self):
         return jnp.zeros((self.Hm.shape[0] - 1,), real_dtype)
@@ -77,8 +79,12 @@ class FirUps(Block):
 
     @property
     def delay(self) -> float:
-        # parity: filtre_rif_ups_délais, polyphase.cc:363-372 (output rate)
-        return (self.K - 1) / 2.0 if self.K % self.R == 0 else (self.K - 1) / 2.0
+        # group delay in output samples.  NOTE: differs from the reference's
+        # filtre_rif_ups_délais (+pad, polyphase.cc:363-372) because this
+        # implementation's polyphase convention y[nR+r] = sum_j h[(n-j)R+r]x[j]
+        # appends the padding zeros at the END of the taps, which does not
+        # shift the peak: delay = (K_orig - 1)/2.
+        return (self.K0 - 1) / 2.0
 
     def step(self, state, x):
         n = x.shape[-1]

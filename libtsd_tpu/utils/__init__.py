@@ -1,1 +1,1 @@
-from . import testing  # noqa: F401
+from . import geometry, monitor, testing, timedate, wav  # noqa: F401

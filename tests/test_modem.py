@@ -1,0 +1,157 @@
+"""Demodulator and frame receiver tests — statistical end-to-end loops
+(mirrors test_recepteur/test_demod, core/tests/test-telecom.cc:810+)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from libtsd_tpu.models import waveform as WF
+from libtsd_tpu.models import channel as CH
+from libtsd_tpu.models import ber as BER
+from libtsd_tpu.models.bitstream import randbits
+from libtsd_tpu.models.modulator import ModConfig, Modulator
+from libtsd_tpu.models.demod import DemodConfig, Demodulator, llr, \
+    quadrature_discriminator
+from libtsd_tpu.models.detector import Detector, DetectorConfig, detect_pattern
+from libtsd_tpu.models.frame import FrameFormat, Transmitter, Receiver
+
+
+def _loop(wf, osf, nbits, EbN0, key=0, freq_offset=0.0):
+    mod = Modulator.create(ModConfig(wf=wf, fe=float(osf), fsymb=1.0))
+    bits = randbits(jax.random.PRNGKey(key), nbits)
+    x, _ = mod.modulate(bits)
+    if freq_offset:
+        n = x.shape[0]
+        x = x * jnp.exp(2j * jnp.pi * freq_offset *
+                        jnp.arange(n)).astype(jnp.complex64)
+    y = CH.awgn(jax.random.PRNGKey(key + 1), x, EbN0, osf=osf,
+                k_bits=wf.info.k)
+    dm = Demodulator.create(DemodConfig(wf=wf, fe=float(osf), fsymb=1.0))
+    rx_bits, syms, mask, bmask = dm.demodulate(y)
+    rx = np.asarray(rx_bits)[np.asarray(bmask)]
+    return bits, rx
+
+
+def test_demod_qpsk_high_snr():
+    wf = WF.wf_qpsk(WF.PulseShape.rcs(0.25))
+    bits, rx = _loop(wf, 4, 2 * 2000, 20.0)
+    # skip convergence region, resolve phase ambiguity
+    ber, errs, lag = BER.cmp_bits_psk(bits[800:], jnp.asarray(rx[800:]), 2,
+                                      max_lag=64)
+    assert ber < 0.01, (ber, errs)
+
+
+def test_demod_bpsk_moderate_snr():
+    wf = WF.wf_bpsk(WF.PulseShape.rcs(0.25))
+    bits, rx = _loop(wf, 4, 4000, 8.0, key=10)
+    ber, errs, lag = BER.cmp_bits_psk(bits[1000:], jnp.asarray(rx[1000:]), 1,
+                                      max_lag=64)
+    th = float(wf.ber(8.0))
+    assert ber < max(5 * th, 0.01), (ber, th)
+
+
+def test_quadrature_discriminator():
+    f0 = 0.05
+    x = jnp.exp(2j * jnp.pi * f0 * jnp.arange(256)).astype(jnp.complex64)
+    d = np.asarray(quadrature_discriminator(x))
+    assert np.allclose(d[1:], 2 * np.pi * f0, atol=1e-4)
+
+
+def test_llr_signs():
+    wf = WF.wf_bpsk()
+    y = jnp.asarray([1.0 + 0j, -1.0 + 0j], jnp.complex64)
+    L = np.asarray(llr(wf, y, 0.5))
+    # bit 1 <-> symbol +1 (decode_BPSK convention): strong positive LLR
+    # means bit 1 more likely under our (d0 - d1) definition
+    assert L[0] > 0 and L[1] < 0
+
+
+def test_detector_multiple_patterns():
+    rng = np.random.default_rng(5)
+    M = 48
+    p = (rng.standard_normal(M) + 1j * rng.standard_normal(M)).astype(np.complex64)
+    n = 8192
+    x = 0.05 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    positions = [500, 3000, 6200]
+    for pos in positions:
+        x[pos:pos + M] += p
+    det, score = detect_pattern(jnp.asarray(x), p,
+                                DetectorConfig(threshold=0.6, max_peaks=8))
+    got = sorted(np.asarray(det.position)[np.asarray(det.valid)].tolist())
+    assert got == positions, got
+
+
+def test_detector_no_false_alarm():
+    rng = np.random.default_rng(6)
+    M = 48
+    p = (rng.standard_normal(M) + 1j * rng.standard_normal(M)).astype(np.complex64)
+    x = (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)).astype(np.complex64)
+    det, _ = detect_pattern(jnp.asarray(x), p, DetectorConfig(threshold=0.7))
+    assert not np.asarray(det.valid).any()
+
+
+@pytest.fixture
+def frame_setup():
+    wf = WF.wf_qpsk(WF.PulseShape.rcs(0.25))
+    mc = ModConfig(wf=wf, fe=4.0, fsymb=1.0)
+    hdr = np.asarray(randbits(jax.random.PRNGKey(42), 64))
+    fmt = FrameFormat(modulation=mc,
+                      header_bits=tuple(int(b) for b in hdr),
+                      payload_bits=256)
+    return wf, fmt
+
+
+def test_frame_loop_clean(frame_setup):
+    wf, fmt = frame_setup
+    tx = Transmitter.create(fmt)
+    payload = randbits(jax.random.PRNGKey(1), 256)
+    frame = tx.transmit(payload)
+    x = jnp.zeros(4096, jnp.complex64).at[700:700 + frame.shape[0]].add(frame)
+    x = x + 1e-4 * jax.random.normal(jax.random.PRNGKey(5), (4096,))
+    rx = Receiver.create(fmt, DetectorConfig(threshold=0.5))
+    frames = rx.receive(x)
+    v = np.asarray(frames.valid)
+    assert v.any()
+    i = int(np.argmax(v))
+    ber, errs, _ = BER.cmp_bits(payload, jnp.asarray(frames.bits[i]), 4)
+    assert errs == 0
+
+
+def test_frame_loop_impaired(frame_setup):
+    wf, fmt = frame_setup
+    tx = Transmitter.create(fmt)
+    payload = randbits(jax.random.PRNGKey(2), 256)
+    frame = tx.transmit(payload)
+    n = 4096
+    key = jax.random.PRNGKey(3)
+    x = 0.01 * (jax.random.normal(key, (n,))
+                + 1j * jax.random.normal(jax.random.PRNGKey(4), (n,))
+                ).astype(jnp.complex64)
+    x = x.at[900:900 + frame.shape[0]].add(
+        1.8 * jnp.exp(1j * 1.1) * frame)
+    x = CH.awgn(jax.random.PRNGKey(6), x, 12.0, osf=4, k_bits=2)
+    rx = Receiver.create(fmt, DetectorConfig(threshold=0.5))
+    frames = rx.receive(x)
+    v = np.asarray(frames.valid)
+    assert v.any()
+    i = int(np.argmax(v))
+    ber, errs, _ = BER.cmp_bits(payload, jnp.asarray(frames.bits[i]), 4)
+    assert ber < 0.02, (ber, errs)
+    # Eb/N0 estimate in the right ballpark
+    assert abs(float(frames.EbN0_db[i]) - 12.0) < 6.0
+
+
+def test_frame_ebn0_estimate(frame_setup):
+    wf, fmt = frame_setup
+    tx = Transmitter.create(fmt)
+    payload = randbits(jax.random.PRNGKey(7), 256)
+    frame = tx.transmit(payload)
+    x = jnp.zeros(4096, jnp.complex64).at[500:500 + frame.shape[0]].add(frame)
+    x = CH.awgn(jax.random.PRNGKey(8), x, 20.0, osf=4, k_bits=2)
+    rx = Receiver.create(fmt, DetectorConfig(threshold=0.5))
+    frames = rx.receive(x)
+    v = np.asarray(frames.valid)
+    i = int(np.argmax(v))
+    assert v[i]
+    est = float(frames.EbN0_db[i])
+    assert 13.0 < est < 28.0, est

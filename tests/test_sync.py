@@ -1,0 +1,120 @@
+"""Clock/carrier recovery tests: lock behavior on known impairments."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from libtsd_tpu.models import waveform as WF
+from libtsd_tpu.models import channel as CH
+from libtsd_tpu.models import ber as BER
+from libtsd_tpu.models.bitstream import randbits
+from libtsd_tpu.models.modulator import ModConfig, Modulator
+from libtsd_tpu.models.clock_rec import ClockRec, ClockRecConfig
+from libtsd_tpu.models.carrier_rec import (Cpll, CpllConfig, LoopFilter2,
+                                           peak_frequency, ped_costas)
+
+
+def test_peak_frequency():
+    f0 = 0.1234
+    x = jnp.exp(2j * jnp.pi * f0 * jnp.arange(2048)).astype(jnp.complex64)
+    f, snr = peak_frequency(x)
+    assert abs(float(f) - f0) < 1e-4
+    assert float(snr) > 100
+
+
+def test_loop_filter2_tracks_ramp():
+    # second-order loop must track a frequency offset (phase ramp) with
+    # bounded error
+    lf = LoopFilter2(BL=0.05, eta=1.0)
+    st = lf.init()
+    true_phase = 0.0
+    errs = []
+    theta = 0.0
+    for i in range(800):
+        true_phase += 0.01  # rad/sample freq offset
+        e = np.angle(np.exp(1j * (true_phase - theta)))
+        st, theta = lf.step(st, jnp.asarray(e, jnp.float32))
+        theta = float(theta)
+        errs.append(abs(e))
+    assert np.mean(errs[-100:]) < 0.05
+
+
+def test_cpll_locks_bpsk_phase_offset():
+    key = jax.random.PRNGKey(0)
+    wf = WF.wf_bpsk()
+    bits = randbits(key, 2000)
+    s = wf.make_symbols(bits)
+    phi = 0.7
+    x = s * jnp.exp(1j * phi).astype(jnp.complex64)
+    pll = Cpll(cfg=CpllConfig(ped="costas", M=2, order=2, BL=0.02))
+    _, y = pll.step(pll.init(), x)
+    y = np.asarray(y)[500:]
+    # after convergence the constellation must be real (+-1) mod BPSK
+    # ambiguity
+    assert np.mean(np.abs(np.imag(y))) < 0.1
+
+
+def test_cpll_locks_qpsk_freq_offset():
+    key = jax.random.PRNGKey(1)
+    wf = WF.wf_qpsk()
+    bits = randbits(key, 2 * 4000)
+    s = wf.make_symbols(bits)
+    df = 1e-3
+    n = s.shape[0]
+    x = s * jnp.exp(2j * jnp.pi * df * jnp.arange(n)).astype(jnp.complex64)
+    pll = Cpll(cfg=CpllConfig(ped="costas", M=4, order=2, BL=0.02))
+    _, y = pll.step(pll.init(), x)
+    y = np.asarray(y)[2000:]
+    # locked: symbols near the QPSK constellation (up to k*pi/2 ambiguity)
+    ang = np.angle(y ** 4)  # QPSK^4 collapses to one point
+    assert np.std(ang) < 0.4
+
+
+@pytest.mark.parametrize("osf", [4, 8])
+def test_clock_rec_recovers_symbols(osf):
+    key = jax.random.PRNGKey(2)
+    wf = WF.wf_qpsk(WF.PulseShape.rcs(0.3))
+    nsym = 800
+    bits = randbits(key, 2 * nsym)
+    mod = Modulator.create(ModConfig(wf=wf, fe=float(osf), fsymb=1.0))
+    x, delay = mod.modulate(bits)
+    # matched filter
+    mf = wf.shaping.matched_filter(0, osf)
+    _, z = mf.step(mf.init_for(x), x)
+    # fractional timing offset the loop must find
+    from libtsd_tpu.ops.fft import delay_signal
+    z = delay_signal(z, 0.3 * osf)
+
+    cr = ClockRec.create(ClockRecConfig(osf=osf, tc=8.0))
+    _, (syms, mask) = cr.step(cr.init(), z)
+    syms = np.asarray(syms)[np.asarray(mask)]
+    assert len(syms) > nsym * 0.8
+    # after convergence, symbols should be near the constellation
+    tail = syms[400:]
+    tail = tail / np.sqrt(np.mean(np.abs(tail) ** 2))
+    d = np.abs(tail[:, None] - np.asarray(wf.symbols)[None, :])
+    mind = d.min(axis=1)
+    assert np.mean(mind) < 0.25, np.mean(mind)
+
+
+def test_clock_rec_plus_decode():
+    # full timing-recovery loop: delayed signal -> recovered bits
+    key = jax.random.PRNGKey(3)
+    osf = 4
+    wf = WF.wf_qpsk(WF.PulseShape.rcs(0.3))
+    nsym = 1500
+    bits = randbits(key, 2 * nsym)
+    mod = Modulator.create(ModConfig(wf=wf, fe=float(osf), fsymb=1.0))
+    x, _ = mod.modulate(bits)
+    mf = wf.shaping.matched_filter(0, osf)
+    _, z = mf.step(mf.init_for(x), x)
+    from libtsd_tpu.ops.fft import delay_signal
+    z = delay_signal(z, 1.45 * osf)
+    cr = ClockRec.create(ClockRecConfig(osf=osf, tc=8.0))
+    _, (syms, mask) = cr.step(cr.init(), z)
+    syms = np.asarray(syms)[np.asarray(mask)]
+    syms = syms / np.sqrt(np.mean(np.abs(syms) ** 2))
+    rx_bits = wf.decode_symbols(jnp.asarray(syms[300:]))
+    ber, errs, lag = BER.cmp_bits_psk(bits[600:], jnp.asarray(rx_bits), 2,
+                                      max_lag=32)
+    assert ber < 0.05, (ber, errs)

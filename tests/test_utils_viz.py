@@ -1,0 +1,166 @@
+"""Utils (wav/time/geometry/monitor), viz, CQT/DWT tests."""
+import os
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from libtsd_tpu.utils import wav as WAV
+from libtsd_tpu.utils import timedate as TD
+from libtsd_tpu.utils import geometry as GEO
+from libtsd_tpu.utils.monitor import Monitor, Monitors
+from libtsd_tpu.ops import dwt as DW
+from libtsd_tpu.ops import cqt as CQ
+
+
+def test_wav_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    x = np.clip(rng.standard_normal(1000) * 0.3, -0.99, 0.99).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    WAV.wav_save(p, x, 8000, "int16")
+    y, rate = WAV.wav_load(p)
+    assert rate == 8000
+    assert np.max(np.abs(y - x)) < 1e-4
+
+
+def test_wav_float32_stereo(tmp_path):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((500, 2)).astype(np.float32) * 0.5
+    p = str(tmp_path / "s.wav")
+    WAV.wav_save(p, x, 44100, "float32")
+    y, rate = WAV.wav_load(p)
+    assert y.shape == (500, 2)
+    assert np.max(np.abs(y - x)) < 1e-7
+
+
+def test_wav_streaming(tmp_path):
+    x = np.sin(2 * np.pi * 0.01 * np.arange(2000)).astype(np.float32)
+    p = str(tmp_path / "str.wav")
+    with WAV.WavWriter(p, 16000) as w:
+        for i in range(0, 2000, 300):
+            w.write(x[i:i + 300])
+    r = WAV.WavReader(p)
+    chunks = []
+    while not r.eof:
+        chunks.append(r.read(512))
+    y = np.concatenate(chunks)
+    assert len(y) == 2000
+    assert np.max(np.abs(y - x)) < 1e-4
+
+
+def test_julian_day_known_values():
+    # J2000.0 epoch: 2000-01-01 12:00 TT = JD 2451545.0
+    assert abs(TD.gregorian_to_jd(2000, 1, 1.5) - 2451545.0) < 1e-9
+    # round trip
+    y, m, d = TD.jd_to_gregorian(2451545.0)
+    assert (y, m) == (2000, 1) and abs(d - 1.5) < 1e-9
+
+
+def test_leap_years():
+    assert TD.is_leap_year(2000) and TD.is_leap_year(2024)
+    assert not TD.is_leap_year(1900) and not TD.is_leap_year(2023)
+    assert TD.days_in_month(2024, 2) == 29
+
+
+def test_sidereal_time():
+    # GMST at 2000-01-01 12:00 UT ~ 18h 41m 50s = 280.46 deg
+    jd = 2451545.0
+    gmst = np.rad2deg(TD.sidereal_time(jd))
+    assert abs(gmst - 280.46061837) < 1e-6
+
+
+def test_quaternion_rotation():
+    q = GEO.quat_from_axis_angle([0, 0, 1], np.pi / 2)
+    v = jnp.asarray([1.0, 0.0, 0.0])
+    r = np.asarray(GEO.quat_rotate(q, v))
+    assert np.allclose(r, [0, 1, 0], atol=1e-6)
+    R = np.asarray(GEO.quat_to_rotmat(q))
+    assert np.allclose(R @ np.asarray(v), [0, 1, 0], atol=1e-6)
+
+
+def test_quat_rotmat_roundtrip():
+    rng = np.random.default_rng(2)
+    for _ in range(5):
+        q = GEO.quat_normalize(jnp.asarray(rng.standard_normal(4),
+                                           jnp.float32))
+        R = GEO.quat_to_rotmat(q)
+        q2 = GEO.rotmat_to_quat(R)
+        # q and -q are the same rotation
+        d = min(float(jnp.linalg.norm(q - q2)),
+                float(jnp.linalg.norm(q + q2)))
+        assert d < 1e-5
+
+
+def test_cardan_roundtrip():
+    phi, theta, psi = 0.3, -0.5, 1.2
+    R = GEO.cardan_to_rotmat(phi, theta, psi)
+    p2, t2, s2 = GEO.rotmat_to_cardan(R)
+    assert np.allclose([float(p2), float(t2), float(s2)],
+                       [phi, theta, psi], atol=1e-6)
+
+
+def test_monitors():
+    mons = Monitors()
+    import time
+    with mons["stage/a"].scope(samples=1000):
+        time.sleep(0.01)
+    with mons["stage/b"].scope(samples=500):
+        time.sleep(0.005)
+    s = mons.stats()
+    assert s["stage/a"].count == 1
+    assert s["stage/a"].total_s >= 0.009
+    assert s["stage/a"].samples_per_s > 0
+    assert "stage/a" in mons.report()
+
+
+@pytest.mark.parametrize("name", ["haar", "db4", "bior"])
+def test_dwt_roundtrip(name):
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(512), jnp.float32)
+    y = DW.idwt(DW.dwt(x, name, levels=4), name)
+    assert float(jnp.max(jnp.abs(y - x))) < 1e-5
+
+
+def test_dwt2_roundtrip():
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.standard_normal((64, 128)), jnp.float32)
+    rec = DW.idwt2(*DW.dwt2(img, "db4"), "db4")
+    assert float(jnp.max(jnp.abs(rec - img))) < 1e-5
+
+
+def test_dwt_compresses_smooth_signal():
+    # most energy should land in the approximation band
+    x = jnp.sin(2 * jnp.pi * 0.01 * jnp.arange(256)).astype(jnp.float32)
+    a, d = DW.dwt_level(x, "db4")
+    ea = float(jnp.sum(a ** 2))
+    ed = float(jnp.sum(d ** 2))
+    assert ea > 100 * ed
+
+
+def test_cqt_tone():
+    ker = CQ.cqt_kernel(0.01, 0.25, 12)
+    f0 = 0.05
+    x = jnp.cos(2 * jnp.pi * f0 * jnp.arange(8192)).astype(jnp.float32)
+    M = CQ.cqt(x, ker, hop=512)
+    km = int(jnp.argmax(jnp.mean(M, axis=0)))
+    assert abs(ker.freqs[km] - f0) / f0 < 0.03  # within one bin
+
+
+def test_figure_and_report(tmp_path):
+    from libtsd_tpu.viz import Figure, Figures
+    from libtsd_tpu.viz.report import Report
+    rep = Report(str(tmp_path / "rep"))
+    f = Figure("test")
+    f.plot(np.sin(np.linspace(0, 10, 100)), fmt="b-", label="sine")
+    f.plot_psd(np.sin(2 * np.pi * 0.1 * np.arange(256)))
+    rep.add_figure(f, "figure one")
+    fs = Figures()
+    fs.subplot().plot(np.arange(10), fmt="r-")
+    fs.subplot().plot_iq(np.exp(2j * np.pi * np.linspace(0, 1, 50)))
+    rep.add_figure(fs, "subplots")
+    rep.printf("hello report")
+    rep.flush()
+    assert os.path.exists(str(tmp_path / "rep" / "index.html"))
+    assert os.path.exists(str(tmp_path / "rep" / "img" / "img-0.png"))
+    html = open(str(tmp_path / "rep" / "index.html")).read()
+    assert "hello report" in html and "img-1.png" in html
