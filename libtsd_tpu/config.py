@@ -25,6 +25,29 @@ design_real = "float64"
 design_complex = "complex128"
 
 
+def to_ri(x) -> "jnp.ndarray":
+    """Pack a complex array into a real (2, ...) float32 array.
+
+    Some TPU runtimes cannot transfer complex64 between host and device at
+    all (UNIMPLEMENTED) — complex values may only exist as traced
+    intermediates inside jit.  Pytree LEAVES that are logically complex are
+    therefore stored in this (re, im)-planes form and unpacked with
+    :func:`from_ri` inside the computation.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+    if isinstance(x, np.ndarray) or np.isscalar(x):
+        x = np.asarray(x)
+        return jnp.asarray(np.stack([x.real.astype(np.float32),
+                                     x.imag.astype(np.float32)]))
+    return jnp.stack([jnp.real(x), jnp.imag(x)]).astype(real_dtype)
+
+
+def from_ri(a) -> "jnp.ndarray":
+    """Unpack (2, ...) float32 planes into complex64 (trace-safe)."""
+    return (a[0] + 1j * a[1]).astype(complex_dtype)
+
+
 @dataclasses.dataclass(frozen=True)
 class Config:
     """Framework-level knobs (pytree-static, frozen — mirrors the reference's

@@ -91,7 +91,16 @@ def ped_costas(M: int) -> Callable:
     return f
 
 
-def ped_ploop(M: int, ref: complex = 1.0 + 0j) -> Callable:
+def _ref_rot(ref, M):
+    """conj(ref^M)/|ref^M| as a traced complex scalar (ref may be a traced
+    constellation point — no host conversion allowed)."""
+    r = jnp.asarray(ref) ** M
+    mag = jnp.abs(r)
+    return jnp.where(mag > 1e-9, jnp.conj(r) / jnp.maximum(mag, 1e-9),
+                     jnp.asarray(1.0 + 0j, complex_dtype))
+
+
+def ped_ploop(M: int, ref=1.0 + 0j) -> Callable:
     """Power loop: Im(x^M * conj(ref^M))/M (parity: ped_ploop,
     carrier-rec.cc:98-105; needs an AGC upstream).
 
@@ -99,22 +108,16 @@ def ped_ploop(M: int, ref: complex = 1.0 + 0j) -> Callable:
     constellation's M-th-power phase (e.g. QPSK at pi/4 offsets has
     ref^4 = -1), otherwise the loop locks 45 degrees off.
     """
-    rot = np.conj(complex(ref) ** M)
-    rot /= abs(rot) if abs(rot) > 0 else 1.0
-
     def f(x):
-        return jnp.imag(x ** M * rot) / M
+        return jnp.imag(x ** M * _ref_rot(ref, M)) / M
     return f
 
 
-def ped_tloop(M: int, ref: complex = 1.0 + 0j) -> Callable:
+def ped_tloop(M: int, ref=1.0 + 0j) -> Callable:
     """Tan loop: arg(x^M * conj(ref^M))/M (parity: ped_tloop,
     carrier-rec.cc:106-113)."""
-    rot = np.conj(complex(ref) ** M)
-    rot /= abs(rot) if abs(rot) > 0 else 1.0
-
     def f(x):
-        xm = x ** M * rot
+        xm = x ** M * _ref_rot(ref, M)
         return jnp.where(jnp.abs(x) > 0,
                          jnp.angle(xm) / M, 0.0).astype(real_dtype)
     return f
@@ -148,10 +151,8 @@ def make_ped(kind: str, wf=None, M: Optional[int] = None) -> Callable:
             kind = "dec"
     ref = 1.0 + 0j
     if wf is not None:
-        ref = complex(np.asarray(wf.symbols)[wf.info.M - 1 if wf.info.is_ask
-                                             else 0])
-        if abs(ref) < 1e-9:
-            ref = 1.0 + 0j
+        # traced constellation point (stays on device)
+        ref = wf.symbols[wf.info.M - 1 if wf.info.is_ask else 0]
     if kind in ("costa", "costas"):
         return ped_costas(M)
     if kind == "ploop":

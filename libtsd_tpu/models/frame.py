@@ -23,7 +23,7 @@ import numpy as np
 from flax import struct
 
 from ..block import Block
-from ..config import complex_dtype, real_dtype
+from ..config import complex_dtype, from_ri, real_dtype, to_ri
 from ..ops.filter_rt import Fir
 from .carrier_rec import Cpll, CpllConfig
 from .detector import Detection, Detector, DetectorConfig
@@ -98,7 +98,7 @@ class Receiver(Block):
     pll: Cpll
     wf: Waveform
     fmt: FrameFormat = struct.field(pytree_node=False)
-    header_samples: jax.Array
+    header_samples_ri: jax.Array
     nsym_header: int = struct.field(pytree_node=False)
     nsym_payload: int = struct.field(pytree_node=False)
     frame_len: int = struct.field(pytree_node=False)
@@ -134,7 +134,7 @@ class Receiver(Block):
         fmt_static = dataclasses.replace(
             fmt, modulation=dataclasses.replace(fmt.modulation, wf=None))
         return cls(det=det, mf=mf, pll=pll, wf=wf, fmt=fmt_static,
-                   header_samples=jnp.asarray(hdr_ref, complex_dtype),
+                   header_samples_ri=to_ri(hdr_ref),
                    nsym_header=nsym_header,
                    nsym_payload=nsym_payload, frame_len=frame_len,
                    mod_delay=mod.delay)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from ..config import complex_dtype, real_dtype
+from ..config import complex_dtype, from_ri, real_dtype, to_ri
 from ..ops import fir_design as FD
 from ..ops.filter_rt import Fir, FirDecim
 from ..ops.resample import FirUps, fir_ups_delay
@@ -177,13 +177,21 @@ class Waveform(struct.PyTreeNode):
 
     For pi/4-QPSK, ``rotating=True``: odd symbols use the constellation
     rotated by pi/4 (parity: FormeOnde_π4QPSK, modulations.cc:407-489).
+
+    The constellation is stored as (2, M) float32 re/im planes
+    (``symbols_ri``) because complex64 host<->device transfers are
+    unimplemented on some TPU runtimes; ``symbols`` unpacks it (trace-safe).
     """
 
-    symbols: jax.Array                       # (M,) constellation
+    symbols_ri: jax.Array                    # (2, M) re/im planes
     info: WaveformInfo = struct.field(pytree_node=False)
     shaping: PulseShape = struct.field(pytree_node=False)
     rotating: bool = struct.field(pytree_node=False, default=False)
     name: str = struct.field(pytree_node=False, default="wf")
+
+    @property
+    def symbols(self) -> jax.Array:
+        return from_ri(self.symbols_ri)
 
     # --- symbol generation ----------------------------------------------
     def make_symbols(self, bits: jax.Array) -> jax.Array:
@@ -281,7 +289,7 @@ class Waveform(struct.PyTreeNode):
 
 def wf_psk(M: int, shaping: PulseShape = PulseShape()) -> Waveform:
     return Waveform(
-        symbols=jnp.asarray(_psk_constellation(M), complex_dtype),
+        symbols_ri=to_ri(_psk_constellation(M)),
         info=WaveformInfo(is_psk=True, M=M, k=int(np.log2(M))),
         shaping=shaping, name=f"{M}PSK" if M > 4 else ("BPSK" if M == 2 else "QPSK"))
 
@@ -296,7 +304,7 @@ def wf_qpsk(shaping: PulseShape = PulseShape()) -> Waveform:
 
 def wf_pi4_qpsk(shaping: PulseShape = PulseShape()) -> Waveform:
     return Waveform(
-        symbols=jnp.asarray(_psk_constellation(4), complex_dtype),
+        symbols_ri=to_ri(_psk_constellation(4)),
         info=WaveformInfo(is_psk=True, M=4, k=2),
         shaping=shaping, rotating=True, name="pi4-QPSK")
 
@@ -304,14 +312,14 @@ def wf_pi4_qpsk(shaping: PulseShape = PulseShape()) -> Waveform:
 def wf_ask(M: int = 2, K1: float = -1.0, K2: float = 2.0,
            shaping: PulseShape = PulseShape.nrz()) -> Waveform:
     return Waveform(
-        symbols=jnp.asarray(_ask_constellation(M, K1, K2), complex_dtype),
+        symbols_ri=to_ri(_ask_constellation(M, K1, K2)),
         info=WaveformInfo(is_ask=True, M=M, k=int(np.log2(M))),
         shaping=shaping, name=f"{M}-ASK")
 
 
 def wf_qam(M: int, shaping: PulseShape = PulseShape()) -> Waveform:
     return Waveform(
-        symbols=jnp.asarray(_qam_constellation(M), complex_dtype),
+        symbols_ri=to_ri(_qam_constellation(M)),
         info=WaveformInfo(is_qam=True, M=M, k=int(np.log2(M))),
         shaping=shaping, name=f"QAM{M}")
 
@@ -321,7 +329,7 @@ def wf_fsk(M: int = 2, index: float = 0.4,
     # frequency levels -1..1 (parity: FormeOndeFSK ctor)
     lv = (np.arange(M) / (M - 1)) * 2 - 1
     return Waveform(
-        symbols=jnp.asarray(lv.astype(complex), complex_dtype),
+        symbols_ri=to_ri(lv.astype(complex)),
         info=WaveformInfo(is_linear=False, is_fsk=True, index=index, M=M,
                           k=int(np.log2(M))),
         shaping=shaping, name=("G" if shaping.type == "gaussian" else "")

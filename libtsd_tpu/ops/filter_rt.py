@@ -32,7 +32,7 @@ import numpy as np
 from flax import struct
 
 from ..block import Block
-from ..config import complex_dtype, real_dtype
+from ..config import complex_dtype, from_ri, real_dtype, to_ri
 
 __all__ = [
     "fir_toeplitz_mats", "fir_filter", "fir_filter_valid", "Fir",
@@ -135,17 +135,21 @@ class Fir(Block):
     linear phase).  Parity: FiltreRIF, filtre-rt.cc:54-110.
     """
 
-    G: jax.Array          # (D, L, L) tap matrices
+    G_: jax.Array         # (D, L, L) real taps, or (2, D, L, L) re/im planes
     K: int = struct.field(pytree_node=False)
     complex_taps: bool = struct.field(pytree_node=False, default=False)
+
+    @property
+    def G(self) -> jax.Array:
+        return from_ri(self.G_) if self.complex_taps else self.G_
 
     @classmethod
     def create(cls, h) -> "Fir":
         h = np.asarray(h)
-        G = fir_toeplitz_mats(h.astype(np.complex128 if np.iscomplexobj(h)
-                                       else np.float64))
-        return cls(G=_as_f32(G), K=len(h),
-                   complex_taps=bool(np.iscomplexobj(h)))
+        cplx = bool(np.iscomplexobj(h))
+        G = fir_toeplitz_mats(h.astype(np.complex128 if cplx else np.float64))
+        return cls(G_=to_ri(G) if cplx else jnp.asarray(G, real_dtype),
+                   K=len(h), complex_taps=cplx)
 
     def init(self):
         dt = complex_dtype if self.complex_taps else real_dtype
@@ -506,7 +510,7 @@ class OlaFft(Block):
     tail.  Streaming: step() input length must be a multiple of Ne.
     """
 
-    H: jax.Array          # (Nf,) frequency response applied per block
+    H_ri: jax.Array       # (2, Nf) re/im planes of the frequency response
     Ne: int = struct.field(pytree_node=False)
     Nf: int = struct.field(pytree_node=False)
     M: int = struct.field(pytree_node=False)   # filter length (tail M-1)
@@ -521,7 +525,7 @@ class OlaFft(Block):
         else:
             Nf = next_pow2(Ne + M - 1)
         H = np.fft.fft(h, Nf)
-        return cls(H=jnp.asarray(H, complex_dtype), Ne=Ne, Nf=Nf, M=M)
+        return cls(H_ri=to_ri(H), Ne=Ne, Nf=Nf, M=M)
 
     def init(self):
         return jnp.zeros((self.Nf - self.Ne,), complex_dtype)
@@ -541,7 +545,7 @@ class OlaFft(Block):
         is_complex = jnp.iscomplexobj(x)
         xb = x.reshape(*x.shape[:-1], nblk, Ne)
         X = jnp.fft.fft(xb.astype(complex_dtype), n=Nf, axis=-1)
-        Y = X * self.H
+        Y = X * from_ri(self.H_ri)
         yb = jnp.fft.ifft(Y, axis=-1)  # (..., nblk, Nf)
         # overlap-add: carry tail of length Nf-Ne across blocks.
         # carry_padded = [carry, 0...Ne zeros]; out = yrow[:Ne] + carry_p[:Ne];

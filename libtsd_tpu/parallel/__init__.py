@@ -1,2 +1,3 @@
-from .mesh import make_mesh, channel_sharding  # noqa: F401
+from .mesh import (make_mesh, channel_sharding,  # noqa: F401
+                   NamedSharding, P)
 from .halo import halo_exchange_left, sharded_fir, sharded_chain  # noqa: F401
