@@ -1,0 +1,169 @@
+"""Decision-directed demod, IMU EKF, channelizer, rt-spectrum, filter
+analysis tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from libtsd_tpu.models import waveform as WF, channel as CH, ber as BER
+from libtsd_tpu.models.bitstream import randbits
+from libtsd_tpu.models.modulator import ModConfig, Modulator
+from libtsd_tpu.models.demod_dec import DecisionDemod, DecDemodConfig
+from libtsd_tpu.models.imu import ImuModel, imu_simulate, imu_ekf
+from libtsd_tpu.models.channelizer import Channelizer, channelize
+from libtsd_tpu.ops.spectrum import RtSpectrum, SpectrumConfig
+from libtsd_tpu.ops import filter_analysis as FA
+from libtsd_tpu.ops import fir_design as FD
+from libtsd_tpu.ops import iir_design as ID
+from libtsd_tpu.ops.fft import delay_signal
+
+
+def test_decision_demod_impaired():
+    wf = WF.wf_qpsk(WF.PulseShape.rcs(0.25))
+    mod = Modulator.create(ModConfig(wf=wf, fe=4.0, fsymb=1.0))
+    bits = randbits(jax.random.PRNGKey(0), 2 * 3000)
+    x, _ = mod.modulate(bits)
+    x = delay_signal(x, 1.7)
+    n = x.shape[0]
+    x = x * jnp.exp(2j * jnp.pi * 2e-4 * jnp.arange(n)).astype(jnp.complex64)
+    x = CH.awgn(jax.random.PRNGKey(1), x, 15.0, osf=4, k_bits=2)
+    dd = DecisionDemod.create(wf, DecDemodConfig(osf=4))
+    _, (rb, syms, mask, bmask) = dd.step(dd.init(), x)
+    rbn = np.asarray(rb)[np.asarray(bmask)]
+    ber, errs, lag = BER.cmp_bits_psk(bits[2 * 800:],
+                                      jnp.asarray(rbn[2 * 800:]), 2,
+                                      max_lag=64)
+    assert ber < 0.01, (ber, errs)
+
+
+def test_decision_demod_16qam_agc():
+    # AGC must fix a 2x amplitude error for QAM decisions to work
+    wf = WF.wf_qam(16, WF.PulseShape.rcs(0.25))
+    mod = Modulator.create(ModConfig(wf=wf, fe=4.0, fsymb=1.0))
+    bits = randbits(jax.random.PRNGKey(2), 4 * 3000)
+    x, _ = mod.modulate(bits)
+    x = 0.5 * x  # amplitude error
+    dd = DecisionDemod.create(wf, DecDemodConfig(osf=4, agc_tc=5.0))
+    _, (rb, syms, mask, bmask) = dd.step(dd.init(), x)
+    rbn = np.asarray(rb)[np.asarray(bmask)]
+    ber, errs, lag = BER.cmp_bits(bits[4 * 1500:],
+                                  jnp.asarray(rbn[4 * 1500:]), max_lag=64)
+    assert ber < 0.02, (ber, errs)
+
+
+def test_imu_ekf_tracks_attitude():
+    model = ImuModel(dt=0.01, gyro_noise=2e-3, accel_noise=0.03,
+                     mag_noise=0.03)
+    qs, gyro, obs = imu_simulate(model, jax.random.PRNGKey(0), 600)
+    qhat = imu_ekf(model, gyro, obs)
+    # quaternion distance (up to sign) in the converged tail
+    qt = np.asarray(qs)[200:]
+    qe = np.asarray(qhat)[200:]
+    d = np.minimum(np.linalg.norm(qt - qe, axis=1),
+                   np.linalg.norm(qt + qe, axis=1))
+    assert d.mean() < 0.05, d.mean()
+
+
+def test_imu_ekf_beats_dead_reckoning():
+    model = ImuModel(dt=0.01, gyro_noise=0.02, accel_noise=0.05,
+                     mag_noise=0.05)
+    qs, gyro, obs = imu_simulate(model, jax.random.PRNGKey(1), 800)
+    qhat = imu_ekf(model, gyro, obs)
+    # dead reckoning: integrate noisy gyro only
+    q = jnp.asarray([1.0, 0, 0, 0])
+    dr = []
+    for i in range(800):
+        q = model.f(q, gyro[i])
+        dr.append(q)
+    dr = np.asarray(jnp.stack(dr))
+    qt = np.asarray(qs)
+    qe = np.asarray(qhat)
+    err_ekf = np.minimum(np.linalg.norm(qt - qe, axis=1),
+                         np.linalg.norm(qt + qe, axis=1))[400:].mean()
+    err_dr = np.minimum(np.linalg.norm(qt - dr, axis=1),
+                        np.linalg.norm(qt + dr, axis=1))[400:].mean()
+    assert err_ekf < 0.5 * err_dr, (err_ekf, err_dr)
+
+
+def test_channelizer_separates_tones():
+    M = 8
+    n = 4096
+    k = jnp.arange(n)
+    # tones centered on channels 1 and 3
+    x = (jnp.exp(2j * jnp.pi * (1 / M) * k)
+         + 0.5 * jnp.exp(2j * jnp.pi * (3 / M) * k)).astype(jnp.complex64)
+    ch = channelize(x, M)
+    p = np.asarray(jnp.mean(jnp.abs(ch) ** 2, axis=0))
+    # power concentrated in channels 1 and 3
+    assert p[1] > 10 * max(p[0], p[2], p[4])
+    assert p[3] > 10 * max(p[0], p[2], p[4])
+    assert p[1] > 2 * p[3]  # 0.5 amplitude -> 1/4 power
+
+
+def test_channelizer_streaming():
+    M = 4
+    c = Channelizer.create(M)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(1024)
+                    + 1j * rng.standard_normal(1024), jnp.complex64)
+    st = c.init()
+    _, y_once = c.step(st, x)
+    st = c.init()
+    parts = []
+    for i in range(0, 1024, 256):
+        st, y = c.step(st, x[i:i + 256])
+        parts.append(np.asarray(y))
+    y_stream = np.concatenate(parts, axis=0)
+    assert np.max(np.abs(y_stream - np.asarray(y_once))) < 1e-4
+
+
+def test_rt_spectrum():
+    cfg = SpectrumConfig(N=256, navg=2)
+    sp = RtSpectrum.create(cfg)
+    f0 = 0.1
+    x = jnp.exp(2j * jnp.pi * f0 * jnp.arange(2048)).astype(jnp.complex64)
+    st = sp.init()
+    st, S = sp.step(st, x)
+    S = np.asarray(S)
+    freqs = np.fft.fftshift(np.fft.fftfreq(256))
+    fpk = freqs[np.argmax(S)]
+    assert abs(fpk - f0) < 1e-2
+    # averaging: second step with noise only decays slowly
+    st, S2 = sp.step(st, 0.01 * jnp.asarray(
+        np.random.default_rng(0).standard_normal(2048)
+        + 1j * np.random.default_rng(1).standard_normal(2048), jnp.complex64))
+    assert np.argmax(np.asarray(S2)) == np.argmax(S)
+
+
+def test_filter_analysis_metrics():
+    h = FD.fir_lowpass(63, 0.1, "hn")
+    a = FA.analyze_filter(h)
+    assert 0.08 < a.main_lobe_width < 0.16
+    assert a.first_sidelobe_atten_db > 30  # Hann-windowed sinc
+    assert FA.filter_type_of(h) == "lp"
+    hp = FD.fir_design_windowed(63, "hp", 0.2, "hn")
+    assert FA.filter_type_of(hp) == "hp"
+
+
+def test_analysis_responses():
+    h = ID.design_iir(4, "lp", "butt", 0.1)
+    fr, mag = FA.frmag(h)
+    assert abs(mag[0] - 1.0) < 1e-6
+    i3 = np.argmin(np.abs(fr - 0.1))
+    assert abs(mag[i3] - 1 / np.sqrt(2)) < 0.02
+    fr, gd = FA.frgroup(h)
+    assert np.all(gd[:100] > 0)
+    imp = FA.repimp(h, 64)
+    stp = FA.repech(h, 64)
+    assert abs(stp[-1] - 1.0) < 1e-3       # DC gain 1
+    assert abs(imp.sum() - 1.0) < 1e-3
+
+
+def test_window_analysis():
+    a_hn = FA.analyze_window(FD.window("hann", 64, sym=True)) if hasattr(FD, 'window') else None
+    from libtsd_tpu.ops.window import window
+    a_hn = FA.analyze_window(window("hann", 64, sym=True))
+    a_re = FA.analyze_window(window("rect", 64))
+    # Hann: ~-31 dB first sidelobe; rect: ~-13 dB
+    assert 25 < a_hn.first_sidelobe_atten_db < 40
+    assert 10 < a_re.first_sidelobe_atten_db < 16
