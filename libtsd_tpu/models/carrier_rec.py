@@ -22,7 +22,8 @@ from ..config import complex_dtype, real_dtype
 
 __all__ = [
     "LoopFilter1", "LoopFilter2", "ped_costas", "ped_ploop", "ped_tloop",
-    "ped_decision", "make_ped", "Cpll", "CpllConfig", "peak_frequency",
+    "ped_decision", "make_ped", "Cpll", "CpllConfig", "Rpll",
+    "peak_frequency",
 ]
 
 
@@ -125,8 +126,11 @@ def ped_tloop(M: int, ref=1.0 + 0j) -> Callable:
 
 def ped_decision(wf) -> Callable:
     """Decision-directed PED: arg(x * conj(nearest symbol)) (parity:
-    ped_decision, carrier-rec.cc:114-123)."""
-    symbols = wf.symbols
+    ped_decision, carrier-rec.cc:114-123).
+
+    For rotating constellations (pi/4-QPSK) the union constellation is used
+    so the PED is parity-free."""
+    symbols = wf.constellation() if getattr(wf, "rotating", False)         else wf.symbols
 
     def f(x):
         d = jnp.abs(x - symbols) ** 2
@@ -210,6 +214,43 @@ class Cpll(Block):
 
         state, y = jax.lax.scan(body, state, x)
         return state, y
+
+
+class Rpll(Block):
+    """Real-input PLL: downconvert by a nominal frequency, baseband image
+    lowpass, then the complex PLL (parity: RPLL, carrier-rec.cc:201-293,
+    including the design_rif_cs baseband filter)."""
+
+    cpll: Cpll
+    bb_filter: "object"
+    freq: float = struct.field(pytree_node=False, default=0.25)
+
+    @classmethod
+    def create(cls, freq: float, cfg: Optional[CpllConfig] = None,
+               bb_cut: float = 0.1, ncoefs_bb: int = 63) -> "Rpll":
+        from ..ops.fir_design import raised_cosine
+        from ..ops.filter_rt import Fir
+        h = raised_cosine(ncoefs_bb, 0.1, bb_cut / 2)
+        return cls(cpll=Cpll(cfg=cfg or CpllConfig(ped="tloop", M=1,
+                                                   order=2, BL=0.02)),
+                   bb_filter=Fir.create(h), freq=freq)
+
+    def init(self):
+        return (jnp.zeros((), real_dtype),
+                self.bb_filter.init_for(jnp.zeros((0,), complex_dtype)),
+                self.cpll.init())
+
+    def step(self, state, x: jax.Array):
+        ph, fst, pst = state
+        n = x.shape[-1]
+        k = jnp.arange(n, dtype=real_dtype)
+        lo = jnp.exp(-1j * (ph + 2 * jnp.pi * self.freq * k))
+        xb = x.astype(complex_dtype) * lo.astype(complex_dtype)
+        ph = jnp.mod(ph + 2 * jnp.pi * self.freq * n, 2 * jnp.pi)
+        # image rejection (the 2f mixing product) before the loop
+        fst, xb = self.bb_filter.step(fst, xb)
+        pst, y = self.cpll.step(pst, xb)
+        return (ph, fst, pst), y
 
 
 # ----------------------------------------------- coarse frequency tracking

@@ -97,8 +97,11 @@ class Demodulator(Block):
         if crc.osf != osf:
             crc = dataclasses.replace(crc, osf=osf)
         cr = ClockRec.create(crc)
+        # rotating constellations (pi/4-QPSK) break the power-loop PED
+        # (x^M alternates sign between even/odd symbols) -> decision PED
+        default_ped = "dec" if wf.rotating else "auto"
         pc = cfg.carrier or CpllConfig(
-            ped="auto", M=wf.info.M, order=2, BL=0.01)
+            ped=default_ped, M=wf.info.M, order=2, BL=0.01)
         pll = Cpll(cfg=pc, wf=wf)
         cfg_static = dataclasses.replace(cfg, wf=None)
         return cls(mf=mf, cr=cr, pll=pll, wf=wf, cfg=cfg_static)

@@ -238,12 +238,23 @@ class Waveform(struct.PyTreeNode):
         if self.info.is_psk and M == 2 and not self.rotating:
             return (jnp.real(x) >= 0).astype(jnp.int32)
         if self.rotating:
-            # de-rotate odd symbols before QPSK decision
+            # de-rotate alternating symbols; the receiver does not know the
+            # transmit parity (clock recovery may drop symbols), so try both
+            # parities and keep the one with lower total decision error
             n = x.shape[0]
-            rot = jnp.where(jnp.arange(n) % 2 == 1,
-                            jnp.exp(-1j * jnp.pi / 4).astype(complex_dtype),
-                            jnp.asarray(1.0 + 0j, complex_dtype))
-            x = x * rot
+            rot0 = jnp.where(jnp.arange(n) % 2 == 1,
+                             jnp.exp(-1j * jnp.pi / 4).astype(complex_dtype),
+                             jnp.asarray(1.0 + 0j, complex_dtype))
+            rot1 = jnp.where(jnp.arange(n) % 2 == 0,
+                             jnp.exp(-1j * jnp.pi / 4).astype(complex_dtype),
+                             jnp.asarray(1.0 + 0j, complex_dtype))
+            x0 = x * rot0
+            x1 = x * rot1
+            e0 = jnp.sum(jnp.min(jnp.abs(x0[..., None] - self.symbols) ** 2,
+                                 axis=-1))
+            e1 = jnp.sum(jnp.min(jnp.abs(x1[..., None] - self.symbols) ** 2,
+                                 axis=-1))
+            x = jnp.where(e0 <= e1, x0, x1)
         d = jnp.abs(x[..., None] - self.symbols[None, :]) ** 2
         return jnp.argmin(d, axis=-1).astype(jnp.int32)
 

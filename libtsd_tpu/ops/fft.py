@@ -22,7 +22,7 @@ from ..config import complex_dtype, real_dtype
 
 __all__ = [
     "fft", "ifft", "rfft", "irfft", "fftshift", "ifftshift", "fft_freqs",
-    "force_csym", "czt", "goertzel", "hadamard", "wht",
+    "force_csym", "czt", "goertzel", "goertzel_stream", "hadamard", "wht",
     "delay_signal", "resample_freq", "next_pow2", "ola_complexity",
     "ola_complexity_optimize",
 ]
@@ -144,6 +144,24 @@ def goertzel(x: jax.Array, f: float) -> jax.Array:
     X = jnp.sum(x * w, axis=-1)  # unnormalized DFT bin
     en = jnp.sum(jnp.abs(x) ** 2, axis=-1)
     return 2.0 * jnp.abs(X) ** 2 / (en * n)
+
+
+def goertzel_stream(x: jax.Array, f: float, R: int) -> jax.Array:
+    """Streaming single-bin power: one normalized Goertzel value per
+    R-sample block (parity: filtre_goertzel, goertzel.cc:32-79: restart
+    every R samples, normalize by the block energy).
+
+    Input length must be a multiple of R; vectorized as a batched
+    projection (one DFT bin per block) — no per-sample recursion needed.
+    """
+    n = x.shape[-1]
+    assert n % R == 0
+    blocks = x.reshape(*x.shape[:-1], n // R, R)
+    k = jnp.arange(R, dtype=real_dtype)
+    w = jnp.exp(-2j * jnp.pi * f * k)
+    X = jnp.sum(blocks * w, axis=-1)
+    en = jnp.sum(jnp.abs(blocks) ** 2, axis=-1)
+    return 2.0 * jnp.abs(X) ** 2 / (en * R + 1e-30)
 
 
 # --------------------------------------------------------------- Hadamard

@@ -31,12 +31,25 @@ from .filter_rt import Fir, FirDecim
 from .fir_design import fir_design_windowed, fir_halfband
 
 __all__ = [
+    "polyphase_form", "ipolyphase_form",
     "FirUps", "fir_ups_delay", "HalfbandDecim", "CicConfig", "Cic",
     "cic_design_ba", "cic_freq", "cic_bits", "cic_comp_design",
     "sinc_interp_lut", "cspline_coefs", "cspline_lut", "linear_coefs",
     "lagrange_coefs", "Interpolator", "make_interpolator",
     "RationalResampler", "resample", "Resampler",
 ]
+
+
+def polyphase_form(x: jax.Array, M: int) -> jax.Array:
+    """Signal -> (M, n/M) polyphase matrix, row p = x[p::M] (parity:
+    forme_polyphase, core/include/tsd/filtrage.hpp:1225-1254)."""
+    n = (x.shape[-1] // M) * M
+    return x[..., :n].reshape(*x.shape[:-1], n // M, M).swapaxes(-1, -2)
+
+
+def ipolyphase_form(X: jax.Array) -> jax.Array:
+    """Inverse of polyphase_form (parity: iforme_polyphase)."""
+    return X.swapaxes(-1, -2).reshape(*X.shape[:-2], -1)
 
 
 # ----------------------------------------------------------- upsampling

@@ -36,8 +36,9 @@ def make_mesh(chan: Optional[int] = None, time: int = 1,
     n = len(devices)
     if chan is None:
         chan = n // time
-    assert chan * time == n, f"chan*time must equal device count ({n})"
-    arr = np.array(devices).reshape(chan, time)
+    need = chan * time
+    assert need <= n, f"chan*time={need} exceeds device count ({n})"
+    arr = np.array(devices[:need]).reshape(chan, time)
     return Mesh(arr, ("chan", "time"))
 
 

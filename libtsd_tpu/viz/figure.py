@@ -17,7 +17,7 @@ import matplotlib
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
-__all__ = ["Figure", "Figures"]
+__all__ = ["Figure", "Figures", "plot_eye"]
 
 
 _COLORS = {"b": "tab:blue", "g": "tab:green", "r": "tab:red",
@@ -137,6 +137,21 @@ class Figure:
         get_report().add_figure(self, title or self._title)
 
     afficher = show
+
+
+def plot_eye(x, osf: int, nsym: int = 2, ntraces: int = 200) -> "Figure":
+    """Eye diagram: overlay ntraces segments of nsym symbol periods
+    (parity: plot_eye, core/src/telecom/graphiques.cc:6-70)."""
+    x = np.asarray(x)
+    seg = nsym * osf
+    f = Figure("Eye diagram")
+    nmax = min(ntraces, (len(x) - 1) // seg)
+    t = np.arange(seg + 1) / osf
+    for i in range(nmax):
+        tr = x[i * seg: i * seg + seg + 1]
+        f._ops.append(("plot", t, np.real(tr), "b-", ""))
+    f._xlabel = "Symbol periods"
+    return f
 
 
 class Figures:

@@ -155,3 +155,35 @@ def test_frame_ebn0_estimate(frame_setup):
     assert v[i]
     est = float(frames.EbN0_db[i])
     assert 13.0 < est < 28.0, est
+
+
+def test_demod_fsk_loop():
+    """End-to-end 2-FSK (MSK index): mod -> AWGN -> discriminator demod."""
+    wf = WF.wf_fsk(2, 0.5, WF.PulseShape.nrz())
+    mod = Modulator.create(ModConfig(wf=wf, fe=4.0, fsymb=1.0))
+    bits = randbits(jax.random.PRNGKey(30), 3000)
+    x, _ = mod.modulate(bits)
+    y = CH.awgn(jax.random.PRNGKey(31), x, 14.0, osf=4, k_bits=1)
+    dm = Demodulator.create(DemodConfig(wf=wf, fe=4.0, fsymb=1.0))
+    rb, syms, mask, bmask = dm.demodulate(y)
+    rbn = np.asarray(rb)[np.asarray(bmask)]
+    ber, errs, lag = BER.cmp_bits(bits[800:], jnp.asarray(rbn[800:]),
+                                  max_lag=64)
+    assert ber < 0.01, (ber, errs)
+
+
+def test_demod_pi4_qpsk_loop():
+    """pi/4-QPSK through the full blind chain (parity-free decisions +
+    union-constellation decision PED)."""
+    wf = WF.wf_pi4_qpsk(WF.PulseShape.rcs(0.25))
+    mod = Modulator.create(ModConfig(wf=wf, fe=4.0, fsymb=1.0))
+    bits = randbits(jax.random.PRNGKey(32), 2 * 3000)
+    x, _ = mod.modulate(bits)
+    y = CH.awgn(jax.random.PRNGKey(33), x, 14.0, osf=4, k_bits=2)
+    dm = Demodulator.create(DemodConfig(wf=wf, fe=4.0, fsymb=1.0))
+    rb, syms, mask, bmask = dm.demodulate(y)
+    rbn = np.asarray(rb)[np.asarray(bmask)]
+    ber, errs, lag = BER.cmp_bits_psk(bits[2 * 800:],
+                                      jnp.asarray(rbn[2 * 800:]), 2,
+                                      max_lag=64)
+    assert ber < 0.01, (ber, errs)
