@@ -4,15 +4,21 @@
 The driver runs this on real TPU hardware at the end of every round and
 records the JSON line in BENCH_r{N}.json (metric from BASELINE.json).
 
-Timing methodology: the chain is iterated inside one jitted fori_loop with a
-data dependency between iterations, and the result is reduced to a scalar
-that is read back — client-side async-dispatch artifacts (the axon relay
-makes plain block_until_ready unreliable) cannot fake this number.
+Implementation: the fully fused Pallas kernel (ops/pallas/chain.py) — FIR
+as banded-Toeplitz MXU matmuls and DFT-4096 as a 32x128 Cooley-Tukey
+two-stage matmul, with per-channel spectra accumulated in VMEM; the FIR
+output never exists in HBM.  Correctness vs fir_filter + np.fft verified to
+~2e-7 on hardware (tests/test_pallas.py runs the same kernels interpreted).
+
+Timing methodology: iterations run inside one jitted fori_loop with a data
+dependency between them, and the result is reduced to a scalar that is read
+back — client-side async-dispatch artifacts (the axon relay makes plain
+block_until_ready unreliable) cannot fake this number.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the recorded
 ratio is measured throughput / single-core CPU estimate of the same chain
-(libtsd-class C++ at ~1 GFLOP/s effective on this chain ~= 12 Msamp/s; see
-BASELINE.md cost model (2+3*log2 Nf) FLOPs/sample).
+(libtsd-class C++ at ~(2*256 + 5*log2 4096) flops/sample, ~4 GFLOP/s
+sustained ~= 12 Msamp/s).
 """
 import json
 import sys
@@ -29,59 +35,43 @@ from jax import lax
 
 def main():
     from libtsd_tpu.ops import fir_design as FD
-    from libtsd_tpu.ops import filter_rt as FR
+    from libtsd_tpu.ops.filter_rt import fir_toeplitz_mats
+    from libtsd_tpu.ops.pallas.chain import fir_periodogram4096
 
-    # the chain: 256 channels x 262144 samples per step.  256-tap FIR then
-    # 4096-point FFT power spectrum per frame (the BASELINE.json metric
-    # chain), batched over channels to fill the chip.  Sized to amortize
-    # the ~0.8 ms/iteration loop overhead of the target runtime (the
-    # effective HBM bandwidth through this TPU tunnel is ~70 GB/s; the
-    # chain's ~4 passes over the data put its roofline at ~4 Gsamp/s).
+    # 256 channels x 262144 samples per iteration (64k-sample chunks per
+    # grid step), sized to amortize the ~0.8 ms/iteration loop overhead of
+    # the target runtime.
     C = 256
     N = 1 << 18
-    NFFT = 4096
-    h = FD.fir_lowpass(256, 0.2)
-    fir = FR.Fir.create(h)
+    iters = 3
 
+    h = FD.fir_lowpass(256, 0.2)
+    G = jnp.asarray(fir_toeplitz_mats(np.asarray(h, np.float64)),
+                    jnp.float32)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((C, N)), jnp.float32)
 
-    iters = 3
+    interpret = jax.default_backend() not in ("tpu", "axon")
 
     @jax.jit
-    def chain(fir, xin):
-        # all state created inside jit; blocks passed as pytree args
-        # (eager ops and closure-captured device constants are unsupported
-        # on some TPU runtimes)
-        state0 = fir.init_for(xin)
-
+    def chain(G, xin):
         def body(i, carry):
-            st, acc, v = carry
-            st, y = fir.step(st, v)
-            frames = y.reshape(C, N // NFFT, NFFT)
-            spec = jnp.abs(jnp.fft.rfft(frames, axis=-1)) ** 2
-            acc = acc + jnp.sum(spec, axis=1)
-            # feed back a cheap mix so iterations are data-dependent
-            v = v * 0.999
-            return st, acc, v
-        st, acc, v = lax.fori_loop(
-            0, iters, body,
-            (state0, jnp.zeros((C, NFFT // 2 + 1), jnp.float32), xin))
-        return jnp.sum(acc) + jnp.sum(v)
+            acc, g = carry
+            acc = acc + fir_periodogram4096(xin, g, interpret=interpret)
+            # data dependency across iterations through the taps
+            g = g + jnp.mean(acc) * 1e-24
+            return acc, g
+        acc, _ = lax.fori_loop(
+            0, iters, body, (jnp.zeros((C, 4096), jnp.float32), G))
+        return jnp.sum(acc)
 
-    # warmup + compile
-    _ = float(chain(fir, x))
+    _ = float(chain(G, x))  # warmup + compile
     t0 = time.perf_counter()
-    _ = float(chain(fir, x))
+    _ = float(chain(G, x))
     dt = (time.perf_counter() - t0) / iters
 
-    samples = C * N
-    msps = samples / dt / 1e6
-
-    # single-core CPU baseline estimate for the same chain (BASELINE.md):
-    # ~(2*256 FIR + 5*log2(4096) FFT) flops/sample at ~4 GFLOP/s sustained
+    msps = C * N / dt / 1e6
     cpu_baseline_msps = 12.0
-
     print(json.dumps({
         "metric": "fir256+fft4k chain throughput",
         "value": round(msps, 1),

@@ -1,0 +1,111 @@
+"""Pallas TPU kernel: fully fused FIR + framed periodogram.
+
+The complete BASELINE metric chain (256-tap FIR then 4096-point power
+spectra, accumulated) in ONE kernel: the FIR output never exists in HBM.
+
+Per grid step (channel c, chunk f):
+  1. FIR on a tile of TB*32 frames of 128 samples via the banded-Toeplitz
+     matmuls Y[r] = sum_d X[r-d] @ G_d (see ops/filter_rt.py), with the
+     previous chunk's trailing frames carried in VMEM scratch (the grid is
+     sequential per channel; scratch resets at each channel's first chunk —
+     zero initial filter state per channel, matching fir_filter semantics).
+  2. DFT-4096 of the filtered frames via the lane-friendly 32x128
+     Cooley-Tukey factorization (see periodogram.py).
+  3. |X|^2 accumulated into a per-channel (32,128) accumulator that stays
+     resident in VMEM across chunks (output revisiting).
+
+HBM traffic: one read of x + one tiny write of spectra — the chain's
+roofline.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import real_dtype
+from ..filter_rt import fir_toeplitz_mats
+from .periodogram import _factors, _N1, _N2, _NFFT, _TB
+
+__all__ = ["fir_periodogram4096"]
+
+_L = 128
+_ROWS = _TB * _N1          # frames of 128 per chunk (512 rows = 64k samples)
+
+
+def _kernel(x_ref, g_ref, f32r_ref, f32i_ref, f128r_ref, f128i_ref,
+            twr_ref, twi_ref, acc_ref, hist_ref):
+    f = pl.program_id(1)
+    D = g_ref.shape[0]
+
+    @pl.when(f == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        hist_ref[...] = jnp.zeros_like(hist_ref)
+
+    hp = jax.lax.Precision.HIGHEST
+    mm = functools.partial(jnp.einsum, precision=hp,
+                           preferred_element_type=jnp.float32)
+    dot = functools.partial(jnp.dot, precision=hp,
+                            preferred_element_type=jnp.float32)
+
+    x = x_ref[0]                             # (ROWS, 128)
+    # ---- stage 1: FIR as Toeplitz matmuls with carried history ----
+    acc_y = dot(x, g_ref[0])
+    for d in range(1, D):
+        top = dot(hist_ref[D - 1 - d:, :][: d, :], g_ref[d])
+        bot = dot(x[: _ROWS - d, :], g_ref[d])
+        acc_y = acc_y + jnp.concatenate([top, bot], axis=0)
+    if D > 1:
+        hist_ref[...] = x[_ROWS - (D - 1):, :]
+
+    # ---- stage 2: DFT-4096 + power accumulate ----
+    F32r, F32i = f32r_ref[...], f32i_ref[...]
+    F128r, F128i = f128r_ref[...], f128i_ref[...]
+    TWr, TWi = twr_ref[...], twi_ref[...]
+    Xm = acc_y.reshape(_TB, _N1, _N2)        # [frame, n1, n2]
+    Ar = mm("kn,bnm->bkm", F32r, Xm)
+    Ai = mm("kn,bnm->bkm", F32i, Xm)
+    Br = Ar * TWr - Ai * TWi
+    Bi = Ar * TWi + Ai * TWr
+    Xr = mm("bkn,qn->bkq", Br, F128r) - mm("bkn,qn->bkq", Bi, F128i)
+    Xi = mm("bkn,qn->bkq", Br, F128i) + mm("bkn,qn->bkq", Bi, F128r)
+    acc_ref[...] += jnp.sum(Xr * Xr + Xi * Xi, axis=0)[None]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fir_periodogram4096(x: jax.Array, G: jax.Array,
+                        interpret: bool = False) -> jax.Array:
+    """x: (C, N) float32 (N % 65536 == 0); G: (D, 128, 128) Toeplitz tap
+    matrices (fir_toeplitz_mats).  Returns (C, 4096) accumulated power
+    spectra of the FIR-filtered signal (zero initial state per channel)."""
+    C, N = x.shape
+    chunk = _ROWS * _L
+    assert N % chunk == 0, f"N must be a multiple of {chunk}"
+    nchunks = N // chunk
+    D = G.shape[0]
+    F32r, F32i, F128r, F128i, TWr, TWi = _factors()
+    const = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    acc = pl.pallas_call(
+        _kernel,
+        grid=(C, nchunks),
+        in_specs=[
+            pl.BlockSpec((1, _ROWS, _L), lambda c, f: (c, f, 0),
+                         memory_space=pltpu.VMEM),
+            const(), const(), const(), const(), const(), const(), const(),
+        ],
+        out_specs=pl.BlockSpec((1, _N1, _N2), lambda c, f: (c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, _N1, _N2), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((max(D - 1, 1), _L), jnp.float32)],
+        interpret=interpret,
+    )(x.reshape(C, nchunks * _ROWS, _L),
+      G.astype(jnp.float32), jnp.asarray(F32r), jnp.asarray(F32i),
+      jnp.asarray(F128r), jnp.asarray(F128i), jnp.asarray(TWr),
+      jnp.asarray(TWi))
+    return acc.swapaxes(-1, -2).reshape(C, _NFFT)
