@@ -1,3 +1,4 @@
-from . import (analog, ber, bitstream, carrier_rec, channel, clock_rec,  # noqa: F401
-               demod, detector, doa, equalizer, frame, kalman, lfsr,
-               modulator, snr, spread, stats, waveform)
+from . import (analog, ber, bitstream, carrier_rec, channel, channelizer,  # noqa: F401
+               clock_rec, clock_rec2, demod, demod_dec, demod_dec2,
+               detector, doa, equalizer, frame, imu, kalman, lfsr,
+               modulator, receivers, snr, spread, stats, waveform)

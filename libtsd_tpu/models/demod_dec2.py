@@ -1,0 +1,138 @@
+"""Pointer-based decision-directed demodulator: ONE symbol-rate scan.
+
+The fastest TPU formulation of the full synchronization loop: each scan
+step advances a fractional read pointer through the matched-filtered
+signal, interpolates the symbol + Gardner midpoint, applies NCO phase and
+AGC corrections, makes the decision, and updates the timing (Gardner),
+carrier (2nd-order DD loop) and gain trackers.  Sequential step count =
+number of SYMBOLS (the per-sample architecture runs osf x more steps, and
+the composed chain runs two scans).
+
+Same loop dynamics as demod_dec.py / the reference's DemodGen2
+(core/src/telecom/demod-dec.cc) with RecHorloge replaced by the pointer
+formulation (clock_rec2.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..block import Block
+from ..config import complex_dtype, real_dtype
+from ..ops.filter_rt import Fir
+from ..ops.iir_design import lexp_tc_to_coef
+from ..ops.resample import Interpolator, make_interpolator
+from .carrier_rec import LoopFilter2
+from .demod_dec import DecDemodConfig
+from .waveform import Waveform, symbol_indices_to_bits
+
+__all__ = ["DecisionDemod2"]
+
+
+class DecisionDemod2(Block):
+    """step(state, x) -> (state, (bits, symbols, valid, bit_valid)); output
+    length = len(x)//osf symbols (static)."""
+
+    itrp: Interpolator
+    mf: Fir
+    wf: Waveform
+    cfg: DecDemodConfig = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, wf: Waveform, cfg: DecDemodConfig) -> "DecisionDemod2":
+        return cls(itrp=make_interpolator(cfg.itrp),
+                   mf=wf.shaping.matched_filter(0, cfg.osf), wf=wf, cfg=cfg)
+
+    @property
+    def _timing_gain(self) -> float:
+        return self.cfg.osf * lexp_tc_to_coef(self.cfg.tc)
+
+    @property
+    def _agc_alpha(self) -> float:
+        return lexp_tc_to_coef(self.cfg.agc_tc)
+
+    def init(self):
+        lf = LoopFilter2(self.cfg.BL, self.cfg.eta)
+        return dict(
+            mf=self.mf.init(),
+            lf=lf.init(),
+            theta=jnp.zeros((), real_dtype),
+            gain=jnp.ones((), real_dtype),
+            ptr=jnp.asarray(self.cfg.osf / 2.0, real_dtype),
+            yprev_ri=jnp.zeros((2,), real_dtype),
+        )
+
+    def step(self, state, x: jax.Array):
+        cfg = self.cfg
+        osf = cfg.osf
+        K = self.itrp.K
+        lut = self.itrp.lut
+        nph = self.itrp.nphases
+        lf = LoopFilter2(cfg.BL, cfg.eta)
+        symbols = self.wf.symbols
+        tgain = self._timing_gain
+        aga = self._agc_alpha
+        n = x.shape[-1]
+        nsym = n // osf
+
+        mf_state, z = self.mf.step(state["mf"], x)
+        if cfg.agc_active:
+            rms_ref = jnp.sqrt(jnp.mean(jnp.abs(symbols) ** 2))
+            z = z * (rms_ref / jnp.sqrt(jnp.mean(jnp.abs(z) ** 2) + 1e-20))
+        zp = jnp.concatenate([jnp.zeros(K, z.dtype), z,
+                              jnp.zeros(K + osf, z.dtype)])
+
+        def interp_at(p):
+            ip = jnp.floor(p).astype(jnp.int32)
+            tau = p - ip.astype(real_dtype)
+            win = jax.lax.dynamic_slice(zp, (ip + 1,), (K,))
+            taps = lut[jnp.clip(jnp.round(tau * nph).astype(jnp.int32),
+                                0, nph)]
+            return jnp.sum(win * taps.astype(win.dtype))
+
+        def body(st, _):
+            p = st["ptr"]
+            rot = jnp.exp(-1j * st["theta"]).astype(complex_dtype)
+            y = interp_at(p) * rot * st["gain"]
+            ymid = interp_at(p - osf / 2.0) * rot * st["gain"]
+            yprev = (st["yprev_ri"][0] + 1j * st["yprev_ri"][1]
+                     ).astype(complex_dtype)
+            # decision
+            d2 = jnp.abs(y - symbols) ** 2
+            s_idx = jnp.argmin(d2).astype(jnp.int32)
+            ye = symbols[s_idx]
+            # Gardner timing from the corrected samples
+            e_t = jnp.real((y - yprev) * jnp.conj(ymid))
+            dec = jnp.clip(tgain * e_t, -osf / 4.0, osf / 4.0)
+            # carrier loop
+            e_ph = jnp.where(jnp.abs(y) > 0,
+                             jnp.angle(y * jnp.conj(ye)), 0.0)
+            lf_state, theta = lf.step(st["lf"], e_ph)
+            if not cfg.carrier_active:
+                lf_state, theta = st["lf"], st["theta"]
+            # AGC tracking
+            gain = st["gain"]
+            if cfg.agc_active:
+                eg = jnp.abs(y) / jnp.maximum(jnp.abs(ye), 1e-9)
+                gain = (1 - aga) * gain + aga / jnp.maximum(eg, 1e-9)
+            new = dict(
+                mf=st["mf"], lf=lf_state, theta=theta, gain=gain,
+                ptr=p + osf - (dec if cfg.clock_active else 0.0),
+                yprev_ri=jnp.stack([jnp.real(y), jnp.imag(y)]),
+            )
+            valid = p < n - K
+            return new, (y, s_idx, valid)
+
+        scan_state = dict(state)
+        scan_state["mf"] = mf_state
+        new_state, (syms, sidx, valid) = jax.lax.scan(
+            body, scan_state, None, length=nsym)
+        new_state["ptr"] = new_state["ptr"] - n
+        bits = symbol_indices_to_bits(sidx, self.wf.info.k)
+        bvalid = jnp.repeat(valid, self.wf.info.k)
+        return new_state, (bits, syms, valid, bvalid)

@@ -29,6 +29,9 @@ from ..ops.fir_design import fir_design_windowed, fir_lowpass
 from ..ops.iir_design import design_lexp
 from .carrier_rec import Cpll, CpllConfig
 from .clock_rec import ClockRec, ClockRecConfig
+from .clock_rec2 import ClockRec2
+from .demod_dec import DecDemodConfig
+from .demod_dec2 import DecisionDemod2
 from .demod import quadrature_discriminator
 from .modulator import ModConfig, Modulator
 from .waveform import PulseShape, Waveform, wf_qam
@@ -129,24 +132,52 @@ class Qam16Modem(struct.PyTreeNode):
     wf: Waveform
     mod: Modulator
     mf: Fir
-    cr: ClockRec
+    cr: Block
     pll: Cpll
+    dd2: DecisionDemod2
     osf: int = struct.field(pytree_node=False, default=4)
+    rx_mode: str = struct.field(pytree_node=False, default="composed")
 
     @classmethod
-    def create(cls, osf: int = 4, beta: float = 0.25) -> "Qam16Modem":
+    def create(cls, osf: int = 4, beta: float = 0.25,
+               clock: str = "ptr", rx_mode: str = "composed") -> "Qam16Modem":
         wf = wf_qam(16, PulseShape.rcs(beta))
         mod = Modulator.create(ModConfig(wf=wf, fe=float(osf), fsymb=1.0))
         mf = wf.shaping.matched_filter(0, osf)
-        cr = ClockRec.create(ClockRecConfig(osf=osf, tc=10.0))
+        # 'ptr' = symbol-rate pointer scan (osf x fewer scan steps, the TPU
+        # fast path); 'sample' = per-sample loop (streaming parity)
+        crc = ClockRecConfig(osf=osf, tc=10.0)
+        cr = ClockRec2.create(crc) if clock == "ptr" \
+            else ClockRec.create(crc)
         pll = Cpll(cfg=CpllConfig(ped="dec", M=16, order=2, BL=0.01), wf=wf)
-        return cls(wf=wf, mod=mod, mf=mf, cr=cr, pll=pll, osf=osf)
+        # rx_mode 'composed' (default): separate clock-recovery and PLL
+        # stages — Gardner runs at 2x symbol rate, robust on multi-ring
+        # QAM.  'fused': single symbol-rate scan fusing timing + carrier +
+        # AGC (DecisionDemod2) — ~2x fewer sequential steps; best for
+        # constant-modulus (PSK-class) waveforms, where Gardner self-noise
+        # is low (the reference notes the same Gardner/QAM caveat,
+        # clock-rec.cc:60)
+        dd2 = DecisionDemod2.create(
+            wf, DecDemodConfig(osf=osf, tc=10.0, BL=0.01, agc_tc=10.0))
+        return cls(wf=wf, mod=mod, mf=mf, cr=cr, pll=pll, dd2=dd2, osf=osf,
+                   rx_mode=rx_mode)
 
     def transmit(self, bits: jax.Array) -> jax.Array:
         return self.mod.modulate(bits)[0]
 
     def receive(self, x: jax.Array):
         """x: (n,) baseband samples -> (bits, symbols, mask, evm)."""
+        if self.rx_mode == "fused":
+            _, (bits, syms, mask, bmask) = self.dd2.step(self.dd2.init(), x)
+            nmask = jnp.sum(mask)
+            tail = jnp.where(jnp.arange(syms.shape[0]) >= nmask // 2,
+                             mask, False)
+            s = self.wf.symbols
+            d2 = jnp.min(jnp.abs(syms[..., None] - s) ** 2, axis=-1)
+            p_ref = jnp.mean(jnp.abs(s) ** 2)
+            ev = jnp.sqrt(jnp.sum(jnp.where(tail, d2, 0.0))
+                          / (jnp.maximum(jnp.sum(tail), 1) * p_ref))
+            return bits, syms, mask, ev
         _, z = self.mf.step(self.mf.init_for(x), x)
         _, (syms, mask) = self.cr.step(self.cr.init(), z)
         # AGC

@@ -167,3 +167,25 @@ def test_window_analysis():
     # Hann: ~-31 dB first sidelobe; rect: ~-13 dB
     assert 25 < a_hn.first_sidelobe_atten_db < 40
     assert 10 < a_re.first_sidelobe_atten_db < 16
+
+
+def test_decision_demod2_qpsk_fused():
+    """Single-scan pointer-based DD demod (DecisionDemod2) under combined
+    timing + frequency offset + noise."""
+    from libtsd_tpu.models.demod_dec2 import DecisionDemod2
+    from libtsd_tpu.models.demod_dec import DecDemodConfig as DC
+    wf = WF.wf_qpsk(WF.PulseShape.rcs(0.25))
+    mod = Modulator.create(ModConfig(wf=wf, fe=4.0, fsymb=1.0))
+    bits = randbits(jax.random.PRNGKey(40), 2 * 3000)
+    x, _ = mod.modulate(bits)
+    x = delay_signal(x, 1.7)
+    x = x * jnp.exp(2j * jnp.pi * 2e-4 *
+                    jnp.arange(x.shape[0])).astype(jnp.complex64)
+    x = CH.awgn(jax.random.PRNGKey(41), x, 15.0, osf=4, k_bits=2)
+    dd = DecisionDemod2.create(wf, DC(osf=4))
+    _, (rb, syms, mask, bmask) = dd.step(dd.init(), x)
+    rbn = np.asarray(rb)[np.asarray(bmask)]
+    ber, errs, lag = BER.cmp_bits_psk(bits[2 * 800:],
+                                      jnp.asarray(rbn[2 * 800:]), 2,
+                                      max_lag=64)
+    assert ber < 0.01, (ber, errs)

@@ -118,3 +118,31 @@ def test_clock_rec_plus_decode():
     ber, errs, lag = BER.cmp_bits_psk(bits[600:], jnp.asarray(rx_bits), 2,
                                       max_lag=32)
     assert ber < 0.05, (ber, errs)
+
+
+def test_clock_rec2_pointer_variant():
+    """Pointer-based (symbol-rate scan) clock recovery: same scenario as
+    the per-sample loop, must converge at least as tightly."""
+    from libtsd_tpu.models.clock_rec2 import ClockRec2
+    key = jax.random.PRNGKey(3)
+    osf = 4
+    wf = WF.wf_qpsk(WF.PulseShape.rcs(0.3))
+    nsym = 1500
+    bits = randbits(key, 2 * nsym)
+    mod = Modulator.create(ModConfig(wf=wf, fe=float(osf), fsymb=1.0))
+    x, _ = mod.modulate(bits)
+    mf = wf.shaping.matched_filter(0, osf)
+    _, z = mf.step(mf.init_for(x), x)
+    from libtsd_tpu.ops.fft import delay_signal
+    z = delay_signal(z, 1.45 * osf)
+    cr = ClockRec2.create(ClockRecConfig(osf=osf, tc=8.0))
+    _, (syms, mask) = cr.step(cr.init(), z)
+    syms = np.asarray(syms)[np.asarray(mask)]
+    syms = syms / np.sqrt(np.mean(np.abs(syms) ** 2))
+    rx_bits = wf.decode_symbols(jnp.asarray(syms[300:]))
+    ber, errs, lag = BER.cmp_bits_psk(bits[600:], jnp.asarray(rx_bits), 2,
+                                      max_lag=32)
+    assert ber < 0.01, (ber, errs)
+    d = np.abs(syms[400:][:, None]
+               - np.asarray(wf.symbols)[None, :]).min(axis=1)
+    assert d.mean() < 0.15, d.mean()
