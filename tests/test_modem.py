@@ -187,3 +187,49 @@ def test_demod_pi4_qpsk_loop():
                                       jnp.asarray(rbn[2 * 800:]), 2,
                                       max_lag=64)
     assert ber < 0.01, (ber, errs)
+
+
+def test_demod_with_if_transposition():
+    """Demodulator's baseband-transposition path (fi != 0)."""
+    wf = WF.wf_qpsk(WF.PulseShape.rcs(0.25))
+    fi = 1.0  # IF at fe/4
+    mod = Modulator.create(ModConfig(wf=wf, fe=4.0, fi=fi, fsymb=1.0))
+    bits = randbits(jax.random.PRNGKey(50), 2 * 2000)
+    x, _ = mod.modulate(bits)
+    y = CH.awgn(jax.random.PRNGKey(51), x, 18.0, osf=4, k_bits=2)
+    dm = Demodulator.create(DemodConfig(wf=wf, fe=4.0, fi=fi, fsymb=1.0))
+    rb, syms, mask, bmask = dm.demodulate(y)
+    rbn = np.asarray(rb)[np.asarray(bmask)]
+    ber, errs, lag = BER.cmp_bits_psk(bits[2 * 800:],
+                                      jnp.asarray(rbn[2 * 800:]), 2,
+                                      max_lag=64)
+    assert ber < 0.01, (ber, errs)
+
+
+def test_receiver_streaming_two_blocks(frame_setup):
+    """A frame fully inside the SECOND block must be caught by the
+    streaming receiver with carried state."""
+    wf, fmt = frame_setup
+    tx = Transmitter.create(fmt)
+    payload = randbits(jax.random.PRNGKey(60), 256)
+    frame = tx.transmit(payload)
+    rx = Receiver.create(fmt, DetectorConfig(threshold=0.5))
+    Ne = rx.det.corr.Ne
+    nblk = ((2048 + Ne - 1) // Ne) * Ne
+    blk1 = jnp.zeros(nblk, jnp.complex64) + 0.01 * (
+        jax.random.normal(jax.random.PRNGKey(61), (nblk,))
+        + 1j * jax.random.normal(jax.random.PRNGKey(62), (nblk,)))
+    blk2 = jnp.zeros(nblk, jnp.complex64).at[
+        300:300 + frame.shape[0]].add(frame) + 0.01 * (
+        jax.random.normal(jax.random.PRNGKey(63), (nblk,))
+        + 1j * jax.random.normal(jax.random.PRNGKey(64), (nblk,)))
+    st = rx.init()
+    st, f1 = rx.step(st, blk1)
+    st, f2 = rx.step(st, blk2)
+    assert not np.asarray(f1.valid).any()
+    v2 = np.asarray(f2.valid)
+    assert v2.any()
+    i = int(np.argmax(v2))
+    assert abs(int(f2.detection.position[i]) - 310) <= 1
+    ber, errs, _ = BER.cmp_bits(payload, jnp.asarray(f2.bits[i]), 4)
+    assert errs == 0
