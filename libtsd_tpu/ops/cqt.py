@@ -11,13 +11,11 @@ no per-bin loops at runtime.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import complex_dtype, real_dtype
+from ..config import real_dtype
 
 __all__ = ["CqtKernel", "cqt_kernel", "cqt", "cqt_freqs"]
 

@@ -12,7 +12,6 @@ from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import complex_dtype, real_dtype
 

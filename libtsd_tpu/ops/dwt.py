@@ -14,8 +14,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import real_dtype
-
 __all__ = ["wavelet_filters", "dwt_level", "idwt_level", "dwt", "idwt",
            "dwt2", "idwt2"]
 

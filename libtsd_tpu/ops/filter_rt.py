@@ -24,7 +24,7 @@ All blocks accept batched inputs with leading channel axes where documented.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

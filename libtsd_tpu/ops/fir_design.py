@@ -10,7 +10,7 @@ Design runs once on host; returned coefficient arrays feed the JAX runtime.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

@@ -9,8 +9,6 @@ provides directly — thin wrappers keep the reference's conventions
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 __all__ = [

@@ -10,12 +10,10 @@ evaluation is both faster and drift-free, so that is the implementation here
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..block import Block
 from ..config import complex_dtype, real_dtype

@@ -9,11 +9,8 @@ trivially parallel on TPU.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import struct
 
 from ..block import Block
