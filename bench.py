@@ -15,10 +15,15 @@ dependency between them, and the result is reduced to a scalar that is read
 back — client-side async-dispatch artifacts (the axon relay makes plain
 block_until_ready unreliable) cannot fake this number.
 
-vs_baseline: the reference publishes no numbers (BASELINE.md); the recorded
-ratio is measured throughput / single-core CPU estimate of the same chain
-(libtsd-class C++ at ~(2*256 + 5*log2 4096) flops/sample, ~4 GFLOP/s
-sustained ~= 12 Msamp/s).
+Precision: the kernel runs in split precision (FIR at HIGHEST, DFT stages
+as native bf16 MXU passes), which tests/test_pallas.py verifies stays
+within the reference's own large-n FFT tolerance of 1e-2
+(/root/reference/core/tests/test-fourier.cc:256).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); the ratio is
+measured against a real single-thread CPU run of the same chain on this
+host (scipy.signal.lfilter + numpy framed |FFT|^2 — the same libtsd-class
+algorithmic structure), measured fresh each bench run.
 """
 import json
 import sys
@@ -57,7 +62,8 @@ def main():
     def chain(G, xin):
         def body(i, carry):
             acc, g = carry
-            acc = acc + fir_periodogram4096(xin, g, interpret=interpret)
+            acc = acc + fir_periodogram4096(xin, g, interpret=interpret,
+                                            precision="split")
             # data dependency across iterations through the taps
             g = g + jnp.mean(acc) * 1e-24
             return acc, g
@@ -71,13 +77,41 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     msps = C * N / dt / 1e6
-    cpu_baseline_msps = 12.0
+    cpu_baseline_msps = measure_cpu_baseline(np.asarray(h, np.float64))
     print(json.dumps({
         "metric": "fir256+fft4k chain throughput",
         "value": round(msps, 1),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(msps / cpu_baseline_msps, 2),
+        "cpu_baseline_msps": round(cpu_baseline_msps, 2),
     }))
+
+
+def measure_cpu_baseline(h: np.ndarray) -> float:
+    """Single-thread CPU throughput (Msamples/s) of the same 256-tap FIR +
+    framed 4096-pt |FFT|^2 chain: scipy.signal.lfilter + numpy pocketfft
+    (both single-threaded) — an honest stand-in for the reference's
+    single-threaded C++ (/root/reference/core/src/filtrage/filtre-rt.cc:67,
+    core/src/fourier/fourier.cc:61)."""
+    from scipy.signal import lfilter
+
+    rng = np.random.default_rng(1)
+    N = 1 << 21
+    x = rng.standard_normal(N).astype(np.float32)
+    hf = h.astype(np.float32)
+
+    def run():
+        y = lfilter(hf, 1.0, x)
+        frames = y.reshape(-1, 4096)
+        return np.sum(np.abs(np.fft.fft(frames, axis=1)) ** 2, axis=0)
+
+    run()  # warmup (cache pocketfft plan)
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return N / best / 1e6
 
 
 if __name__ == "__main__":

@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...config import real_dtype
 from ..filter_rt import fir_toeplitz_mats
-from .periodogram import _factors, _N1, _N2, _NFFT, _TB
+from .periodogram import _dft_mm, _factors, _N1, _N2, _NFFT, _TB
 
 __all__ = ["fir_periodogram4096"]
 
@@ -39,7 +39,7 @@ _ROWS = _TB * _N1          # frames of 128 per chunk (512 rows = 64k samples)
 
 
 def _kernel(x_ref, g_ref, f32r_ref, f32i_ref, f128r_ref, f128i_ref,
-            twr_ref, twi_ref, acc_ref, hist_ref):
+            twr_ref, twi_ref, acc_ref, hist_ref, *, split: bool = False):
     f = pl.program_id(1)
     D = g_ref.shape[0]
 
@@ -49,17 +49,35 @@ def _kernel(x_ref, g_ref, f32r_ref, f32i_ref, f128r_ref, f128i_ref,
         hist_ref[...] = jnp.zeros_like(hist_ref)
 
     hp = jax.lax.Precision.HIGHEST
-    mm = functools.partial(jnp.einsum, precision=hp,
-                           preferred_element_type=jnp.float32)
+    mm = _dft_mm(split)
     dot = functools.partial(jnp.dot, precision=hp,
                             preferred_element_type=jnp.float32)
 
     x = x_ref[0]                             # (ROWS, 128)
     # ---- stage 1: FIR as Toeplitz matmuls with carried history ----
-    acc_y = dot(x, g_ref[0])
+    # split precision: FIR via a manual 3-pass bf16 hi/lo decomposition
+    # (a@b ~ ah@bh + al@bh + ah@bl, dropping the ~2^-18 al@bl term) —
+    # near-fp32 accuracy at half the MXU passes of HIGHEST; the DFT
+    # stages run single-pass bf16 (see _dft_mm).
+    if split:
+        f32 = jnp.float32
+        xh = x.astype(jnp.bfloat16)
+        xl = (x - xh.astype(f32)).astype(jnp.bfloat16)
+
+        def fdot(sl, g):
+            gh = g.astype(jnp.bfloat16)
+            gl = (g - gh.astype(f32)).astype(jnp.bfloat16)
+            return (jnp.dot(xh[sl], gh, preferred_element_type=f32)
+                    + jnp.dot(xl[sl], gh, preferred_element_type=f32)
+                    + jnp.dot(xh[sl], gl, preferred_element_type=f32))
+    else:
+        fdot = lambda sl, g: dot(x[sl], g)
+
+    acc_y = fdot(slice(None), g_ref[0])
     for d in range(1, D):
+        # history rows are a tiny (d,128) matmul — keep at HIGHEST
         top = dot(hist_ref[D - 1 - d:, :][: d, :], g_ref[d])
-        bot = dot(x[: _ROWS - d, :], g_ref[d])
+        bot = fdot(slice(0, _ROWS - d), g_ref[d])
         acc_y = acc_y + jnp.concatenate([top, bot], axis=0)
     if D > 1:
         hist_ref[...] = x[_ROWS - (D - 1):, :]
@@ -78,21 +96,30 @@ def _kernel(x_ref, g_ref, f32r_ref, f32i_ref, f128r_ref, f128i_ref,
     acc_ref[...] += jnp.sum(Xr * Xr + Xi * Xi, axis=0)[None]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
 def fir_periodogram4096(x: jax.Array, G: jax.Array,
-                        interpret: bool = False) -> jax.Array:
+                        interpret: bool = False,
+                        precision: str = "highest") -> jax.Array:
     """x: (C, N) float32 (N % 65536 == 0); G: (D, 128, 128) Toeplitz tap
     matrices (fir_toeplitz_mats).  Returns (C, 4096) accumulated power
-    spectra of the FIR-filtered signal (zero initial state per channel)."""
+    spectra of the FIR-filtered signal (zero initial state per channel).
+
+    precision: "highest" runs every matmul as 6-pass fp32 emulation;
+    "split" runs the FIR as a 3-pass bf16 hi/lo decomposition (~1e-5
+    relative, near-fp32) and the DFT stages as native single-pass bf16
+    matmuls — within the reference's own 1e-2 large-n FFT tolerance
+    (/root/reference/core/tests/test-fourier.cc:256) at a fraction of the
+    MXU passes (see tests/test_pallas.py accuracy tests)."""
     C, N = x.shape
     chunk = _ROWS * _L
     assert N % chunk == 0, f"N must be a multiple of {chunk}"
+    assert precision in ("highest", "split")
     nchunks = N // chunk
     D = G.shape[0]
     F32r, F32i, F128r, F128i, TWr, TWi = _factors()
     const = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     acc = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, split=(precision == "split")),
         grid=(C, nchunks),
         in_specs=[
             pl.BlockSpec((1, _ROWS, _L), lambda c, f: (c, f, 0),

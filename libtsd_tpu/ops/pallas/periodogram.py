@@ -53,17 +53,29 @@ def _factors():
             f32(TW.real), f32(TW.imag))
 
 
+def _dft_mm(split: bool):
+    """DFT-stage matmul: 6-pass fp32 emulation (HIGHEST) or single-pass
+    bf16 inputs with fp32 accumulation (the MXU's native mode).  Explicit
+    bfloat16 casts (rather than Precision.DEFAULT) pin the numerics so CPU
+    interpret mode and Mosaic agree."""
+    if split:
+        return lambda s, a, b: jnp.einsum(
+            s, a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+    return functools.partial(jnp.einsum,
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+
+
 def _kernel(y_ref, f32r_ref, f32i_ref, f128r_ref, f128i_ref,
-            twr_ref, twi_ref, acc_ref):
+            twr_ref, twi_ref, acc_ref, *, split: bool = False):
     f = pl.program_id(1)
 
     @pl.when(f == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    hp = jax.lax.Precision.HIGHEST
-    mm = functools.partial(jnp.einsum, precision=hp,
-                           preferred_element_type=jnp.float32)
+    mm = _dft_mm(split)
     F32r, F32i = f32r_ref[...], f32i_ref[...]
     F128r, F128i = f128r_ref[...], f128i_ref[...]
     TWr, TWi = twr_ref[...], twi_ref[...]
@@ -80,18 +92,25 @@ def _kernel(y_ref, f32r_ref, f32i_ref, f128r_ref, f128i_ref,
     acc_ref[...] += jnp.sum(P, axis=0)[None]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def periodogram4096_acc(y: jax.Array, interpret: bool = False) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
+def periodogram4096_acc(y: jax.Array, interpret: bool = False,
+                        precision: str = "highest") -> jax.Array:
     """y: (C, N) float32 with N % (TB*4096) == 0 -> (C, 4096) accumulated
     power spectra (sum over N/4096 frames, unnormalized |FFT|^2, natural
-    bin order)."""
+    bin order).
+
+    precision: "highest" (6-pass fp32 matmuls) or "split" (bf16 single-pass
+    DFT stages, ~6x fewer MXU passes in the DFT; relative error stays
+    within the reference's own large-n FFT tolerance of 1e-2,
+    /root/reference/core/tests/test-fourier.cc:256)."""
     C, N = y.shape
     assert N % (_TB * _NFFT) == 0, f"N must be a multiple of {_TB * _NFFT}"
+    assert precision in ("highest", "split")
     nchunks = N // (_TB * _NFFT)
     F32r, F32i, F128r, F128i, TWr, TWi = _factors()
     const = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     acc = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, split=(precision == "split")),
         grid=(C, nchunks),
         in_specs=[
             pl.BlockSpec((1, _TB * _N1, _N2), lambda c, f: (c, f, 0),

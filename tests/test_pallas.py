@@ -56,6 +56,39 @@ def test_fused_chain_kernel():
     assert np.max(np.abs(acc - ref)) / ref.max() < 1e-5
 
 
+def test_fused_chain_split_precision_accuracy():
+    """Split precision (bf16 DFT stages, fp32 FIR) must stay within the
+    reference's own large-n FFT tolerance of 1e-2 relative error
+    (/root/reference/core/tests/test-fourier.cc:256).  The bf16 casts are
+    explicit inside the kernel, so interpret mode exercises the exact
+    TPU numerics."""
+    h = fir_lowpass(256, 0.2)
+    G = jnp.asarray(fir_toeplitz_mats(np.asarray(h, np.float64)),
+                    jnp.float32)
+    C, N = 2, 2 * 65536
+    x = jnp.asarray(rng.standard_normal((C, N)), jnp.float32)
+    acc = np.asarray(
+        fir_periodogram4096(x, G, interpret=True, precision="split"))
+    y = np.asarray(fir_filter(h, x), np.float64)
+    ref = np.zeros((C, 4096))
+    for c in range(C):
+        for f in range(N // 4096):
+            ref[c] += np.abs(np.fft.fft(y[c, f * 4096:(f + 1) * 4096])) ** 2
+    rel = np.max(np.abs(acc - ref)) / ref.max()
+    assert rel < 1e-2, rel
+
+
+def test_periodogram_split_precision_accuracy():
+    y = jnp.asarray(rng.standard_normal((1, 16 * 4096)), jnp.float32)
+    acc = np.asarray(periodogram4096_acc(y, interpret=True,
+                                         precision="split"))
+    yn = np.asarray(y, np.float64)
+    ref = np.zeros((1, 4096))
+    for f in range(16):
+        ref[0] += np.abs(np.fft.fft(yn[0, f * 4096:(f + 1) * 4096])) ** 2
+    assert np.max(np.abs(acc - ref)) / ref.max() < 1e-2
+
+
 def test_fused_chain_multi_chunk_state():
     """FIR history must carry across chunks within a channel."""
     h = fir_lowpass(200, 0.15)
