@@ -38,15 +38,18 @@ _L = 128
 _ROWS = _TB * _N1          # frames of 128 per chunk (512 rows = 64k samples)
 
 
-def _kernel(x_ref, g_ref, f32r_ref, f32i_ref, f128r_ref, f128i_ref,
-            twr_ref, twi_ref, acc_ref, hist_ref, *, split: bool = False):
+def _kernel(x_ref, g_ref, hist0_ref, f32r_ref, f32i_ref, f128r_ref,
+            f128i_ref, twr_ref, twi_ref, acc_ref, hist_ref, *,
+            split: bool = False):
     f = pl.program_id(1)
     D = g_ref.shape[0]
 
     @pl.when(f == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
-        hist_ref[...] = jnp.zeros_like(hist_ref)
+        # initial FIR state: zeros for a fresh signal, or the left
+        # neighbor's tail when the time axis is sharded (parallel/halo.py)
+        hist_ref[...] = hist0_ref[0]
 
     hp = jax.lax.Precision.HIGHEST
     mm = _dft_mm(split)
@@ -98,11 +101,17 @@ def _kernel(x_ref, g_ref, f32r_ref, f32i_ref, f128r_ref, f128i_ref,
 
 @functools.partial(jax.jit, static_argnames=("interpret", "precision"))
 def fir_periodogram4096(x: jax.Array, G: jax.Array,
+                        hist0: jax.Array | None = None,
                         interpret: bool = False,
                         precision: str = "highest") -> jax.Array:
     """x: (C, N) float32 (N % 65536 == 0); G: (D, 128, 128) Toeplitz tap
     matrices (fir_toeplitz_mats).  Returns (C, 4096) accumulated power
     spectra of the FIR-filtered signal (zero initial state per channel).
+
+    hist0: optional (C, max(D-1,1), 128) initial FIR history per channel
+    (the last (D-1)*128 input samples preceding x) — used by the sharded
+    time-parallel wrapper (parallel/halo.py) to hand each time shard its
+    left neighbor's tail.  None = zero initial state.
 
     precision: "highest" runs every matmul as 6-pass fp32 emulation;
     "split" runs the FIR as a 3-pass bf16 hi/lo decomposition (~1e-5
@@ -116,6 +125,10 @@ def fir_periodogram4096(x: jax.Array, G: jax.Array,
     assert precision in ("highest", "split")
     nchunks = N // chunk
     D = G.shape[0]
+    H = max(D - 1, 1)
+    if hist0 is None:
+        hist0 = jnp.zeros((C, H, _L), jnp.float32)
+    assert hist0.shape == (C, H, _L), hist0.shape
     F32r, F32i, F128r, F128i, TWr, TWi = _factors()
     const = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     acc = pl.pallas_call(
@@ -124,15 +137,19 @@ def fir_periodogram4096(x: jax.Array, G: jax.Array,
         in_specs=[
             pl.BlockSpec((1, _ROWS, _L), lambda c, f: (c, f, 0),
                          memory_space=pltpu.VMEM),
-            const(), const(), const(), const(), const(), const(), const(),
+            const(),
+            pl.BlockSpec((1, H, _L), lambda c, f: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const(), const(), const(), const(), const(), const(),
         ],
         out_specs=pl.BlockSpec((1, _N1, _N2), lambda c, f: (c, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C, _N1, _N2), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((max(D - 1, 1), _L), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((H, _L), jnp.float32)],
         interpret=interpret,
     )(x.reshape(C, nchunks * _ROWS, _L),
-      G.astype(jnp.float32), jnp.asarray(F32r), jnp.asarray(F32i),
+      G.astype(jnp.float32), hist0.astype(jnp.float32),
+      jnp.asarray(F32r), jnp.asarray(F32i),
       jnp.asarray(F128r), jnp.asarray(F128i), jnp.asarray(TWr),
       jnp.asarray(TWi))
     return acc.swapaxes(-1, -2).reshape(C, _NFFT)

@@ -51,9 +51,15 @@ class Rng:
     ergonomic equivalent of the reference's ``generateur_aleatoire`` global."""
 
     def __init__(self, seed: int = 0):
-        self._key = jax.random.PRNGKey(seed)
+        # lazy: creating a PRNGKey materializes a device array, which would
+        # initialize the XLA backend at import time and break
+        # jax.distributed.initialize (parallel/launch.py)
+        self._seed = seed
+        self._key = None
 
     def next_key(self):
+        if self._key is None:
+            self._key = jax.random.PRNGKey(self._seed)
         self._key, sub = jax.random.split(self._key)
         return sub
 

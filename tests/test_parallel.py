@@ -71,3 +71,55 @@ def test_sharded_jit_compiles():
     assert y.shape == (8, 512)
     # output sharding preserved
     assert y.sharding.spec == channel_sharding(mesh).spec
+
+
+def test_sharded_fused_chain_matches_unsharded():
+    """The flagship composition: Pallas FIR+periodogram kernel under
+    shard_map over ("chan","time") with halo exchange must equal the
+    single-device kernel (and the numpy oracle)."""
+    from libtsd_tpu.ops.filter_rt import fir_toeplitz_mats
+    from libtsd_tpu.ops.pallas.chain import fir_periodogram4096
+    from libtsd_tpu.parallel import sharded_fir_periodogram4096
+
+    mesh = make_mesh(chan=2, time=4)
+    h = FD.fir_lowpass(200, 0.15)
+    G = jnp.asarray(fir_toeplitz_mats(np.asarray(h, np.float64)), jnp.float32)
+    C, N = 4, 4 * 65536          # 65536 per time shard (one kernel chunk)
+    x = jnp.asarray(rng.standard_normal((C, N)), jnp.float32)
+    xs = jax.device_put(x, channel_sharding(mesh))
+
+    acc_sh = np.asarray(sharded_fir_periodogram4096(
+        mesh, xs, G, precision="highest", interpret=True))
+    acc_1dev = np.asarray(fir_periodogram4096(
+        x, G, interpret=True, precision="highest"))
+    # identical math modulo fp32 re-association of the per-shard sums
+    assert np.max(np.abs(acc_sh - acc_1dev)) / acc_1dev.max() < 1e-5
+
+    y = np.asarray(FR.fir_filter(h, x), np.float64)
+    ref = np.zeros((C, 4096))
+    for c in range(C):
+        for f in range(N // 4096):
+            ref[c] += np.abs(np.fft.fft(y[c, f * 4096:(f + 1) * 4096])) ** 2
+    assert np.max(np.abs(acc_sh - ref)) / ref.max() < 1e-4
+
+
+def test_sharded_fused_chain_split_precision():
+    """Split precision under the mesh stays inside the reference's 1e-2
+    large-n FFT tolerance (/root/reference/core/tests/test-fourier.cc:256)."""
+    from libtsd_tpu.ops.filter_rt import fir_toeplitz_mats
+    from libtsd_tpu.parallel import sharded_fir_periodogram4096
+
+    mesh = make_mesh(chan=4, time=2)
+    h = FD.fir_lowpass(128, 0.2)
+    G = jnp.asarray(fir_toeplitz_mats(np.asarray(h, np.float64)), jnp.float32)
+    C, N = 4, 2 * 65536
+    x = jnp.asarray(rng.standard_normal((C, N)), jnp.float32)
+    xs = jax.device_put(x, channel_sharding(mesh))
+    acc = np.asarray(sharded_fir_periodogram4096(
+        mesh, xs, G, precision="split", interpret=True))
+    y = np.asarray(FR.fir_filter(h, x), np.float64)
+    ref = np.zeros((C, 4096))
+    for c in range(C):
+        for f in range(N // 4096):
+            ref[c] += np.abs(np.fft.fft(y[c, f * 4096:(f + 1) * 4096])) ** 2
+    assert np.max(np.abs(acc - ref)) / ref.max() < 1e-2
