@@ -25,12 +25,14 @@ from flax import struct
 from ..block import Block
 from ..config import complex_dtype, from_ri, real_dtype, to_ri
 from ..ops.filter_rt import Fir
+from ..ops.resample import Interpolator, make_interpolator
 from .carrier_rec import Cpll, CpllConfig
 from .detector import Detection, Detector, DetectorConfig
 from .modulator import ModConfig, Modulator
 from .waveform import Waveform, symbol_indices_to_bits
 
-__all__ = ["FrameFormat", "Transmitter", "Receiver", "FrameRx"]
+__all__ = ["FrameFormat", "Transmitter", "Receiver", "FrameRx",
+           "MonitoredReceiver"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,21 +99,27 @@ class Receiver(Block):
     mf: Fir
     pll: Cpll
     wf: Waveform
+    itp: Interpolator
     fmt: FrameFormat = struct.field(pytree_node=False)
     header_samples_ri: jax.Array
     nsym_header: int = struct.field(pytree_node=False)
     nsym_payload: int = struct.field(pytree_node=False)
     frame_len: int = struct.field(pytree_node=False)
     mod_delay: float = struct.field(pytree_node=False)
+    dt_mod: float = struct.field(pytree_node=False)  # δt_modulateur
 
     @classmethod
     def create(cls, fmt: FrameFormat,
                det_cfg: DetectorConfig = DetectorConfig()) -> "Receiver":
         wf = fmt.modulation.wf
         osf = fmt.modulation.osf
-        # header reference waveform (shaped)
+        # header reference waveform (shaped), generated at BASEBAND: for an
+        # IF signal (fi != 0) the receiver mixes to baseband first
+        # (recepteur.cc:236-238 sets fi=0 on the data demod for the same
+        # reason), so the detection pattern is always baseband
         hdr_bits = jnp.asarray(fmt.header_bits, jnp.int8)
-        mod = Modulator.create(fmt.modulation)
+        mod_bb = dataclasses.replace(fmt.modulation, fi=0.0)
+        mod = Modulator.create(mod_bb)
         # jit the factory-time modulation with the modulator passed as a
         # pytree ARGUMENT (closure capture would embed device constants,
         # which some TPU runtimes cannot read back); eager op-by-op
@@ -125,19 +133,26 @@ class Receiver(Block):
         nsym_header = len(fmt.header_bits) // wf.info.k
         nsym_payload = fmt.payload_bits // wf.info.k
         d = int(round(mod.delay))
+        # non-integer modulator latency: the pattern starts dt_mod samples
+        # AFTER the first symbol center (δt_modulateur, recepteur.cc:95,249)
+        dt_mod = d - mod.delay
         hdr_ref = hdr_wave[d:d + nsym_header * osf]
         mf = wf.shaping.matched_filter(fmt.modulation.ncoefs, osf)
         frame_len = (nsym_header + nsym_payload) * osf + 2 * int(mf.delay) + osf
         det = Detector.create(np.asarray(hdr_ref), det_cfg)
         pll = Cpll(cfg=CpllConfig(ped="dec", M=wf.info.M, order=2, BL=0.02),
                    wf=wf)
+        # fractional-delay interpolator bank (parity: itrp_sinc + regle_delais,
+        # recepteur.cc:131-160, itrp.cc:11-57); fcut 0.45 per recepteur.cc:293
+        itp = make_interpolator("sinc", ncoefs=15, nphases=256,
+                                fcut=0.45 if osf > 1 else 0.5)
         fmt_static = dataclasses.replace(
             fmt, modulation=dataclasses.replace(fmt.modulation, wf=None))
-        return cls(det=det, mf=mf, pll=pll, wf=wf, fmt=fmt_static,
+        return cls(det=det, mf=mf, pll=pll, wf=wf, itp=itp, fmt=fmt_static,
                    header_samples_ri=to_ri(hdr_ref),
                    nsym_header=nsym_header,
                    nsym_payload=nsym_payload, frame_len=frame_len,
-                   mod_delay=mod.delay)
+                   mod_delay=mod.delay, dt_mod=dt_mod)
 
     def init(self):
         return dict(
@@ -145,56 +160,96 @@ class Receiver(Block):
             # carried raw samples so frames straddling block edges survive:
             # keep frame_len + M history
             hist=jnp.zeros((self.frame_len + self.det.M,), complex_dtype),
+            # sample counter for the IF mixer NCO (fi != 0 path)
+            n0=jnp.zeros((), jnp.int32),
         )
 
-    def step(self, state, x: jax.Array):
+    def _front(self, state, x: jax.Array):
+        """Stage 1 (mon 'recepteur/ola'): IF mixdown + header detection.
+        Returns (new_state, dets, buf) where buf = [hist | x] baseband."""
+        fi = self.fmt.modulation.fi
+        if fi != 0.0:
+            # mix to baseband with a phase-continuous NCO (fi != 0 path;
+            # the reference pushes fi into its demod config instead,
+            # recepteur.cc:236-238 — a front-end mixer is the TPU-friendly
+            # equivalent: one vectorized rotation, everything downstream
+            # stays baseband)
+            f = fi / self.fmt.modulation.fe
+            n = state["n0"] + jnp.arange(x.shape[-1])
+            x = x * jnp.exp(-2j * jnp.pi * f * n).astype(complex_dtype)
+        n0 = state["n0"] + x.shape[-1]
+        dstate, (dets, score) = self.det.step(state["det"], x)
+        buf = jnp.concatenate([state["hist"], x])
+        new_state = dict(det=dstate, hist=buf[-state["hist"].shape[0]:],
+                         n0=n0)
+        return new_state, dets, buf
+
+    def _extract_all(self, buf, dets):
+        """Stage 2 (mon 'recepteur/demod'): per-detection frame extraction,
+        fractional-delay correction, matched filter, decisions."""
         cfg = self.fmt
         osf = cfg.modulation.osf
         k = self.wf.info.k
-        H = state["hist"].shape[0]
-        dstate, (dets, score) = self.det.step(state["det"], x)
-        # extraction buffer: [history | x]
-        buf = jnp.concatenate([state["hist"], x])
+        H = self.frame_len + self.det.M
+        K = self.itp.K
 
         def extract(pos, frac, gain, theta, valid):
-            # pos is relative to current block; in buf it's at pos + H
-            start = jnp.clip(pos + H, 0, buf.shape[0] - self.frame_len)
-            fr = jax.lax.dynamic_slice_in_dim(buf, start, self.frame_len)
+            # effective fractional timing: detector sub-sample refinement
+            # minus the pattern's own fractional start offset
+            eff = frac - self.dt_mod
+            fshift = jnp.floor(eff)
+            tau = eff - fshift                  # in [0, 1)
+            # pos is relative to current block; in buf it's at pos + H.
+            # slice K//2 early to feed the interpolator's left support
+            start = pos + H + fshift.astype(jnp.int32) - K // 2
+            start = jnp.clip(start, 0, buf.shape[0] - (self.frame_len + K))
+            fr = jax.lax.dynamic_slice_in_dim(buf, start, self.frame_len + K)
             # RF corrections from the header detection
             fr = fr * jnp.exp(-1j * theta).astype(complex_dtype) / \
                 jnp.maximum(gain, 1e-6)
+            # fractional-delay interpolation: y[n] = buf(pos + n + eff)
+            # via the windowed-sinc phase LUT (parity: regle_delais +
+            # filtre_itrp, recepteur.cc:131-160,672)
+            taps = self.itp.taps(tau).astype(real_dtype)
+            y = jnp.correlate(fr, taps.astype(complex_dtype), mode="valid")
+            y = y[: self.frame_len]
             # matched filter
-            _, z = self.mf.step(self.mf.init_for(fr), fr)
+            _, z = self.mf.step(self.mf.init_for(y), y)
             # symbols at header-derived timing: first symbol center at
-            # mf.delay (pattern starts at 0 in fr)
+            # mf.delay (pattern starts at 0 in y after interpolation)
             d0 = int(self.mf.delay)
             sym_idx = d0 + osf * jnp.arange(self.nsym_header
                                             + self.nsym_payload)
             syms = z[sym_idx]
-            # residual fine phase from the known header symbols
-            hdr_syms = syms[: self.nsym_header]
-            # decision PLL over the whole frame
+            # decision PLL over the whole frame tracks residual phase
             _, syms_c = self.pll.step(self.pll.init(), syms)
             pay = syms_c[self.nsym_header:]
             idx = self.wf.closest(pay)
             bits = symbol_indices_to_bits(idx, k)
-            # Eb/N0 estimate from header error vector
-            ref = self.wf.make_symbols(
+            # Eb/N0 from the full-frame error vector: known header symbols
+            # plus decision-directed payload (many more samples than the
+            # header alone, so the estimate doesn't floor at high SNR);
+            # EsN0 -> /k bits per symbol
+            ref_h = self.wf.make_symbols(
                 jnp.asarray(self.fmt.header_bits, jnp.int8))
-            evm2 = jnp.mean(jnp.abs(syms_c[: self.nsym_header] - ref) ** 2)
+            ref_p = self.wf.symbols[idx]
+            ref = jnp.concatenate([ref_h, ref_p])
+            evm2 = jnp.mean(jnp.abs(syms_c - ref) ** 2)
             sig = jnp.mean(jnp.abs(ref) ** 2)
             esn0 = sig / jnp.maximum(evm2, 1e-12)
-            ebn0_db = 10 * jnp.log10(esn0 / k * osf / osf + 1e-12)
+            ebn0_db = 10 * jnp.log10(esn0 / k + 1e-12)
             return bits, pay, ebn0_db
 
         bits, pays, ebn0s = jax.vmap(extract)(
             dets.position, dets.position_frac, dets.gain, dets.theta,
             dets.valid)
+        return FrameRx(bits=bits, symbols=pays, detection=dets,
+                       EbN0_db=ebn0s, valid=dets.valid)
 
-        new_hist = buf[-(H):]
-        frames = FrameRx(bits=bits, symbols=pays, detection=dets,
-                         EbN0_db=ebn0s, valid=dets.valid)
-        return dict(det=dstate, hist=new_hist), frames
+    def step(self, state, x: jax.Array):
+        new_state, dets, buf = self._front(state, x)
+        frames = self._extract_all(buf, dets)
+        return new_state, frames
 
     def receive(self, x: jax.Array) -> FrameRx:
         """One-shot receive over a buffer."""
@@ -202,3 +257,53 @@ class Receiver(Block):
         xp = pad_to_multiple(x, self.det.corr.Ne, axis=0)
         _, frames = self.step(self.init(), xp)
         return frames
+
+
+class MonitoredReceiver:
+    """Host-side step driver with per-stage CPU monitors.
+
+    Parity: RécepteurImpl::moniteurs() (recepteur.cc:83-110,
+    telecom.hpp:1291) — scopes "recepteur/ola" (detection front end),
+    "recepteur/demod" (frame extraction + demod), "recepteur/misc".
+    The stages run as separate jitted calls with block_until_ready so the
+    wall-clock split is honest; use the plain `Receiver.step` when you
+    want the whole receiver fused into one XLA program instead.
+    """
+
+    def __init__(self, rx: Receiver):
+        from ..utils.monitor import Monitors
+        self.rx = rx
+        self.monitors = Monitors()
+        self._front = jax.jit(type(rx)._front)
+        self._extract = jax.jit(type(rx)._extract_all)
+
+    def init(self):
+        return self.rx.init()
+
+    def step(self, state, x: jax.Array):
+        m = self.monitors["recepteur/ola"]
+        m.start()
+        new_state, dets, buf = self._front(self.rx, state, x)
+        jax.block_until_ready(dets.position)
+        m.stop(samples=int(x.shape[-1]))
+
+        m = self.monitors["recepteur/demod"]
+        m.start()
+        frames = self._extract(self.rx, buf, dets)
+        jax.block_until_ready(frames.bits)
+        m.stop(samples=int(x.shape[-1]))
+        return new_state, frames
+
+    def receive(self, x: jax.Array) -> FrameRx:
+        m = self.monitors["recepteur/misc"]
+        m.start()
+        from ..block import pad_to_multiple
+        xp = pad_to_multiple(x, self.rx.det.corr.Ne, axis=0)
+        state = self.init()
+        m.stop(samples=0)
+        _, frames = self.step(state, xp)
+        return frames
+
+    def moniteurs(self):
+        """Per-stage stats (parity: MoniteursStats, telecom.hpp:1291)."""
+        return self.monitors.stats()

@@ -129,7 +129,10 @@ def test_frame_loop_impaired(frame_setup):
                 ).astype(jnp.complex64)
     x = x.at[900:900 + frame.shape[0]].add(
         1.8 * jnp.exp(1j * 1.1) * frame)
-    x = CH.awgn(jax.random.PRNGKey(6), x, 12.0, osf=4, k_bits=2)
+    # sigma for a true IN-FRAME Eb/N0 of 12 dB
+    lvl = 1.8 * jnp.sqrt(jnp.mean(jnp.abs(frame) ** 2))
+    sigma = lvl * jnp.sqrt(0.5 * (4 / 2) / 10.0 ** (12.0 / 10.0))
+    x = CH.awgn_noise(jax.random.PRNGKey(6), x, sigma)
     rx = Receiver.create(fmt, DetectorConfig(threshold=0.5))
     frames = rx.receive(x)
     v = np.asarray(frames.valid)
@@ -137,8 +140,7 @@ def test_frame_loop_impaired(frame_setup):
     i = int(np.argmax(v))
     ber, errs, _ = BER.cmp_bits(payload, jnp.asarray(frames.bits[i]), 4)
     assert ber < 0.02, (ber, errs)
-    # Eb/N0 estimate in the right ballpark
-    assert abs(float(frames.EbN0_db[i]) - 12.0) < 6.0
+    assert abs(float(frames.EbN0_db[i]) - 12.0) < 2.0, float(frames.EbN0_db[i])
 
 
 def test_frame_ebn0_estimate(frame_setup):
@@ -147,14 +149,19 @@ def test_frame_ebn0_estimate(frame_setup):
     payload = randbits(jax.random.PRNGKey(7), 256)
     frame = tx.transmit(payload)
     x = jnp.zeros(4096, jnp.complex64).at[500:500 + frame.shape[0]].add(frame)
-    x = CH.awgn(jax.random.PRNGKey(8), x, 20.0, osf=4, k_bits=2)
+    # 15 dB true in-frame Eb/N0: inside the estimator's linear range (the
+    # decision-directed EVM floors near ~18 dB from truncated-RRC ISI +
+    # PLL jitter, same ceiling as the reference's correlation-score SNR)
+    lvl = jnp.sqrt(jnp.mean(jnp.abs(frame) ** 2))
+    sigma = lvl * jnp.sqrt(0.5 * (4 / 2) / 10.0 ** (15.0 / 10.0))
+    x = CH.awgn_noise(jax.random.PRNGKey(8), x, sigma)
     rx = Receiver.create(fmt, DetectorConfig(threshold=0.5))
     frames = rx.receive(x)
     v = np.asarray(frames.valid)
     i = int(np.argmax(v))
     assert v[i]
     est = float(frames.EbN0_db[i])
-    assert 13.0 < est < 28.0, est
+    assert abs(est - 15.0) < 2.0, est
 
 
 def test_demod_fsk_loop():
@@ -233,3 +240,106 @@ def test_receiver_streaming_two_blocks(frame_setup):
     assert abs(int(f2.detection.position[i]) - 310) <= 1
     ber, errs, _ = BER.cmp_bits(payload, jnp.asarray(f2.bits[i]), 4)
     assert errs == 0
+
+
+def test_frame_fractional_delay(frame_setup):
+    """Frame at a NON-INTEGER delay (900.37 samples): the receiver must
+    apply the detector's position_frac through the sinc interpolator bank
+    (parity: recepteur.cc:131-160 + itrp.cc:11-57).  0 payload errors at
+    12 dB, Eb/N0 estimate within +-2 dB."""
+    wf, fmt = frame_setup
+    tx = Transmitter.create(fmt)
+    payload = randbits(jax.random.PRNGKey(21), 256)
+    frame = tx.transmit(payload)
+    n = 4096
+    from libtsd_tpu.ops.fft import delay_signal
+    x = jnp.zeros(n, jnp.complex64).at[900:900 + frame.shape[0]].add(
+        1.4 * jnp.exp(1j * 0.7) * frame)
+    x = delay_signal(x, 0.37)             # off-grid timing
+    # sigma for a true IN-FRAME Eb/N0 of 12 dB (awgn() would normalize
+    # over the mostly-zero buffer and understate the actual SNR)
+    lvl = 1.4 * jnp.sqrt(jnp.mean(jnp.abs(frame) ** 2))
+    sigma = lvl * jnp.sqrt(0.5 * (4 / 2) / 10.0 ** (12.0 / 10.0))
+    x = CH.awgn_noise(jax.random.PRNGKey(22), x, sigma)
+    rx = Receiver.create(fmt, DetectorConfig(threshold=0.5))
+    frames = rx.receive(x)
+    v = np.asarray(frames.valid)
+    assert v.any()
+    i = int(np.argmax(v))
+    ber, errs, _ = BER.cmp_bits(payload, jnp.asarray(frames.bits[i]), 4)
+    assert errs == 0, (ber, errs)
+    assert abs(float(frames.EbN0_db[i]) - 12.0) < 2.0, float(frames.EbN0_db[i])
+
+
+def test_frame_if_offset(frame_setup):
+    """fi != 0: the receiver mixes the IF signal to baseband before
+    detection (reference pushes fi into the demod, recepteur.cc:236-238)."""
+    wf, _ = frame_setup
+    import dataclasses as DC
+    mc = ModConfig(wf=wf, fe=4.0, fsymb=1.0, fi=0.3)
+    hdr = np.asarray(randbits(jax.random.PRNGKey(42), 64))
+    fmt = FrameFormat(modulation=mc,
+                      header_bits=tuple(int(b) for b in hdr),
+                      payload_bits=256)
+    tx = Transmitter.create(fmt)
+    payload = randbits(jax.random.PRNGKey(23), 256)
+    frame = tx.transmit(payload)          # modulated AT the IF
+    n = 4096
+    x = jnp.zeros(n, jnp.complex64).at[700:700 + frame.shape[0]].add(frame)
+    x = CH.awgn(jax.random.PRNGKey(24), x, 14.0, osf=4, k_bits=2)
+    rx = Receiver.create(fmt, DetectorConfig(threshold=0.5))
+    frames = rx.receive(x)
+    v = np.asarray(frames.valid)
+    assert v.any()
+    i = int(np.argmax(v))
+    ber, errs, _ = BER.cmp_bits(payload, jnp.asarray(frames.bits[i]), 4)
+    assert errs == 0, (ber, errs)
+
+
+def test_frame_fractional_delay_and_if(frame_setup):
+    """The VERDICT scenario: non-integer delay AND an IF offset at 12 dB
+    -> 0 payload errors, Eb/N0 within +-2 dB."""
+    wf, _ = frame_setup
+    mc = ModConfig(wf=wf, fe=4.0, fsymb=1.0, fi=0.25)
+    hdr = np.asarray(randbits(jax.random.PRNGKey(42), 64))
+    fmt = FrameFormat(modulation=mc,
+                      header_bits=tuple(int(b) for b in hdr),
+                      payload_bits=256)
+    tx = Transmitter.create(fmt)
+    payload = randbits(jax.random.PRNGKey(25), 256)
+    frame = tx.transmit(payload)
+    n = 4096
+    from libtsd_tpu.ops.fft import delay_signal
+    x = jnp.zeros(n, jnp.complex64).at[900:900 + frame.shape[0]].add(
+        1.2 * jnp.exp(-1j * 0.4) * frame)
+    x = delay_signal(x, 0.37)
+    lvl = 1.2 * jnp.sqrt(jnp.mean(jnp.abs(frame) ** 2))
+    sigma = lvl * jnp.sqrt(0.5 * (4 / 2) / 10.0 ** (12.0 / 10.0))
+    x = CH.awgn_noise(jax.random.PRNGKey(26), x, sigma)
+    rx = Receiver.create(fmt, DetectorConfig(threshold=0.5))
+    frames = rx.receive(x)
+    v = np.asarray(frames.valid)
+    assert v.any()
+    i = int(np.argmax(v))
+    ber, errs, _ = BER.cmp_bits(payload, jnp.asarray(frames.bits[i]), 4)
+    assert errs == 0, (ber, errs)
+    assert abs(float(frames.EbN0_db[i]) - 12.0) < 2.0, float(frames.EbN0_db[i])
+
+
+def test_receiver_monitors(frame_setup):
+    """moniteurs() per-stage scopes (parity: recepteur.cc:83-110)."""
+    from libtsd_tpu.models.frame import MonitoredReceiver
+    wf, fmt = frame_setup
+    tx = Transmitter.create(fmt)
+    payload = randbits(jax.random.PRNGKey(27), 256)
+    frame = tx.transmit(payload)
+    x = jnp.zeros(4096, jnp.complex64).at[600:600 + frame.shape[0]].add(frame)
+    x = x + 1e-4 * jax.random.normal(jax.random.PRNGKey(28), (4096,))
+    rx = MonitoredReceiver(Receiver.create(fmt, DetectorConfig(threshold=0.5)))
+    frames = rx.receive(x)
+    assert np.asarray(frames.valid).any()
+    stats = rx.moniteurs()
+    assert set(stats) >= {"recepteur/ola", "recepteur/demod"}
+    assert stats["recepteur/ola"].count >= 1
+    assert stats["recepteur/ola"].total_s > 0
+    assert stats["recepteur/demod"].samples > 0
