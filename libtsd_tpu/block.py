@@ -112,8 +112,10 @@ def stream(block: Block, x: jax.Array, block_size: int):
     carrying state across chunks — the jit-able equivalent of repeatedly
     calling ``FiltreGen::step`` on a long signal.
 
-    The tail (len(x) % block_size) is dropped; use ``pad_to_multiple`` first
-    if every sample matters.
+    Tail-safe: a remainder (len(x) % block_size) is processed with one
+    extra ``step`` call (a second static shape), so the output covers all
+    of x — matching the reference's tampon, which never drops samples
+    (/root/reference/core/src/tsd.cc:303-386).
     """
     n = (x.shape[0] // block_size) * block_size
     chunks = x[:n].reshape(-1, block_size, *x.shape[1:])
@@ -123,7 +125,11 @@ def stream(block: Block, x: jax.Array, block_size: int):
         return state, yb
 
     state, ys = jax.lax.scan(body, block.init(), chunks)
-    return state, ys.reshape(-1, *ys.shape[2:])
+    y = ys.reshape(-1, *ys.shape[2:])
+    if n < x.shape[0]:
+        state, yt = block.step(state, x[n:])
+        y = jnp.concatenate([y, yt], axis=0)
+    return state, y
 
 
 def pad_to_multiple(x: jax.Array, m: int, axis: int = 0) -> jax.Array:

@@ -31,13 +31,39 @@ from ..block import Block
 from ..config import complex_dtype, real_dtype
 from ..ops.resample import Interpolator, make_interpolator
 
-__all__ = ["ted_gardner", "ClockRecConfig", "ClockRec", "clock_rec"]
+__all__ = ["ted_gardner", "ted_mm", "ted_early_late",
+           "ClockRecConfig", "ClockRec", "clock_rec"]
 
 
 def ted_gardner(x0, x1, x2):
     """Gardner timing error detector (parity: TedGardner,
-    clock-rec.cc:61-77): e = Re((x2 - x0) * conj(x1))."""
+    clock-rec.cc:61-77): e = Re((x2 - x0) * conj(x1)) with x0/x2 the
+    previous/current symbol samples and x1 the midpoint."""
     return jnp.real((x2 - x0) * jnp.conj(x1))
+
+
+def _slicer(y):
+    """Nearest-quadrant decision (the reference's TedMM notes the same
+    sign-based slicer pending a modulation-aware one, clock-rec.cc:20-24)."""
+    s = jnp.sign(jnp.real(y)) + 1j * jnp.sign(jnp.imag(y))
+    return (s / jnp.sqrt(2.0)).astype(complex_dtype)
+
+
+def ted_mm(d0, x0, d1, x1):
+    """Mueller & Müller decision-directed TED at 1 sample/symbol (parity:
+    TedMM, clock-rec.cc:11-28 — stubbed there, implemented here; same
+    form as the repo's decision-directed demod loop, demod_dec.py):
+    e = Re(conj(d0)*x1 - conj(d1)*x0) with (d, x) = (decision, sample) for
+    the previous (0) and current (1) symbols."""
+    return jnp.real(jnp.conj(d0) * x1 - jnp.conj(d1) * x0)
+
+
+def ted_early_late(x0, x1, x2):
+    """Early-late gate TED (parity: TedEL, clock-rec.cc:30-46 — stubbed
+    there; the commented formula is implemented): x1 is the on-time symbol
+    sample, x0/x2 the half-symbol early/late samples;
+    e = -Re(conj(x1) * (x2 - x0))."""
+    return -jnp.real(jnp.conj(x1) * (x2 - x0))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -45,8 +71,9 @@ class ClockRecConfig:
     """Parity: ClockRecConfig, telecom.hpp:703-745."""
     osf: int = 4          # input oversampling factor (K1)
     tc: float = 5.0       # loop time constant, in symbols
-    ted_osf: int = 2      # TED working rate (K2), Gardner = 2
+    ted_osf: int = 2      # TED working rate (K2); Gardner/early-late = 2
     itrp: str = "cspline"  # interpolator kind
+    ted: str = "gardner"  # "gardner" | "mm" | "el" (TedType, telecom.hpp)
 
 
 class ClockRec(Block):
@@ -63,6 +90,10 @@ class ClockRec(Block):
 
     @classmethod
     def create(cls, cfg: ClockRecConfig) -> "ClockRec":
+        assert cfg.ted in ("gardner", "mm", "el"), cfg.ted
+        if cfg.ted == "mm":
+            # M&M works at 1 sample/symbol
+            cfg = dataclasses.replace(cfg, ted_osf=1)
         itrp = make_interpolator(cfg.itrp)
         return cls(itrp=itrp, cfg=cfg)
 
@@ -79,6 +110,7 @@ class ClockRec(Block):
             x0=jnp.zeros((), complex_dtype),
             x1=jnp.zeros((), complex_dtype),
             x2=jnp.zeros((), complex_dtype),
+            d1=jnp.zeros((), complex_dtype),   # last decision (M&M)
             cnt=jnp.zeros((), jnp.int32),
         )
 
@@ -95,25 +127,47 @@ class ClockRec(Block):
         nph = self.itrp.nphases
         max_interp = 2 if K1 <= K2 else 1  # interps per input sample
 
+        ted = self.cfg.ted
+
         def interp_once(carry):
-            ph, win, x0, x1, x2, cnt = carry
+            ph, win, x0, x1, x2, d1, cnt = carry
             frac = jnp.clip(ph, 0.0, 1.0)
             taps = lut[jnp.clip(jnp.round(frac * nph).astype(jnp.int32),
                                 0, nph)]
             y = jnp.sum(win * taps.astype(complex_dtype))
             ph = ph + K1 / K2
             x0, x1, x2 = x1, x2, y
-            emit = cnt == (K2 - 1)
-            e = ted_gardner(x0, x1, x2)
-            dec = jnp.clip(gain * e, -K1 / 4.0, K1 / 4.0)
-            ph = jnp.where(emit, ph - dec, ph)
-            cnt = jnp.where(emit, 0, cnt + 1)
-            return (ph, win, x0, x1, x2, cnt), y, emit
+            if ted == "mm":
+                # one interpolation per symbol; decision-directed error
+                emit = jnp.ones((), jnp.bool_)
+                d2 = _slicer(y)
+                e = ted_mm(d1, x1, d2, x2)
+                dec = jnp.clip(gain * e, -K1 / 4.0, K1 / 4.0)
+                ph = ph + dec       # positive e -> sample later
+                d1 = d2
+            elif ted == "el":
+                # symbol emitted on cnt==K2-1; the TED fires on the
+                # midpoint interpolation AFTER it, when (x0, x1, x2) =
+                # (early, on-time, late) half-symbol samples
+                emit = cnt == (K2 - 1)
+                fire = cnt == 0
+                e = ted_early_late(x0, x1, x2)
+                dec = jnp.clip(gain * e, -K1 / 4.0, K1 / 4.0)
+                ph = jnp.where(fire, ph - dec, ph)
+                cnt = jnp.where(emit, 0, cnt + 1)
+            else:  # gardner
+                emit = cnt == (K2 - 1)
+                e = ted_gardner(x0, x1, x2)
+                dec = jnp.clip(gain * e, -K1 / 4.0, K1 / 4.0)
+                ph = jnp.where(emit, ph - dec, ph)
+                cnt = jnp.where(emit, 0, cnt + 1)
+            return (ph, win, x0, x1, x2, d1, cnt), y, emit
 
         def body(st, xi):
             ph = st["phase"] - 1.0
             win = jnp.roll(st["window"], -1).at[-1].set(xi)
-            carry = (ph, win, st["x0"], st["x1"], st["x2"], st["cnt"])
+            carry = (ph, win, st["x0"], st["x1"], st["x2"], st["d1"],
+                     st["cnt"])
             sym = jnp.zeros((), complex_dtype)
             valid = jnp.zeros((), jnp.bool_)
             for _ in range(max_interp):
@@ -123,8 +177,9 @@ class ClockRec(Block):
                     lambda a, b: jnp.where(do, b, a), carry, new_carry)
                 sym = jnp.where(do & emit, y, sym)
                 valid = valid | (do & emit)
-            ph, win, x0, x1, x2, cnt = carry
-            new_st = dict(phase=ph, window=win, x0=x0, x1=x1, x2=x2, cnt=cnt)
+            ph, win, x0, x1, x2, d1, cnt = carry
+            new_st = dict(phase=ph, window=win, x0=x0, x1=x1, x2=x2,
+                          d1=d1, cnt=cnt)
             return new_st, (sym, valid)
 
         state, (syms, valids) = jax.lax.scan(body, state, x)

@@ -113,6 +113,10 @@ class Demodulator(Block):
             mf=self.mf.init(),
             cr=self.cr.init(),
             pll=self.pll.init(),
+            # pi/4-QPSK rotation parity of the next symbol; -1 = unknown
+            # (detected on the first block, then carried — parity:
+            # demod->reset(nb_symb) counter, recepteur.cc:487)
+            par=jnp.asarray(-1, jnp.int32),
         )
 
     def step(self, state, x: jax.Array):
@@ -143,8 +147,16 @@ class Demodulator(Block):
         # (6) carrier recovery (not needed for FSK)
         if not self.wf.info.is_fsk:
             st["pll"], syms = self.pll.step(st["pll"], syms)
-        # (7) decisions
-        idx = self.wf.closest(syms)
+        # (7) decisions; rotating constellations carry the rotation parity
+        # across blocks (detected once, then advanced by the number of
+        # valid symbols emitted)
+        if self.wf.rotating:
+            detected = self.wf.detect_parity(syms, mask)
+            par = jnp.where(st["par"] >= 0, st["par"], detected)
+            idx = self.wf.closest(syms, parity=par)
+            st["par"] = (par + jnp.sum(mask.astype(jnp.int32))) % 2
+        else:
+            idx = self.wf.closest(syms)
         bits = symbol_indices_to_bits(idx, self.wf.info.k)
         bmask = jnp.repeat(mask, self.wf.info.k)
         return st, (bits, syms, mask, bmask)

@@ -230,31 +230,45 @@ class Waveform(struct.PyTreeNode):
         return y, float(delay)
 
     # --- decisions -------------------------------------------------------
-    def closest(self, x: jax.Array) -> jax.Array:
+    def _derotate(self, x: jax.Array, parity) -> jax.Array:
+        """Undo the alternating pi/4 rotation given the parity of the
+        first symbol (0: even-index symbols unrotated)."""
+        n = x.shape[0]
+        odd = (jnp.arange(n) + parity) % 2 == 1
+        rot = jnp.where(odd,
+                        jnp.exp(-1j * jnp.pi / 4).astype(complex_dtype),
+                        jnp.asarray(1.0 + 0j, complex_dtype))
+        return x * rot
+
+    def detect_parity(self, x: jax.Array,
+                      mask: Optional[jax.Array] = None) -> jax.Array:
+        """Estimate the pi/4-QPSK rotation parity of x[0] by trying both
+        and keeping the lower total decision error (the receiver does not
+        know the transmit parity — clock recovery may drop symbols)."""
+        def err(p):
+            xs = self._derotate(x, p)
+            e = jnp.min(jnp.abs(xs[..., None] - self.symbols) ** 2, axis=-1)
+            if mask is not None:
+                e = jnp.where(mask, e, 0.0)
+            return jnp.sum(e)
+        return (err(1) < err(0)).astype(jnp.int32)
+
+    def closest(self, x: jax.Array, parity=None) -> jax.Array:
         """Nearest constellation index, vectorized (parity:
         symbole_plus_proche, modulations.cc:260-276; BPSK/QPSK fast paths
-        :23-41)."""
+        :23-41).
+
+        For rotating constellations (pi/4-QPSK), ``parity`` selects the
+        de-rotation phase of x[0] explicitly — streaming demods carry it
+        in state (the reference's demod reset(nb_symb) counter,
+        recepteur.cc:487) — or None for a per-call trial."""
         M = self.info.M
         if self.info.is_psk and M == 2 and not self.rotating:
             return (jnp.real(x) >= 0).astype(jnp.int32)
         if self.rotating:
-            # de-rotate alternating symbols; the receiver does not know the
-            # transmit parity (clock recovery may drop symbols), so try both
-            # parities and keep the one with lower total decision error
-            n = x.shape[0]
-            rot0 = jnp.where(jnp.arange(n) % 2 == 1,
-                             jnp.exp(-1j * jnp.pi / 4).astype(complex_dtype),
-                             jnp.asarray(1.0 + 0j, complex_dtype))
-            rot1 = jnp.where(jnp.arange(n) % 2 == 0,
-                             jnp.exp(-1j * jnp.pi / 4).astype(complex_dtype),
-                             jnp.asarray(1.0 + 0j, complex_dtype))
-            x0 = x * rot0
-            x1 = x * rot1
-            e0 = jnp.sum(jnp.min(jnp.abs(x0[..., None] - self.symbols) ** 2,
-                                 axis=-1))
-            e1 = jnp.sum(jnp.min(jnp.abs(x1[..., None] - self.symbols) ** 2,
-                                 axis=-1))
-            x = jnp.where(e0 <= e1, x0, x1)
+            if parity is None:
+                parity = self.detect_parity(x)
+            x = self._derotate(x, parity)
         d = jnp.abs(x[..., None] - self.symbols[None, :]) ** 2
         return jnp.argmin(d, axis=-1).astype(jnp.int32)
 

@@ -514,23 +514,41 @@ class OlaFft(Block):
     Ne: int = struct.field(pytree_node=False)
     Nf: int = struct.field(pytree_node=False)
     M: int = struct.field(pytree_node=False)   # filter length (tail M-1)
+    engine: str = struct.field(pytree_node=False, default="xla")
+    complex_taps: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
-    def create(cls, h, Ne: Optional[int] = None) -> "OlaFft":
+    def create(cls, h, Ne: Optional[int] = None,
+               engine: str = "xla") -> "OlaFft":
+        """engine: "xla" (jnp.fft overlap-add) or "pallas" (the fused
+        overlap-save MXU kernel, ops/pallas/ola.py — spectrum never leaves
+        VMEM; block size follows ola_plan, so Ne is recomputed)."""
         from .fft import ola_complexity_optimize, next_pow2
         h = np.asarray(h)
         M = len(h)
-        if Ne is None:
+        if engine == "pallas":
+            from .pallas.ola import ola_plan
+            Nf, Ne, _ = ola_plan(M, None if Ne is None else next_pow2(Ne))
+        elif Ne is None:
             _, Nf, _, Ne = ola_complexity_optimize(M)
         else:
             Nf = next_pow2(Ne + M - 1)
         H = np.fft.fft(h, Nf)
-        return cls(H_ri=to_ri(H), Ne=Ne, Nf=Nf, M=M)
+        return cls(H_ri=to_ri(H), Ne=Ne, Nf=Nf, M=M, engine=engine,
+                   complex_taps=bool(np.iscomplexobj(h)))
 
     def init(self):
+        if self.engine == "pallas":
+            from .pallas.ola import ola_plan
+            _, _, V = ola_plan(self.M, self.Nf)
+            return jnp.zeros((V,), complex_dtype)
         return jnp.zeros((self.Nf - self.Ne,), complex_dtype)
 
     def init_for(self, x):
+        if self.engine == "pallas":
+            from .pallas.ola import ola_plan
+            _, _, V = ola_plan(self.M, self.Nf)
+            return jnp.zeros(x.shape[:-1] + (V,), complex_dtype)
         return jnp.zeros(x.shape[:-1] + (self.Nf - self.Ne,), complex_dtype)
 
     @property
@@ -541,6 +559,24 @@ class OlaFft(Block):
         n = x.shape[-1]
         Ne, Nf = self.Ne, self.Nf
         assert n % Ne == 0, "input must be a multiple of Ne"
+        if self.engine == "pallas":
+            from .pallas.ola import ola_stream_planes
+            is_complex = jnp.iscomplexobj(x)
+            squeeze = x.ndim == 1
+            xc = (x[None] if squeeze else x).astype(complex_dtype)
+            sc = state[None] if squeeze else state
+            # H in the kernel's [k1, q] layout (k = q*N1 + k1), derived
+            # from the stored response with traced reshapes (jit-safe)
+            H = from_ri(self.H_ri).reshape(128, Nf // 128).T
+            y, new_state = ola_stream_planes(
+                xc, sc.astype(complex_dtype),
+                jnp.real(H).astype(real_dtype),
+                jnp.imag(H).astype(real_dtype), self.M, Nf)
+            if not is_complex and not self.complex_taps:
+                y = jnp.real(y)
+            if squeeze:
+                return new_state[0], y[0]
+            return new_state, y
         nblk = n // Ne
         is_complex = jnp.iscomplexobj(x)
         xb = x.reshape(*x.shape[:-1], nblk, Ne)

@@ -189,3 +189,86 @@ def test_decision_demod2_qpsk_fused():
                                       jnp.asarray(rbn[2 * 800:]), 2,
                                       max_lag=64)
     assert ber < 0.01, (ber, errs)
+
+
+def test_rt_spectrum_sweep_composite():
+    """Frequency-sweep mode (parity: fourier.cc:1188-1196,1259-1266): a
+    tone present in every capture at stepped LO positions must appear at
+    the right composite bin, with DC/edge masking applied."""
+    import numpy as np
+    N, nsubs, step = 256, 4, 128
+    cfg = SpectrumConfig(N=N, navg=1, nsubs=nsubs, sweep_step=step,
+                         mask_hf=8, mask_bf=4)
+    sp = RtSpectrum.create(cfg)
+    assert cfg.Ns == N + (nsubs - 1) * step
+    # capture i sees a tone at normalized frequency f_i such that, after
+    # the LO step, the composite shows ONE consistent line: put a tone at
+    # +32 bins from each capture's center -> composite bin i*step+N/2+32
+    k = np.arange(N)
+    caps = []
+    for i in range(nsubs):
+        f = 32.0 / N
+        caps.append(np.exp(2j * np.pi * f * k))
+    x = jnp.asarray(np.concatenate(caps), jnp.complex64)
+    st = sp.init()
+    st, db = sp.step(st, x)
+    db = np.asarray(db)
+    assert db.shape == (cfg.Ns,)
+    # each capture's tone lands at its span's center+32 (spans overlap, so
+    # assert the expected bins all carry near-max power)
+    top = np.max(db)
+    for i in range(nsubs):
+        peak = i * step + N // 2 + 32
+        assert db[peak] >= top - 6.0, (i, db[peak], top)
+    # masked DC region of capture 0 (bins N/2-4..N/2+4) is floor-level
+    assert db[N // 2] < top - 60
+
+
+def test_rt_spectrum_sweep_overlap_normalized():
+    """Overlapping sweep spans are hit-count normalized (mag_cnt,
+    fourier.cc:1188-1196): flat noise in -> flat composite out."""
+    import numpy as np
+    N, nsubs, step = 128, 3, 64
+    cfg = SpectrumConfig(N=N, navg=1, nsubs=nsubs, sweep_step=step)
+    sp = RtSpectrum.create(cfg)
+    rng = np.random.default_rng(0)
+    nsw = 64
+    x = jnp.asarray(
+        (rng.standard_normal(nsw * nsubs * N)
+         + 1j * rng.standard_normal(nsw * nsubs * N)) / np.sqrt(2),
+        jnp.complex64)
+    st = sp.init()
+    st, db = sp.step(st, x)
+    db = np.asarray(db)
+    # hit-count normalization makes the composite flat at the per-bin
+    # noise power: E|FFT_k|^2/N = sigma^2 = 1 -> 0 dB
+    interior = db[4:-4]
+    assert np.std(interior) < 1.5, np.std(interior)
+    assert abs(np.mean(interior)) < 1.0, np.mean(interior)
+
+
+def test_cqt_stream_decimated():
+    """Streaming decimated CQT (parity: CQT::Impl, cqt.cc:255-365): tone
+    lands in the right geometric bin; per-bin output rate follows the
+    constant-Q decimation (hop = ktime/2)."""
+    import numpy as np
+    from libtsd_tpu.ops.cqt import (cqt_stream_kernel, cqt_stream,
+                                    cqt_interpolate)
+    K = cqt_stream_kernel(fmin=0.01, fmax=0.3, gamma=2 ** (1 / 6), Q=20)
+    n = 8 * (K.N // 2)
+    f0 = 0.05
+    x = jnp.asarray(np.cos(2 * np.pi * f0 * np.arange(n)), jnp.float32)
+    times, mags, valid = jax.jit(lambda v: cqt_stream(v, K))(x)
+    mags, valid = np.asarray(mags), np.asarray(valid)
+    avg = (mags * valid).sum(axis=(0, 2)) / np.maximum(
+        valid.sum(axis=(0, 2)), 1)
+    assert int(np.argmax(avg)) == int(np.argmin(np.abs(K.freqs - f0)))
+    # constant-Q decimation: output-count ratio tracks the ktime ratio
+    cnt = valid.sum(axis=(0, 2))
+    ratio = cnt[-1] / cnt[0]
+    expect = K.ktime[0] / K.ktime[-1]
+    assert 0.5 * expect < ratio < 2.0 * expect, (ratio, expect)
+    # regular-grid interpolation (cqt.cc:368-421)
+    g, f, A = cqt_interpolate(np.asarray(times), mags, valid, K, hop_out=64)
+    assert A.shape[1] == len(K.freqs)
+    assert int(np.argmax(A.mean(axis=0))) == int(np.argmax(avg))

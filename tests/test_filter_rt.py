@@ -224,3 +224,19 @@ def test_filtfilt_zero_phase():
     xi, yi = x[100:400], y[100:400]
     lag = np.argmax(np.correlate(yi, xi, "full")) - (len(xi) - 1)
     assert lag == 0
+
+
+@pytest.mark.parametrize("B", [7, 16, 33, 100, 257])
+def test_stream_tail_safe(B):
+    """stream() must equal the one-shot run for ANY block size, including
+    ones that don't divide len(x) — the remainder is processed, not
+    dropped (parity: tampon keeps the tail, tsd.cc:303-386)."""
+    from libtsd_tpu.block import stream
+    h = FD.fir_lowpass(31, 0.2)
+    blk = FR.Fir.create(h)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(501),
+                    jnp.float32)
+    _, y_stream = stream(blk, x, B)
+    _, y_once = blk.step(blk.init_for(x), x)
+    assert y_stream.shape == y_once.shape
+    assert np.max(np.abs(np.asarray(y_stream) - np.asarray(y_once))) < 1e-5

@@ -343,3 +343,31 @@ def test_receiver_monitors(frame_setup):
     assert stats["recepteur/ola"].count >= 1
     assert stats["recepteur/ola"].total_s > 0
     assert stats["recepteur/demod"].samples > 0
+
+
+def test_demod_pi4_qpsk_streaming_parity_carry():
+    """pi/4-QPSK streamed in blocks: the rotation parity is carried in
+    demod state (detected once, advanced by emitted-symbol count), so
+    multi-block decisions equal the one-shot run even when blocks emit
+    odd symbol counts (TODO/VERDICT #10)."""
+    from libtsd_tpu.block import stream
+    wf = WF.wf_pi4_qpsk(WF.PulseShape.rcs(0.25))
+    mod = Modulator.create(ModConfig(wf=wf, fe=4.0, fsymb=1.0))
+    bits = randbits(jax.random.PRNGKey(34), 2 * 1500)
+    x, _ = mod.modulate(bits)
+    y = CH.awgn(jax.random.PRNGKey(35), x, 16.0, osf=4, k_bits=2)
+    dm = Demodulator.create(DemodConfig(wf=wf, fe=4.0, fsymb=1.0))
+    rb1, _, _, bm1 = dm.demodulate(y)
+    once = np.asarray(rb1)[np.asarray(bm1)]
+    # stream in blocks of 404 samples (-> ~101 symbols/block, odd counts)
+    st = dm.init()
+    parts = []
+    n = (y.shape[0] // 404) * 404
+    for i in range(0, n, 404):
+        st, (rb, syms, mask, bmask) = dm.step(st, y[i:i + 404])
+        parts.append(np.asarray(rb)[np.asarray(bmask)])
+    streamed = np.concatenate(parts)
+    m = min(len(once), len(streamed))
+    # skip the pull-in region; then decisions must agree
+    agree = np.mean(once[2 * 400:m] == streamed[2 * 400:m])
+    assert agree > 0.995, agree

@@ -146,3 +146,30 @@ def test_clock_rec2_pointer_variant():
     d = np.abs(syms[400:][:, None]
                - np.asarray(wf.symbols)[None, :]).min(axis=1)
     assert d.mean() < 0.15, d.mean()
+
+
+@pytest.mark.parametrize("ted", ["gardner", "mm", "el"])
+def test_ted_family_converges(ted):
+    """Selectable TEDs (parity: TedType + ted_init, clock-rec.cc:11-95;
+    M&M and early-late are stubs upstream — implemented here): each loop
+    must pull in a 0.3-symbol timing offset on QPSK."""
+    key = jax.random.PRNGKey(2)
+    osf = 4
+    wf = WF.wf_qpsk(WF.PulseShape.rcs(0.3))
+    nsym = 800
+    bits = randbits(key, 2 * nsym)
+    mod = Modulator.create(ModConfig(wf=wf, fe=float(osf), fsymb=1.0))
+    x, _ = mod.modulate(bits)
+    mf = wf.shaping.matched_filter(0, osf)
+    _, z = mf.step(mf.init_for(x), x)
+    from libtsd_tpu.ops.fft import delay_signal
+    z = delay_signal(z, 0.3 * osf)
+
+    cr = ClockRec.create(ClockRecConfig(osf=osf, tc=8.0, ted=ted))
+    _, (syms, mask) = cr.step(cr.init(), z)
+    syms = np.asarray(syms)[np.asarray(mask)]
+    assert len(syms) > nsym * 0.8
+    tail = syms[400:]
+    tail = tail / np.sqrt(np.mean(np.abs(tail) ** 2))
+    d = np.abs(tail[:, None] - np.asarray(wf.symbols)[None, :]).min(axis=1)
+    assert np.mean(d) < 0.15, (ted, np.mean(d))
