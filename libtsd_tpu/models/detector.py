@@ -21,7 +21,7 @@ from flax import struct
 
 from ..block import Block
 from ..config import complex_dtype, real_dtype
-from ..ops.filter_rt import MovingAverage, OlaFft
+from ..ops.filter_rt import Fir, MovingAverage, OlaFft
 
 __all__ = ["DetectorConfig", "Detection", "Detector", "detect_pattern"]
 
@@ -32,6 +32,8 @@ class DetectorConfig:
     threshold: float = 0.7       # seuil, in [0, 1]
     max_peaks: int = 4           # per block (static)
     Ne: int = 0                  # OLA input block (0 = auto)
+    mode: str = "ola"            # "ola" (FFT) | "rif" (direct MXU FIR)
+                                 # (parity: MODE_OLA / MODE_RIF)
 
 
 class Detection(struct.PyTreeNode):
@@ -53,7 +55,7 @@ class Detector(Block):
     peak started in the carried tail of the previous block).
     """
 
-    corr: OlaFft
+    corr: "OlaFft | Fir"
     energy: MovingAverage
     pattern_norm: float = struct.field(pytree_node=False)
     M: int = struct.field(pytree_node=False)
@@ -68,9 +70,20 @@ class Detector(Block):
         # correlation as FIR with taps conj(reversed normalized pattern)
         # (parity: detection.cc:178-188); run through the OLA engine
         taps = np.conj(pn[::-1])
-        corr = OlaFft.create(taps, Ne=cfg.Ne if cfg.Ne else None)
+        if cfg.mode == "rif":
+            # direct-form correlation on the MXU Toeplitz FIR — the better
+            # choice for short patterns (parity: MODE_RIF,
+            # detection.cc:68-96)
+            corr = Fir.create(taps)
+        else:
+            corr = OlaFft.create(taps, Ne=cfg.Ne if cfg.Ne else None)
         return cls(corr=corr, energy=MovingAverage(K=M),
                    pattern_norm=norm, M=M, cfg=cfg)
+
+    @property
+    def Ne(self) -> int:
+        """Streaming block granularity (1 in RIF mode)."""
+        return self.corr.Ne if isinstance(self.corr, OlaFft) else 1
 
     def init(self):
         return dict(
@@ -170,6 +183,27 @@ def detect_pattern(x: jax.Array, pattern,
     det = Detector.create(pattern, cfg)
     from ..block import pad_to_multiple
     n = x.shape[-1]
-    xp = pad_to_multiple(x, det.corr.Ne, axis=x.ndim - 1)
+    xp = pad_to_multiple(x, det.Ne, axis=x.ndim - 1)
     _, (d, score) = det.step(det.init(), xp)
     return d, score[:n]
+
+
+def detect_with_callback(x: jax.Array, pattern, callback,
+                         cfg: DetectorConfig = DetectorConfig()):
+    """Host-side detection driver invoking ``callback(Detection-like
+    dict)`` once per valid detection, in position order (parity: the
+    gere_detection callback product surface, detection.cc:357-364 /
+    fourier.hpp:605).  Returns the raw (Detection, score) as well."""
+    det, score = detect_pattern(x, pattern, cfg)
+    import numpy as np_
+    order = np_.argsort(np_.asarray(det.position))
+    for i in order:
+        if bool(np_.asarray(det.valid)[i]):
+            callback(dict(
+                position=int(np_.asarray(det.position)[i]),
+                position_frac=float(np_.asarray(det.position_frac)[i]),
+                score=float(np_.asarray(det.score)[i]),
+                gain=float(np_.asarray(det.gain)[i]),
+                theta=float(np_.asarray(det.theta)[i]),
+                snr_db=float(np_.asarray(det.snr_db)[i])))
+    return det, score

@@ -254,7 +254,7 @@ class Receiver(Block):
     def receive(self, x: jax.Array) -> FrameRx:
         """One-shot receive over a buffer."""
         from ..block import pad_to_multiple
-        xp = pad_to_multiple(x, self.det.corr.Ne, axis=0)
+        xp = pad_to_multiple(x, self.det.Ne, axis=0)
         _, frames = self.step(self.init(), xp)
         return frames
 
@@ -298,7 +298,7 @@ class MonitoredReceiver:
         m = self.monitors["recepteur/misc"]
         m.start()
         from ..block import pad_to_multiple
-        xp = pad_to_multiple(x, self.rx.det.corr.Ne, axis=0)
+        xp = pad_to_multiple(x, self.rx.det.Ne, axis=0)
         state = self.init()
         m.stop(samples=0)
         _, frames = self.step(state, xp)

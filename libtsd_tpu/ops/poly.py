@@ -9,6 +9,8 @@ provides directly — thin wrappers keep the reference's conventions
 """
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 __all__ = [
@@ -96,3 +98,116 @@ def group_delay_ba(b: np.ndarray, a: np.ndarray,
     h1 = freq_response_ba(b, a, f + df / 2)
     dphi = np.angle(h1 * np.conj(h0))
     return -dphi / (2 * np.pi * df)
+
+
+# ---------------------------------------------------------------------------
+# Rational functions (transfer functions)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class FRat:
+    """Rational function num/den, coefficients in ASCENDING powers of the
+    variable (z^-1 for digital transfer functions, s for analog).
+
+    Parity: FRat<T>, /root/reference/core/include/tsd/filtrage/frat.hpp:
+    16-916 — construction from coefficients or zeros/poles/gain, pointwise
+    evaluation (horner), product/sum/inverse algebra, factored-form
+    simplification (``simplify``: cancel matching zero/pole pairs) and
+    display.
+    """
+    num: np.ndarray
+    den: np.ndarray
+
+    @staticmethod
+    def make(num, den=(1.0,)) -> "FRat":
+        trim = lambda c: np.trim_zeros(np.atleast_1d(
+            np.asarray(c, np.complex128 if np.iscomplexobj(c)
+                       else np.float64)), "b")
+        n, d = trim(num), trim(den)
+        return FRat(n if len(n) else np.zeros(1),
+                    d if len(d) else np.ones(1))
+
+    @staticmethod
+    def from_zpk(zeros, poles, k: float = 1.0) -> "FRat":
+        """Parity: FRat::z_pôles_gain (factored construction)."""
+        def p(roots):
+            r = np.asarray(roots)
+            if r.size == 0:
+                return np.ones(1)
+            return np.atleast_1d(poly_from_roots(r))   # ascending
+        return FRat.make(k * p(zeros), p(poles))
+
+    # --- evaluation -----------------------------------------------------
+    def __call__(self, x):
+        return horner(self.num, x) / horner(self.den, x)
+
+    # --- zeros/poles ----------------------------------------------------
+    @property
+    def zeros(self) -> np.ndarray:
+        return poly_roots(self.num)
+
+    @property
+    def poles(self) -> np.ndarray:
+        return poly_roots(self.den)
+
+    @property
+    def gain(self) -> float:
+        return self.num[-1] / self.den[-1] if len(self.den) else self.num[-1]
+
+    # --- algebra (parity: frat.hpp operator*/+, inv) --------------------
+    def __mul__(self, o) -> "FRat":
+        if isinstance(o, (int, float, complex)):
+            return FRat.make(self.num * o, self.den)
+        return FRat.make(np.convolve(self.num, o.num),
+                         np.convolve(self.den, o.den)).simplify()
+
+    __rmul__ = __mul__
+
+    def __add__(self, o) -> "FRat":
+        if isinstance(o, (int, float, complex)):
+            o = FRat.make([o])
+        num = polyadd(np.convolve(self.num, o.den),
+                      np.convolve(o.num, self.den))
+        return FRat.make(num, np.convolve(self.den, o.den)).simplify()
+
+    def inv(self) -> "FRat":
+        """Parity: FRat::inv."""
+        return FRat.make(self.den, self.num)
+
+    # --- simplification (parity: frat.hpp 'simplifier') -----------------
+    def simplify(self, tol: float = 1e-8) -> "FRat":
+        """Cancel zero/pole pairs that match within ``tol`` (the factored
+        form's common-root elimination)."""
+        z = list(self.zeros)
+        p = list(self.poles)
+        kept_z = []
+        for zz in z:
+            hit = None
+            for i, pp in enumerate(p):
+                if abs(zz - pp) < tol * max(1.0, abs(pp)):
+                    hit = i
+                    break
+            if hit is None:
+                kept_z.append(zz)
+            else:
+                p.pop(hit)
+        out = FRat.from_zpk(np.asarray(kept_z), np.asarray(p), 1.0)
+        # rescale so the function value is preserved (probe away from
+        # the remaining roots/poles)
+        probe = 1.2345 + 0.6789j
+        scale = complex(self(probe)) / complex(out(probe))
+        num = np.real_if_close(out.num * scale, tol=1e6)
+        den = np.real_if_close(out.den, tol=1e6)
+        if not np.iscomplexobj(self.num):
+            num, den = np.real(num), np.real(den)
+        return FRat.make(num, den)
+
+    # --- display (parity: frat.hpp operator<<) --------------------------
+    def factored_str(self, var: str = "z") -> str:
+        def fmt(roots):
+            return " ".join(f"({var} - {r:.4g})" for r in roots)
+        return (f"{self.gain:.4g} * [{fmt(self.zeros)}] / "
+                f"[{fmt(self.poles)}]")
+
+    def __str__(self) -> str:
+        return self.factored_str()

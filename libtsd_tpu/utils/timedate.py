@@ -132,3 +132,150 @@ class DateTime:
         mi = int((frac * 24 - h) * 60)
         s = ((frac * 24 - h) * 60 - mi) * 60
         return cls(Calendar(y, m, di), TimeOfDay(h, mi, s))
+
+
+@dataclasses.dataclass(frozen=True, order=True)
+class Duration:
+    """Time span with integer microsecond resolution (parity: Durée,
+    core/src/temps.cc:51-145 — same tic-count design, arithmetic and
+    unit accessors)."""
+    tics: int = 0      # microseconds
+
+    # --- constructors (parity: Durée::microsecondes..jours) -------------
+    @staticmethod
+    def microseconds(n: float) -> "Duration":
+        return Duration(int(round(n)))
+
+    @staticmethod
+    def milliseconds(n: float) -> "Duration":
+        return Duration(int(round(n * 1e3)))
+
+    @staticmethod
+    def seconds(n: float) -> "Duration":
+        return Duration(int(round(n * 1e6)))
+
+    @staticmethod
+    def minutes(n: float) -> "Duration":
+        return Duration(int(round(n * 60e6)))
+
+    @staticmethod
+    def hours(n: float) -> "Duration":
+        return Duration(int(round(n * 3600e6)))
+
+    @staticmethod
+    def days(n: float) -> "Duration":
+        return Duration(int(round(n * 86400e6)))
+
+    # --- accessors (parity: nb_jours..nb_microsecondes) -----------------
+    @property
+    def total_days(self) -> float:
+        return self.tics / 86400e6
+
+    @property
+    def total_hours(self) -> float:
+        return self.tics / 3600e6
+
+    @property
+    def total_minutes(self) -> float:
+        return self.tics / 60e6
+
+    @property
+    def total_seconds(self) -> float:
+        return self.tics / 1e6
+
+    @property
+    def total_milliseconds(self) -> float:
+        return self.tics / 1e3
+
+    # --- algebra (parity: operator+/-/*) --------------------------------
+    def __add__(self, o: "Duration") -> "Duration":
+        return Duration(self.tics + o.tics)
+
+    def __sub__(self, o: "Duration") -> "Duration":
+        return Duration(self.tics - o.tics)
+
+    def __mul__(self, k: float) -> "Duration":
+        return Duration(int(round(k * self.tics)))
+
+    __rmul__ = __mul__
+
+    def __neg__(self) -> "Duration":
+        return Duration(-self.tics)
+
+    def __str__(self) -> str:
+        # parity: operator<< unit selection, temps.cc:97-114
+        a = abs(self.tics)
+        if a > 2 * 86400e6:
+            return f"{self.total_days:.3f} days"
+        if a >= 3600e6:
+            return f"{self.total_hours:.3f} h"
+        if a >= 60e6:
+            return f"{self.total_minutes:.3f} min"
+        if a >= 1e6:
+            return f"{self.total_seconds:.3f} s"
+        if a >= 1e3:
+            return f"{self.total_milliseconds:.3f} ms"
+        return f"{self.tics} us"
+
+
+@dataclasses.dataclass(frozen=True)
+class HourComposite:
+    """Clock time h/m/s/ms/us (parity: HeureComposite, temps.cc:253-331)."""
+    hour: int = 0
+    minutes: int = 0
+    seconds: int = 0
+    ms: int = 0
+    us: int = 0
+
+    @staticmethod
+    def parse(s: str) -> "HourComposite":
+        """'hh:mm:ss[.mmm]' (parity: HeureComposite(cstring),
+        temps.cc:263-277)."""
+        parts = s.strip().split(":")
+        h, m = int(parts[0]), int(parts[1]) if len(parts) > 1 else 0
+        sec, ms = 0, 0
+        if len(parts) > 2:
+            if "." in parts[2]:
+                a, b = parts[2].split(".")
+                sec = int(a)
+                ms = int(round(float("0." + b) * 1000))
+            else:
+                sec = int(parts[2])
+        return HourComposite(h, m, sec, ms)
+
+    def is_valid(self) -> bool:
+        """Parity: vérifie_validité, temps.cc:279-287."""
+        return (0 <= self.hour < 24 and 0 <= self.minutes < 60
+                and 0 <= self.seconds < 60 and 0 <= self.ms < 1000
+                and 0 <= self.us < 1000)
+
+    def to_duration(self) -> Duration:
+        """Parity: Durée(HeureComposite), temps.cc:146-151."""
+        return (Duration.hours(self.hour) + Duration.minutes(self.minutes)
+                + Duration.seconds(self.seconds)
+                + Duration.milliseconds(self.ms)
+                + Duration.microseconds(self.us))
+
+    @staticmethod
+    def from_duration(d: Duration) -> "HourComposite":
+        t = d.tics % (86400 * 10 ** 6)
+        h, t = divmod(t, 3600 * 10 ** 6)
+        m, t = divmod(t, 60 * 10 ** 6)
+        s, t = divmod(t, 10 ** 6)
+        ms, us = divmod(t, 1000)
+        return HourComposite(int(h), int(m), int(s), int(ms), int(us))
+
+    def __str__(self) -> str:
+        return (f"{self.hour:02d}:{self.minutes:02d}:{self.seconds:02d}"
+                f".{self.ms:03d}")
+
+
+def datetime_add(dt: "DateTime", d: Duration) -> "DateTime":
+    """DateTime + Duration via Julian-day arithmetic (parity: operator+
+    on DateHeure, temps.cc:333+)."""
+    return DateTime.from_jd(dt.jd + d.total_days)
+
+
+def datetime_diff(a: "DateTime", b: "DateTime") -> Duration:
+    """DateTime - DateTime -> Duration."""
+    return Duration.days(a.jd - b.jd)

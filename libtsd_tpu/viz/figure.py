@@ -187,3 +187,100 @@ class Figures:
         get_report().add_figure(self, title)
 
     afficher = show
+
+
+def plot_plz(b, a=(1.0,), title: str = "Poles / zeros") -> Figure:
+    """Pole-zero map of a digital transfer function (taps in time order,
+    i.e. descending powers of z).  Parity: plot_plz / filtre-plot
+    (/root/reference/core/src/filtrage/filtre-plot.cc)."""
+    b = np.trim_zeros(np.asarray(b, float), "f")
+    a = np.trim_zeros(np.asarray(a, float), "f")
+    zeros = np.roots(b) if len(b) > 1 else np.array([])
+    poles = np.roots(a) if len(a) > 1 else np.array([])
+    f = Figure(title)
+    t = np.linspace(0, 2 * np.pi, 256)
+    f.plot(np.cos(t), np.sin(t), "b-")
+    if len(zeros):
+        f.plot_iq(zeros.astype(complex), "bo", label="zeros")
+    if len(poles):
+        f.plot_iq(poles.astype(complex), "rx", label="poles")
+    f.titles(title, "Re", "Im")
+    return f
+
+
+def covariance_ellipse(P, center=(0.0, 0.0), nsig: float = 1.0,
+                       npts: int = 91):
+    """Points of the nsig-sigma ellipse of a 2x2 covariance (parity: the
+    SSM covariance ellipse, /root/reference/core/src/kalman/kalman.cc:
+    656-699).  Returns (xs, ys)."""
+    P = np.asarray(P, float)
+    assert P.shape == (2, 2)
+    w, V = np.linalg.eigh(P)
+    w = np.maximum(w, 0.0)
+    t = np.linspace(0, 2 * np.pi, npts)
+    pts = V @ (nsig * np.sqrt(w)[:, None] * np.vstack([np.cos(t),
+                                                       np.sin(t)]))
+    return pts[0] + center[0], pts[1] + center[1]
+
+
+def plot_covariance_ellipse(f: Figure, P, center=(0.0, 0.0),
+                            nsig: float = 1.0, fmt: str = "g-",
+                            label: str = "") -> Figure:
+    xs, ys = covariance_ellipse(P, center, nsig)
+    f.plot(xs, ys, fmt, label=label)
+    return f
+
+
+def cic_analyse(config, fe: float = 1.0, fc: float = None,
+                comp_ncoefs: int = 0, R2: int = 1):
+    """CIC frequency analysis with figures (parity: cic_analyse,
+    /root/reference/core/src/reechan/cic.cc:102-327): response at the
+    input rate, droop at the passband edge, worst-alias rejection, and —
+    if ``comp_ncoefs`` — the droop-compensated response.
+
+    Returns (figures, metrics-dict)."""
+    from ..ops.resample import cic_freq, cic_bits, cic_comp_design
+    from ..ops.poly import freq_response_ba
+    R = config.R
+    fs_out = fe / R
+    if fc is None:
+        fc = 0.25 * fs_out
+    fr = np.linspace(0, 0.5, 2048)
+    mag = cic_freq(config, fr)
+    db = 20 * np.log10(np.maximum(mag, 1e-12))
+
+    droop = cic_freq(config, np.array([fc / fe]))[0]
+    # worst alias: image of fc around the first null (1/R)
+    alias_f = 1.0 / (R * config.M) - fc / fe
+    alias = cic_freq(config, np.array([alias_f]))[0]
+    metrics = dict(
+        droop_db=float(20 * np.log10(max(droop, 1e-12))),
+        alias_rejection_db=float(-20 * np.log10(max(alias, 1e-12))),
+        add_bits=cic_bits(config),
+    )
+
+    figs = Figures()
+    f1 = figs.subplot()
+    f1.plot(fr * fe, db, "b-", label="CIC")
+    f1.titles(f"CIC N={config.N} R={R} M={config.M}",
+              "frequency", "|H| (dB)")
+    if comp_ncoefs:
+        h = cic_comp_design(config, fe, R2, fc, comp_ncoefs)
+        frc = np.linspace(0, 0.5, 1024)
+        magc = freq_response_ba(h, np.array([1.0]), frc)
+        # combined response over the decimated band
+        f2 = figs.subplot()
+        cic_dec = cic_freq(config, frc / R)
+        f2.plot(frc * fs_out, 20 * np.log10(np.maximum(cic_dec, 1e-12)),
+                "b-", label="CIC (decimated band)")
+        f2.plot(frc * fs_out, 20 * np.log10(np.maximum(np.abs(magc), 1e-12)),
+                "g-", label="compensator")
+        comb = cic_dec * np.abs(magc)
+        f2.plot(frc * fs_out, 20 * np.log10(np.maximum(comb, 1e-12)),
+                "r-", label="combined")
+        f2.titles("CIC + compensation", "frequency", "dB")
+        i_fc = np.searchsorted(frc * fs_out, fc)
+        band = comb[: max(i_fc, 1)]
+        metrics["comp_ripple_db"] = float(
+            20 * np.log10(band.max() / max(band.min(), 1e-12)))
+    return figs, metrics

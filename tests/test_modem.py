@@ -371,3 +371,82 @@ def test_demod_pi4_qpsk_streaming_parity_carry():
     # skip the pull-in region; then decisions must agree
     agree = np.mean(once[2 * 400:m] == streamed[2 * 400:m])
     assert agree > 0.995, agree
+
+
+def test_receiver_lookahead_frame_cut_by_block_edge(frame_setup):
+    """A frame CUT by the final block edge (header straddling the
+    boundary) must NOT decode garbage from block 1; the detection defers
+    to block 2 (negative position into the carried history) and decodes
+    cleanly there (TODO/VERDICT #10 lookahead)."""
+    wf, fmt = frame_setup
+    tx = Transmitter.create(fmt)
+    payload = randbits(jax.random.PRNGKey(70), 256)
+    frame = tx.transmit(payload)
+    rx = Receiver.create(fmt, DetectorConfig(threshold=0.5))
+    Ne = rx.det.Ne
+    nblk = ((2048 + Ne - 1) // Ne) * Ne
+    start = nblk - 100            # 100 samples of the frame in block 1
+    whole = jnp.zeros(2 * nblk, jnp.complex64).at[
+        start:start + frame.shape[0]].add(frame)
+    whole = whole + 0.01 * (
+        jax.random.normal(jax.random.PRNGKey(71), (2 * nblk,))
+        + 1j * jax.random.normal(jax.random.PRNGKey(72), (2 * nblk,))
+    ).astype(jnp.complex64)
+    st = rx.init()
+    st, f1 = rx.step(st, whole[:nblk])
+    st, f2 = rx.step(st, whole[nblk:])
+    v2 = np.asarray(f2.valid)
+    assert v2.any(), "frame cut by the block edge was lost"
+    i = int(np.argmax(v2))
+    # position is relative to block 2: the frame started 100 samples
+    # before it (+10 modulator latency to the pattern start)
+    pos = int(np.asarray(f2.detection.position)[i])
+    assert abs(pos - (-100 + 10)) <= 2, pos
+    ber, errs, _ = BER.cmp_bits(payload, jnp.asarray(f2.bits[i]), 4)
+    assert errs == 0, (ber, errs)
+
+
+def test_detector_rif_mode_matches_ola():
+    """MODE_RIF (direct MXU FIR correlation) gives the same detections as
+    the OLA engine (parity: DetecteurConfig::mode, detection.cc:68-96)."""
+    rng_ = np.random.default_rng(9)
+    M = 64
+    p = (rng_.standard_normal(M) + 1j * rng_.standard_normal(M)
+         ).astype(np.complex64)
+    n = 4096
+    x = 0.05 * (rng_.standard_normal(n) + 1j * rng_.standard_normal(n)
+                ).astype(np.complex64)
+    for pos in (700, 2500):
+        x[pos:pos + M] += 1.3 * np.exp(0.6j) * p
+    da, _ = detect_pattern(jnp.asarray(x), p,
+                           DetectorConfig(threshold=0.6, mode="ola"))
+    dr, _ = detect_pattern(jnp.asarray(x), p,
+                           DetectorConfig(threshold=0.6, mode="rif"))
+    ga = sorted(np.asarray(da.position)[np.asarray(da.valid)].tolist())
+    gr = sorted(np.asarray(dr.position)[np.asarray(dr.valid)].tolist())
+    assert ga == gr == [700, 2500], (ga, gr)
+    # gains/thetas agree too
+    ia = np.argsort(np.asarray(da.position))
+    ir = np.argsort(np.asarray(dr.position))
+    assert np.allclose(np.asarray(da.gain)[ia], np.asarray(dr.gain)[ir],
+                       rtol=1e-3)
+    assert np.allclose(np.asarray(da.theta)[ia], np.asarray(dr.theta)[ir],
+                       atol=1e-3)
+
+
+def test_detection_callback_surface():
+    """gere_detection-style callback driver (detection.cc:357-364)."""
+    from libtsd_tpu.models.detector import detect_with_callback
+    rng_ = np.random.default_rng(12)
+    M = 48
+    p = (rng_.standard_normal(M) + 1j * rng_.standard_normal(M)
+         ).astype(np.complex64)
+    x = 0.05 * (rng_.standard_normal(4096)
+                + 1j * rng_.standard_normal(4096)).astype(np.complex64)
+    for pos in (400, 1900):
+        x[pos:pos + M] += p
+    seen = []
+    detect_with_callback(jnp.asarray(x), p, seen.append,
+                         DetectorConfig(threshold=0.6))
+    assert [d["position"] for d in seen] == [400, 1900]
+    assert all(d["score"] > 0.6 for d in seen)

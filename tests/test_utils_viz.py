@@ -164,3 +164,77 @@ def test_figure_and_report(tmp_path):
     assert os.path.exists(str(tmp_path / "rep" / "img" / "img-0.png"))
     html = open(str(tmp_path / "rep" / "index.html")).read()
     assert "hello report" in html and "img-1.png" in html
+
+
+def test_frat_algebra_and_simplify():
+    """FRat rational algebra (parity: frat.hpp:16-916)."""
+    from libtsd_tpu.ops.poly import FRat
+    f = FRat.from_zpk([0.5, 2.0], [0.5, 0.9], 3.0)
+    g = f.simplify()
+    assert np.allclose(sorted(g.zeros.real), [2.0])
+    assert np.allclose(sorted(g.poles.real), [0.9])
+    for x in [1.7, -0.3 + 1j, 0.2]:
+        assert abs(f(x) - g(x)) < 1e-9
+    h = FRat.make([1, 2], [1, 0, 0.25])
+    prod = (h * h.inv()).simplify()
+    assert len(prod.zeros) == 0 and len(prod.poles) == 0
+    assert abs(prod(0.7) - 1.0) < 1e-9
+    s = h + 1.0
+    assert abs(s(0.3) - (h(0.3) + 1.0)) < 1e-12
+
+
+def test_duration_algebra():
+    """Duration/HourComposite arithmetic (parity: temps.cc:51-331)."""
+    from libtsd_tpu.utils.timedate import (Calendar, DateTime, Duration,
+                                           HourComposite, TimeOfDay,
+                                           datetime_add, datetime_diff)
+    d = Duration.hours(1) + Duration.minutes(30)
+    assert d.total_minutes == 90
+    assert (2 * d).total_hours == 3
+    assert (d - Duration.minutes(30)).total_seconds == 3600
+    assert Duration.days(1) > d
+    hc = HourComposite.parse("12:34:56.250")
+    assert (hc.hour, hc.minutes, hc.seconds, hc.ms) == (12, 34, 56, 250)
+    assert hc.is_valid()
+    assert not HourComposite(25, 0, 0).is_valid()
+    rt = HourComposite.from_duration(hc.to_duration())
+    assert rt == hc
+    dt = DateTime(Calendar(2024, 3, 1), TimeOfDay(12, 0, 0.0))
+    dt2 = datetime_add(dt, Duration.days(1.5))
+    diff = datetime_diff(dt2, dt)
+    assert abs(diff.total_days - 1.5) < 1e-9
+    assert dt2.cal.day == 3  # 2024-03-03 00:00
+
+
+def test_plot_plz_and_ellipse(tmp_path):
+    from libtsd_tpu.viz.figure import (plot_plz, covariance_ellipse,
+                                       plot_covariance_ellipse, Figure)
+    from libtsd_tpu.ops import iir_design as ID
+    zpk = ID.design_iir(4, "lp", "butt", 0.1)
+    b, a = ID.zpk_to_ba(zpk) if hasattr(ID, "zpk_to_ba") else (None, None)
+    f = plot_plz([1.0, -0.5], [1.0, -0.9])
+    f.save(str(tmp_path / "plz.png"))
+    assert (tmp_path / "plz.png").exists()
+
+    P = np.array([[2.0, 0.8], [0.8, 1.0]])
+    xs, ys = covariance_ellipse(P, center=(1.0, -1.0), nsig=2.0)
+    # points satisfy the ellipse equation (x-c)' P^-1 (x-c) = nsig^2
+    v = np.vstack([xs - 1.0, ys + 1.0])
+    q = np.einsum("in,ij,jn->n", v, np.linalg.inv(P), v)
+    assert np.allclose(q, 4.0, atol=1e-6)
+    fig = Figure("ellipse")
+    plot_covariance_ellipse(fig, P, (1.0, -1.0), 2.0)
+    fig.save(str(tmp_path / "ell.png"))
+
+
+def test_cic_analyse_figures(tmp_path):
+    from libtsd_tpu.viz.figure import cic_analyse
+    from libtsd_tpu.ops.resample import CicConfig
+    cfg = CicConfig(R=8, N=4, M=1)
+    figs, metrics = cic_analyse(cfg, fe=1.0, comp_ncoefs=31)
+    assert metrics["droop_db"] < 0          # droop is a loss
+    assert metrics["alias_rejection_db"] > 20
+    assert metrics["add_bits"] >= 8
+    assert "comp_ripple_db" in metrics
+    figs.save(str(tmp_path / "cic.png"))
+    assert (tmp_path / "cic.png").exists()
