@@ -43,18 +43,21 @@ def main():
     from libtsd_tpu.ops.filter_rt import fir_toeplitz_mats
     from libtsd_tpu.ops.pallas.chain import fir_periodogram4096
 
-    # 256 channels x 262144 samples per iteration (64k-sample chunks per
-    # grid step), sized to amortize the ~0.8 ms/iteration loop overhead of
-    # the target runtime.
+    # 256 channels x 4M samples per iteration (512k-sample chunks per
+    # grid step): a 4 GB working set so the ~0.8 ms/iteration dispatch
+    # overhead of the target runtime is <1% — the kernel itself is at the
+    # HBM roofline (~67 GB/s effective on this runtime).
     C = 256
-    N = 1 << 18
+    N = 1 << 22
     iters = 3
 
     h = FD.fir_lowpass(256, 0.2)
     G = jnp.asarray(fir_toeplitz_mats(np.asarray(h, np.float64)),
                     jnp.float32)
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((C, N)), jnp.float32)
+    # generate the 4 GB input ON DEVICE: a host->device transfer of this
+    # size can stall for minutes through the axon relay
+    x = jax.jit(lambda k: jax.random.normal(k, (C, N), jnp.float32))(
+        jax.random.PRNGKey(0))
 
     interpret = jax.default_backend() not in ("tpu", "axon")
 
@@ -63,7 +66,8 @@ def main():
         def body(i, carry):
             acc, g = carry
             acc = acc + fir_periodogram4096(xin, g, interpret=interpret,
-                                            precision="split")
+                                            precision="split",
+                                            tb=1 if interpret else 128)
             # data dependency across iterations through the taps
             g = g + jnp.mean(acc) * 1e-24
             return acc, g

@@ -30,17 +30,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...config import real_dtype
 from ..filter_rt import fir_toeplitz_mats
-from .periodogram import _dft_mm, _factors, _N1, _N2, _NFFT, _TB
+from .periodogram import _dft_mm, _factors, _N1, _N2, _NFFT
 
 __all__ = ["fir_periodogram4096"]
 
 _L = 128
-_ROWS = _TB * _N1          # frames of 128 per chunk (512 rows = 64k samples)
 
 
 def _kernel(x_ref, g_ref, hist0_ref, f32r_ref, f32i_ref, f128r_ref,
             f128i_ref, twr_ref, twi_ref, acc_ref, hist_ref, *,
-            split: bool = False):
+            prec: str = "highest"):
+    split = prec in ("split", "bf16", "int8")
     f = pl.program_id(1)
     D = g_ref.shape[0]
 
@@ -56,14 +56,28 @@ def _kernel(x_ref, g_ref, hist0_ref, f32r_ref, f32i_ref, f128r_ref,
     dot = functools.partial(jnp.dot, precision=hp,
                             preferred_element_type=jnp.float32)
 
-    x = x_ref[0]                             # (ROWS, 128)
+    xraw = x_ref[0]                          # (ROWS, 128), input dtype
+    x = xraw
+    rows = x.shape[0]
+    f32 = jnp.float32
     # ---- stage 1: FIR as Toeplitz matmuls with carried history ----
-    # split precision: FIR via a manual 3-pass bf16 hi/lo decomposition
+    # "split": FIR via a manual 3-pass bf16 hi/lo decomposition
     # (a@b ~ ah@bh + al@bh + ah@bl, dropping the ~2^-18 al@bl term) —
     # near-fp32 accuracy at half the MXU passes of HIGHEST; the DFT
     # stages run single-pass bf16 (see _dft_mm).
-    if split:
-        f32 = jnp.float32
+    # "bf16": the INPUT ARRAY is bfloat16 (half the HBM traffic of f32 —
+    # this kernel is memory-bound, so ~2x); FIR is a single bf16 pass.
+    # "int8": the INPUT ARRAY is int8 ADC samples (1/4 the HBM traffic of
+    # f32); int8 -> bf16 is exact (|x| <= 127 needs 7 mantissa bits), so
+    # accuracy matches the bf16 tier while reading 4x fewer bytes.
+    if prec in ("bf16", "int8"):
+        if prec == "int8":
+            x = x.astype(jnp.bfloat16)
+
+        def fdot(sl, g):
+            return jnp.dot(x[sl], g.astype(jnp.bfloat16),
+                           preferred_element_type=f32)
+    elif prec == "split":
         xh = x.astype(jnp.bfloat16)
         xl = (x - xh.astype(f32)).astype(jnp.bfloat16)
 
@@ -79,17 +93,17 @@ def _kernel(x_ref, g_ref, hist0_ref, f32r_ref, f32i_ref, f128r_ref,
     acc_y = fdot(slice(None), g_ref[0])
     for d in range(1, D):
         # history rows are a tiny (d,128) matmul — keep at HIGHEST
-        top = dot(hist_ref[D - 1 - d:, :][: d, :], g_ref[d])
-        bot = fdot(slice(0, _ROWS - d), g_ref[d])
+        top = dot(hist_ref[D - 1 - d:, :][: d, :].astype(f32), g_ref[d])
+        bot = fdot(slice(0, rows - d), g_ref[d])
         acc_y = acc_y + jnp.concatenate([top, bot], axis=0)
     if D > 1:
-        hist_ref[...] = x[_ROWS - (D - 1):, :]
+        hist_ref[...] = xraw[rows - (D - 1):, :]
 
     # ---- stage 2: DFT-4096 + power accumulate ----
     F32r, F32i = f32r_ref[...], f32i_ref[...]
     F128r, F128i = f128r_ref[...], f128i_ref[...]
     TWr, TWi = twr_ref[...], twi_ref[...]
-    Xm = acc_y.reshape(_TB, _N1, _N2)        # [frame, n1, n2]
+    Xm = acc_y.reshape(rows // _N1, _N1, _N2)  # [frame, n1, n2]
     Ar = mm("kn,bnm->bkm", F32r, Xm)
     Ai = mm("kn,bnm->bkm", F32i, Xm)
     Br = Ar * TWr - Ai * TWi
@@ -99,11 +113,13 @@ def _kernel(x_ref, g_ref, hist0_ref, f32r_ref, f32i_ref, f128r_ref,
     acc_ref[...] += jnp.sum(Xr * Xr + Xi * Xi, axis=0)[None]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
+@functools.partial(jax.jit,
+                    static_argnames=("interpret", "precision", "tb"))
 def fir_periodogram4096(x: jax.Array, G: jax.Array,
                         hist0: jax.Array | None = None,
                         interpret: bool = False,
-                        precision: str = "highest") -> jax.Array:
+                        precision: str = "highest",
+                        tb: int = 16) -> jax.Array:
     """x: (C, N) float32 (N % 65536 == 0); G: (D, 128, 128) Toeplitz tap
     matrices (fir_toeplitz_mats).  Returns (C, 4096) accumulated power
     spectra of the FIR-filtered signal (zero initial state per channel).
@@ -118,24 +134,36 @@ def fir_periodogram4096(x: jax.Array, G: jax.Array,
     relative, near-fp32) and the DFT stages as native single-pass bf16
     matmuls — within the reference's own 1e-2 large-n FFT tolerance
     (/root/reference/core/tests/test-fourier.cc:256) at a fraction of the
-    MXU passes (see tests/test_pallas.py accuracy tests)."""
+    MXU passes (see tests/test_pallas.py accuracy tests); "bf16" ingests
+    the input as bfloat16 (half the HBM bytes of the memory-bound kernel);
+    "int8" ingests raw int8 ADC samples (quarter the bytes; int8->bf16 is
+    exact so compute accuracy equals the bf16 tier)."""
     C, N = x.shape
-    chunk = _ROWS * _L
+    rows = tb * _N1
+    chunk = rows * _L
     assert N % chunk == 0, f"N must be a multiple of {chunk}"
-    assert precision in ("highest", "split")
+    assert precision in ("highest", "split", "bf16", "int8")
+    if precision == "int8":
+        # SDR ADC ingest: caller hands raw int8 samples (outputs are in
+        # lsb^2 units — scale spectra by (lsb volts)^2 on the host).
+        assert x.dtype == jnp.int8, "precision='int8' expects int8 input"
+        xdt = jnp.int8
+    else:
+        xdt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+        x = x.astype(xdt)
     nchunks = N // chunk
     D = G.shape[0]
     H = max(D - 1, 1)
     if hist0 is None:
-        hist0 = jnp.zeros((C, H, _L), jnp.float32)
+        hist0 = jnp.zeros((C, H, _L), xdt)
     assert hist0.shape == (C, H, _L), hist0.shape
     F32r, F32i, F128r, F128i, TWr, TWi = _factors()
     const = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     acc = pl.pallas_call(
-        functools.partial(_kernel, split=(precision == "split")),
+        functools.partial(_kernel, prec=precision),
         grid=(C, nchunks),
         in_specs=[
-            pl.BlockSpec((1, _ROWS, _L), lambda c, f: (c, f, 0),
+            pl.BlockSpec((1, rows, _L), lambda c, f: (c, f, 0),
                          memory_space=pltpu.VMEM),
             const(),
             pl.BlockSpec((1, H, _L), lambda c, f: (c, 0, 0),
@@ -145,10 +173,10 @@ def fir_periodogram4096(x: jax.Array, G: jax.Array,
         out_specs=pl.BlockSpec((1, _N1, _N2), lambda c, f: (c, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C, _N1, _N2), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((H, _L), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((H, _L), xdt)],
         interpret=interpret,
-    )(x.reshape(C, nchunks * _ROWS, _L),
-      G.astype(jnp.float32), hist0.astype(jnp.float32),
+    )(x.reshape(C, nchunks * rows, _L),
+      G.astype(jnp.float32), hist0.astype(xdt),
       jnp.asarray(F32r), jnp.asarray(F32i),
       jnp.asarray(F128r), jnp.asarray(F128i), jnp.asarray(TWr),
       jnp.asarray(TWi))

@@ -199,3 +199,56 @@ def test_olafft_pallas_engine_matches_xla():
     scale = np.max(np.abs(np.asarray(yx)))
     err = np.max(np.abs(yp - np.asarray(yx)[:, :yp.shape[1]])) / scale
     assert err < 1e-5, err
+
+
+def test_fused_chain_bf16_ingest_accuracy():
+    """precision='bf16' (bfloat16 input array — half the HBM traffic of
+    the memory-bound kernel): stays within the reference's 1e-2 large-n
+    FFT tolerance (test-fourier.cc:256) including the input quantization."""
+    h = fir_lowpass(256, 0.2)
+    G = jnp.asarray(fir_toeplitz_mats(np.asarray(h, np.float64)),
+                    jnp.float32)
+    C, N = 1, 2 * 65536
+    x = jnp.asarray(rng.standard_normal((C, N)), jnp.float32)
+    acc = np.asarray(
+        fir_periodogram4096(x, G, interpret=True, precision="bf16"))
+    y = np.asarray(fir_filter(h, x), np.float64)
+    ref = np.zeros((C, 4096))
+    for f in range(N // 4096):
+        ref[0] += np.abs(np.fft.fft(y[0, f * 4096:(f + 1) * 4096])) ** 2
+    rel = np.max(np.abs(acc - ref)) / ref.max()
+    assert rel < 1e-2, rel
+
+
+def test_fused_chain_tb_parameter():
+    """The tile-size parameter changes scheduling only, not results."""
+    h = fir_lowpass(200, 0.15)
+    G = jnp.asarray(fir_toeplitz_mats(np.asarray(h, np.float64)),
+                    jnp.float32)
+    C, N = 1, 2 * 65536
+    x = jnp.asarray(rng.standard_normal((C, N)), jnp.float32)
+    a16 = np.asarray(fir_periodogram4096(x, G, interpret=True, tb=16))
+    a32 = np.asarray(fir_periodogram4096(x, G, interpret=True, tb=32))
+    a8 = np.asarray(fir_periodogram4096(x, G, interpret=True, tb=8))
+    assert np.max(np.abs(a32 - a16)) / a16.max() < 1e-6
+    assert np.max(np.abs(a8 - a16)) / a16.max() < 1e-6
+
+
+def test_fused_chain_int8_ingest():
+    """precision='int8' (raw ADC samples, 1/4 the HBM bytes): int8->bf16
+    conversion is exact, so the result matches the bf16-tier accuracy
+    against an exact float reference of the SAME quantized input."""
+    h = fir_lowpass(256, 0.2)
+    G = jnp.asarray(fir_toeplitz_mats(np.asarray(h, np.float64)),
+                    jnp.float32)
+    C, N = 1, 2 * 65536
+    xq = rng.integers(-127, 128, size=(C, N)).astype(np.int8)
+    acc = np.asarray(
+        fir_periodogram4096(jnp.asarray(xq), G, interpret=True,
+                            precision="int8"))
+    y = np.asarray(fir_filter(h, xq.astype(np.float64)))
+    ref = np.zeros((C, 4096))
+    for f in range(N // 4096):
+        ref[0] += np.abs(np.fft.fft(y[0, f * 4096:(f + 1) * 4096])) ** 2
+    rel = np.max(np.abs(acc - ref)) / ref.max()
+    assert rel < 1e-2, rel
