@@ -45,8 +45,10 @@ def main():
 
     # 256 channels x 4M samples per iteration (512k-sample chunks per
     # grid step): a 4 GB working set so the ~0.8 ms/iteration dispatch
-    # overhead of the target runtime is <1% — the kernel itself is at the
-    # HBM roofline (~67 GB/s effective on this runtime).
+    # overhead of the target runtime is <1%.  The DFT stages pack 4 frames
+    # per MXU tile (block-diagonal F32 factor — see ops/pallas/chain.py);
+    # f32-ingest split precision is the reported metric; bf16/int8 ADC
+    # ingest tiers run ~1.5x/1.7x faster again (memory traffic).
     C = 256
     N = 1 << 22
     iters = 3

@@ -100,17 +100,27 @@ def _kernel(x_ref, g_ref, hist0_ref, f32r_ref, f32i_ref, f128r_ref,
         hist_ref[...] = xraw[rows - (D - 1):, :]
 
     # ---- stage 2: DFT-4096 + power accumulate ----
+    # When the F32 factor arrives as a (128,128) block-diagonal (4 frames
+    # per MXU tile, see the host wrapper), every DFT matmul runs with a
+    # full 128-deep contraction/sublane extent — without the packing, the
+    # (32,*) stage-A/B matmuls are padded to whole 128^3 MXU tiles and the
+    # kernel wastes ~3/4 of its MXU issue slots.
     F32r, F32i = f32r_ref[...], f32i_ref[...]
     F128r, F128i = f128r_ref[...], f128i_ref[...]
     TWr, TWi = twr_ref[...], twi_ref[...]
-    Xm = acc_y.reshape(rows // _N1, _N1, _N2)  # [frame, n1, n2]
+    packed = F32r.shape[0] == _N2
+    nsub = _N2 if packed else _N1
+    Xm = acc_y.reshape(rows // nsub, nsub, _N2)  # [blk, (frame,n1), n2]
     Ar = mm("kn,bnm->bkm", F32r, Xm)
     Ai = mm("kn,bnm->bkm", F32i, Xm)
     Br = Ar * TWr - Ai * TWi
     Bi = Ar * TWi + Ai * TWr
     Xr = mm("bkn,qn->bkq", Br, F128r) - mm("bkn,qn->bkq", Bi, F128i)
     Xi = mm("bkn,qn->bkq", Br, F128i) + mm("bkn,qn->bkq", Bi, F128r)
-    acc_ref[...] += jnp.sum(Xr * Xr + Xi * Xi, axis=0)[None]
+    P = jnp.sum(Xr * Xr + Xi * Xi, axis=0)
+    if packed:
+        P = P.reshape(_N2 // _N1, _N1, _N2).sum(axis=0)
+    acc_ref[...] += P[None]
 
 
 @functools.partial(jax.jit,
@@ -158,6 +168,17 @@ def fir_periodogram4096(x: jax.Array, G: jax.Array,
         hist0 = jnp.zeros((C, H, _L), xdt)
     assert hist0.shape == (C, H, _L), hist0.shape
     F32r, F32i, F128r, F128i, TWr, TWi = _factors()
+    if tb % 4 == 0:
+        # pack 4 frames per MXU tile: block-diagonal F32 stage + tiled
+        # twiddles (numerically identical — the off-block zeros contribute
+        # exactly 0 in every precision mode)
+        pack = _N2 // _N1
+        z = np.zeros((_N1, _N1), np.float32)
+        blk = lambda M: np.block(
+            [[M if i == j else z for j in range(pack)]
+             for i in range(pack)])
+        F32r, F32i = blk(F32r), blk(F32i)
+        TWr, TWi = np.tile(TWr, (pack, 1)), np.tile(TWi, (pack, 1))
     const = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     acc = pl.pallas_call(
         functools.partial(_kernel, prec=precision),

@@ -230,8 +230,12 @@ def test_fused_chain_tb_parameter():
     a16 = np.asarray(fir_periodogram4096(x, G, interpret=True, tb=16))
     a32 = np.asarray(fir_periodogram4096(x, G, interpret=True, tb=32))
     a8 = np.asarray(fir_periodogram4096(x, G, interpret=True, tb=8))
+    # tb=2: not a multiple of 4 -> exercises the UNPACKED DFT fallback
+    # (tb>=4 runs the 4-frames-per-MXU-tile block-diagonal factorization)
+    a2 = np.asarray(fir_periodogram4096(x, G, interpret=True, tb=2))
     assert np.max(np.abs(a32 - a16)) / a16.max() < 1e-6
     assert np.max(np.abs(a8 - a16)) / a16.max() < 1e-6
+    assert np.max(np.abs(a2 - a16)) / a16.max() < 1e-6
 
 
 def test_fused_chain_int8_ingest():
