@@ -40,7 +40,7 @@ _L = 128
 def _kernel(x_ref, g_ref, hist0_ref, f32r_ref, f32i_ref, f128r_ref,
             f128i_ref, twr_ref, twi_ref, acc_ref, hist_ref, *,
             prec: str = "highest"):
-    split = prec in ("split", "bf16", "int8")
+    split = prec in ("split", "bf16", "int8", "int16")
     f = pl.program_id(1)
     D = g_ref.shape[0]
 
@@ -77,7 +77,14 @@ def _kernel(x_ref, g_ref, hist0_ref, f32r_ref, f32i_ref, f128r_ref,
         def fdot(sl, g):
             return jnp.dot(x[sl], g.astype(jnp.bfloat16),
                            preferred_element_type=f32)
-    elif prec == "split":
+    elif prec in ("split", "int16"):
+        # "int16": lossless ADC ingest at 2 B/sample — int16 -> f32 is
+        # exact and the bf16 hi/lo split below represents both halves
+        # exactly (hi: top 8 mantissa bits; lo: |x - hi| <= 2^7, an
+        # integer, exact in bf16), so accuracy equals the f32 "split" tier
+        # at half the HBM bytes.
+        if prec == "int16":
+            x = x.astype(f32)
         xh = x.astype(jnp.bfloat16)
         xl = (x - xh.astype(f32)).astype(jnp.bfloat16)
 
@@ -147,17 +154,19 @@ def fir_periodogram4096(x: jax.Array, G: jax.Array,
     MXU passes (see tests/test_pallas.py accuracy tests); "bf16" ingests
     the input as bfloat16 (half the HBM bytes of the memory-bound kernel);
     "int8" ingests raw int8 ADC samples (quarter the bytes; int8->bf16 is
-    exact so compute accuracy equals the bf16 tier)."""
+    exact so compute accuracy equals the bf16 tier); "int16" ingests raw
+    int16 ADC samples losslessly at half the bytes (split-tier
+    accuracy)."""
     C, N = x.shape
     rows = tb * _N1
     chunk = rows * _L
     assert N % chunk == 0, f"N must be a multiple of {chunk}"
-    assert precision in ("highest", "split", "bf16", "int8")
-    if precision == "int8":
-        # SDR ADC ingest: caller hands raw int8 samples (outputs are in
+    assert precision in ("highest", "split", "bf16", "int8", "int16")
+    if precision in ("int8", "int16"):
+        # SDR ADC ingest: caller hands raw integer samples (outputs are in
         # lsb^2 units — scale spectra by (lsb volts)^2 on the host).
-        assert x.dtype == jnp.int8, "precision='int8' expects int8 input"
-        xdt = jnp.int8
+        xdt = jnp.dtype(precision)
+        assert x.dtype == xdt, f"precision='{precision}' expects {xdt} input"
     else:
         xdt = jnp.bfloat16 if precision == "bf16" else jnp.float32
         x = x.astype(xdt)

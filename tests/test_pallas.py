@@ -256,3 +256,23 @@ def test_fused_chain_int8_ingest():
         ref[0] += np.abs(np.fft.fft(y[0, f * 4096:(f + 1) * 4096])) ** 2
     rel = np.max(np.abs(acc - ref)) / ref.max()
     assert rel < 1e-2, rel
+
+
+def test_fused_chain_int16_ingest():
+    """precision='int16' (raw 16-bit ADC samples, half the HBM bytes):
+    int16 -> f32 -> bf16 hi/lo is lossless, so accuracy matches the
+    'split' tier against an exact float reference of the same input."""
+    h = fir_lowpass(256, 0.2)
+    G = jnp.asarray(fir_toeplitz_mats(np.asarray(h, np.float64)),
+                    jnp.float32)
+    C, N = 1, 2 * 65536
+    xq = rng.integers(-20000, 20000, size=(C, N)).astype(np.int16)
+    acc = np.asarray(
+        fir_periodogram4096(jnp.asarray(xq), G, interpret=True,
+                            precision="int16"))
+    y = np.asarray(fir_filter(h, xq.astype(np.float64)))
+    ref = np.zeros((C, 4096))
+    for f in range(N // 4096):
+        ref[0] += np.abs(np.fft.fft(y[0, f * 4096:(f + 1) * 4096])) ** 2
+    rel = np.max(np.abs(acc - ref)) / ref.max()
+    assert rel < 1e-2, rel
