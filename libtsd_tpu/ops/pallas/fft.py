@@ -59,23 +59,39 @@ def _kernel(xr_ref, xi_ref, f1r_ref, f1i_ref, twr_ref, twi_ref,
     mm = _dft_mm(split)
     Xr, Xi = xr_ref[...], xi_ref[...]           # (TB, N1, 128)
     F1r, F1i = f1r_ref[...], f1i_ref[...]
+    tb, n1 = Xr.shape[0], Xr.shape[1]
+    # frame packing: when the F1 factor arrives as a (p*n1, p*n1)
+    # block-diagonal (see the host wrapper), fold p frames into the
+    # sublane dim so stage-A/B matmuls run with full 128-deep extents —
+    # unpacked, the (n1,*) matmuls pad to whole 128^3 MXU tiles and up to
+    # 15/16 of the MXU issue slots are wasted (n1=8 at nfft=1024)
+    nsub = F1r.shape[0]
+    p = nsub // n1
+    if p > 1:
+        Xr = Xr.reshape(tb // p, nsub, _N2)
+        Xi = Xi.reshape(tb // p, nsub, _N2)
     Ar = mm("kn,bnm->bkm", F1r, Xr) - mm("kn,bnm->bkm", F1i, Xi)
     Ai = mm("kn,bnm->bkm", F1r, Xi) + mm("kn,bnm->bkm", F1i, Xr)
     TWr, TWi = twr_ref[...], twi_ref[...]
     Br = Ar * TWr - Ai * TWi
     Bi = Ar * TWi + Ai * TWr
     F2r, F2i = f2r_ref[...], f2i_ref[...]
-    yr_ref[...] = (mm("bkn,qn->bkq", Br, F2r)
-                   - mm("bkn,qn->bkq", Bi, F2i))
-    yi_ref[...] = (mm("bkn,qn->bkq", Br, F2i)
-                   + mm("bkn,qn->bkq", Bi, F2r))
+    Yr = mm("bkn,qn->bkq", Br, F2r) - mm("bkn,qn->bkq", Bi, F2i)
+    Yi = mm("bkn,qn->bkq", Br, F2i) + mm("bkn,qn->bkq", Bi, F2r)
+    if p > 1:
+        Yr = Yr.reshape(tb, n1, _N2)
+        Yi = Yi.reshape(tb, n1, _N2)
+    yr_ref[...] = Yr
+    yi_ref[...] = Yi
 
 
-def _pick_tb(b: int, nfft: int) -> int:
-    """Frames per grid step: cap the working set at ~2 MB of VMEM."""
-    tb = max(1, (1 << 19) // (nfft * 4))
-    while b % tb:
-        tb -= 1
+def _pick_tb(b: int, nfft: int, p: int = 1) -> int:
+    """Frames per grid step (a multiple of the packing factor p): cap the
+    working set at ~2 MB of VMEM."""
+    tb = max(p, (1 << 19) // (nfft * 4))
+    tb -= tb % p
+    while b % tb or tb % p:
+        tb -= p
     return tb
 
 
@@ -93,7 +109,16 @@ def fft_pow2(xr: jax.Array, xi: jax.Array, inverse: bool = False,
     B, nfft = xr.shape
     n1 = nfft // _N2
     F1r, F1i, TWr, TWi, F2r, F2i = dft_factors(nfft, inverse)
-    tb = _pick_tb(B, nfft)
+    p = _N2 // n1 if (n1 < _N2 and B % (_N2 // n1) == 0) else 1
+    if p > 1:
+        # pack p frames per MXU tile (block-diagonal F1 + tiled twiddles;
+        # numerically identical — off-block zeros contribute exactly 0)
+        z = np.zeros((n1, n1), np.float32)
+        blk = lambda M: np.block(
+            [[M if i == j else z for j in range(p)] for i in range(p)])
+        F1r, F1i = blk(F1r), blk(F1i)
+        TWr, TWi = np.tile(TWr, (p, 1)), np.tile(TWi, (p, 1))
+    tb = _pick_tb(B, nfft, p)
     const = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     grid = (B // tb,)
     spec3 = pl.BlockSpec((tb, n1, _N2), lambda b: (b, 0, 0),

@@ -276,3 +276,19 @@ def test_fused_chain_int16_ingest():
         ref[0] += np.abs(np.fft.fft(y[0, f * 4096:(f + 1) * 4096])) ** 2
     rel = np.max(np.abs(acc - ref)) / ref.max()
     assert rel < 1e-2, rel
+
+
+def test_fft_pow2_packed_batches():
+    """Batch sizes divisible by the packing factor exercise the
+    block-diagonal frame-packed path; results must match numpy exactly
+    (same arithmetic, off-block zeros contribute 0)."""
+    from libtsd_tpu.ops.pallas.fft import fft_pow2
+    for nfft, B in [(256, 128), (1024, 32), (2048, 8)]:
+        x = (rng.standard_normal((B, nfft))
+             + 1j * rng.standard_normal((B, nfft)))
+        yr, yi = fft_pow2(jnp.asarray(x.real, jnp.float32),
+                          jnp.asarray(x.imag, jnp.float32), interpret=True)
+        ref = np.fft.fft(x)
+        err = (np.max(np.abs((np.asarray(yr) + 1j * np.asarray(yi)) - ref))
+               / np.max(np.abs(ref)))
+        assert err < 1e-5, (nfft, B, err)
