@@ -251,12 +251,24 @@ class Receiver(Block):
         frames = self._extract_all(buf, dets)
         return new_state, frames
 
+    def step_jit(self, state, x: jax.Array):
+        """`step` through a module-level jit cache: host-driven streaming
+        loops pay one trace/compile per block SHAPE, then run compiled
+        (the receiver is a pytree, so the cache is shared across receiver
+        instances of the same structure)."""
+        return _STEP_JIT(self, state, x)
+
     def receive(self, x: jax.Array) -> FrameRx:
         """One-shot receive over a buffer."""
         from ..block import pad_to_multiple
         xp = pad_to_multiple(x, self.det.Ne, axis=0)
         _, frames = self.step(self.init(), xp)
         return frames
+
+
+# module-level jit of Receiver.step with the receiver as a pytree argument
+# (closure capture would embed device constants — see Receiver.create note)
+_STEP_JIT = jax.jit(lambda rx, state, x: Receiver.step(rx, state, x))
 
 
 class MonitoredReceiver:

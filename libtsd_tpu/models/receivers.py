@@ -167,6 +167,12 @@ class Qam16Modem(struct.PyTreeNode):
 
     def receive(self, x: jax.Array):
         """x: (n,) baseband samples -> (bits, symbols, mask, evm)."""
+        # fusion fence: on one TPU runtime (axon), letting XLA fuse the
+        # modulator's polyphase upsampling directly into the matched-filter
+        # matmul miscompiles and yields NaNs under vmap (verified: the
+        # barrier alone removes them; numerics are unchanged — it only
+        # stops cross-stage fusion at the TX/RX boundary)
+        x = jax.lax.optimization_barrier(x)
         if self.rx_mode == "fused":
             _, (bits, syms, mask, bmask) = self.dd2.step(self.dd2.init(), x)
             nmask = jnp.sum(mask)

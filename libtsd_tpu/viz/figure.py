@@ -253,10 +253,16 @@ def cic_analyse(config, fe: float = 1.0, fc: float = None,
     # worst alias: image of fc around the first null (1/R)
     alias_f = 1.0 / (R * config.M) - fc / fe
     alias = cic_freq(config, np.array([alias_f]))[0]
+    # per-stage integer growth: integrator stage i (1-based) accumulates
+    # gain (R M)^i, i.e. ceil(i log2(RM)) extra bits (the reference plots
+    # this stage profile alongside the total, cic.cc:205-220)
+    stage_bits = [int(np.ceil(i * np.log2(R * config.M)))
+                  for i in range(1, config.N + 1)]
     metrics = dict(
         droop_db=float(20 * np.log10(max(droop, 1e-12))),
         alias_rejection_db=float(-20 * np.log10(max(alias, 1e-12))),
         add_bits=cic_bits(config),
+        stage_bits=stage_bits,
     )
 
     figs = Figures()
@@ -264,6 +270,10 @@ def cic_analyse(config, fe: float = 1.0, fc: float = None,
     f1.plot(fr * fe, db, "b-", label="CIC")
     f1.titles(f"CIC N={config.N} R={R} M={config.M}",
               "frequency", "|H| (dB)")
+    fb = figs.subplot()
+    fb.plot(np.arange(1, config.N + 1), np.asarray(stage_bits, float),
+            "b-o", label="integrator growth")
+    fb.titles("per-stage accumulator growth", "stage", "extra bits")
     if comp_ncoefs:
         h = cic_comp_design(config, fe, R2, fc, comp_ncoefs)
         frc = np.linspace(0, 0.5, 1024)
