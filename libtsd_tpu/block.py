@@ -132,11 +132,31 @@ def stream(block: Block, x: jax.Array, block_size: int):
     return state, y
 
 
+def safe_pad(x: jax.Array, pad_front: int, pad_back: int,
+             axis: int = -1) -> jax.Array:
+    """Zero padding along ``axis`` via explicit zeros + concatenate, with
+    the zeros behind an optimization barrier.  Semantically identical to
+    ``jnp.pad`` — exists because one TPU runtime (axon) miscompiles a pad
+    whose producer is a nontrivial fused computation: the padded region
+    reads uninitialized memory (NaNs).  Verified: the Fir matched filter
+    fed by the modulator NaNs with jnp.pad and is clean with this."""
+    if pad_front == 0 and pad_back == 0:
+        return x
+    shp = list(x.shape)
+    parts = []
+    if pad_front:
+        shp_f = shp.copy(); shp_f[axis] = pad_front
+        parts.append(jax.lax.optimization_barrier(jnp.zeros(shp_f, x.dtype)))
+    parts.append(x)
+    if pad_back:
+        shp_b = shp.copy(); shp_b[axis] = pad_back
+        parts.append(jax.lax.optimization_barrier(jnp.zeros(shp_b, x.dtype)))
+    return jnp.concatenate(parts, axis=axis)
+
+
 def pad_to_multiple(x: jax.Array, m: int, axis: int = 0) -> jax.Array:
     n = x.shape[axis]
     pad = (-n) % m
     if pad == 0:
         return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(x, widths)
+    return safe_pad(x, 0, pad, axis=axis)

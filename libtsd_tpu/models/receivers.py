@@ -167,11 +167,10 @@ class Qam16Modem(struct.PyTreeNode):
 
     def receive(self, x: jax.Array):
         """x: (n,) baseband samples -> (bits, symbols, mask, evm)."""
-        # fusion fence: on one TPU runtime (axon), letting XLA fuse the
-        # modulator's polyphase upsampling directly into the matched-filter
-        # matmul miscompiles and yields NaNs under vmap (verified: the
-        # barrier alone removes them; numerics are unchanged — it only
-        # stops cross-stage fusion at the TX/RX boundary)
+        # defensive fusion fence for the axon runtime (root cause — a pad
+        # fused with a nontrivial producer reading uninitialized memory —
+        # is fixed in block.safe_pad / Fir.step; this barrier additionally
+        # isolates TX from RX codegen and is numerically a no-op)
         x = jax.lax.optimization_barrier(x)
         if self.rx_mode == "fused":
             _, (bits, syms, mask, bmask) = self.dd2.step(self.dd2.init(), x)

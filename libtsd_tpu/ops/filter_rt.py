@@ -173,7 +173,11 @@ class Fir(Block):
         xx = jnp.concatenate([state, x], axis=-1)
         pad_front = hist - (self.K - 1)
         pad_back = (-n) % _L
-        xx = jnp.pad(xx, [(0, 0)] * (x.ndim - 1) + [(pad_front, pad_back)])
+        # safe_pad, not jnp.pad: the axon runtime miscompiles a pad fused
+        # with a nontrivial producer (NaNs in the padded region) — see
+        # block.safe_pad
+        from ..block import safe_pad
+        xx = safe_pad(xx, pad_front, pad_back, axis=-1)
         xf = xx.reshape(*xx.shape[:-1], -1, _L)
         G = self.G
         if jnp.iscomplexobj(x) and not self.complex_taps:
