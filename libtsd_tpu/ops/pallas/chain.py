@@ -57,10 +57,14 @@ def _kernel(x_ref, g_ref, hist0_ref, f32r_ref, f32i_ref, f128r_ref,
                             preferred_element_type=jnp.float32)
 
     xraw = x_ref[0]                          # (ROWS, 128), input dtype
-    x = xraw
-    rows = x.shape[0]
+    rows = xraw.shape[0]
     f32 = jnp.float32
     # ---- stage 1: FIR as Toeplitz matmuls with carried history ----
+    # ONE input-side concat builds the extended window [hist | x]; each
+    # tap-block reads a sublane-shifted SLICE of it (measured ~10% faster
+    # than shifting the f32 RESULTS with a concat per tap-block — the
+    # window is input-dtype and copied once, the results are always f32).
+    # Precision tiers:
     # "split": FIR via a manual 3-pass bf16 hi/lo decomposition
     # (a@b ~ ah@bh + al@bh + ah@bl, dropping the ~2^-18 al@bl term) —
     # near-fp32 accuracy at half the MXU passes of HIGHEST; the DFT
@@ -70,23 +74,28 @@ def _kernel(x_ref, g_ref, hist0_ref, f32r_ref, f32i_ref, f128r_ref,
     # "int8": the INPUT ARRAY is int8 ADC samples (1/4 the HBM traffic of
     # f32); int8 -> bf16 is exact (|x| <= 127 needs 7 mantissa bits), so
     # accuracy matches the bf16 tier while reading 4x fewer bytes.
+    # "int16": lossless ADC ingest at 2 B/sample — int16 -> f32 is exact
+    # and the bf16 hi/lo split represents both halves exactly (hi: top 8
+    # mantissa bits; lo: |x - hi| <= 2^7, an integer, exact in bf16), so
+    # accuracy equals the f32 "split" tier at half the HBM bytes.
+    if D > 1:
+        xx = jnp.concatenate([hist_ref[...], xraw], axis=0)
+        hist_ref[...] = xraw[rows - (D - 1):, :]
+        off = D - 1
+    else:
+        xx = xraw
+        off = 0
+
     if prec in ("bf16", "int8"):
-        if prec == "int8":
-            x = x.astype(jnp.bfloat16)
+        xb = xx.astype(jnp.bfloat16)
 
         def fdot(sl, g):
-            return jnp.dot(x[sl], g.astype(jnp.bfloat16),
+            return jnp.dot(xb[sl], g.astype(jnp.bfloat16),
                            preferred_element_type=f32)
     elif prec in ("split", "int16"):
-        # "int16": lossless ADC ingest at 2 B/sample — int16 -> f32 is
-        # exact and the bf16 hi/lo split below represents both halves
-        # exactly (hi: top 8 mantissa bits; lo: |x - hi| <= 2^7, an
-        # integer, exact in bf16), so accuracy equals the f32 "split" tier
-        # at half the HBM bytes.
-        if prec == "int16":
-            x = x.astype(f32)
-        xh = x.astype(jnp.bfloat16)
-        xl = (x - xh.astype(f32)).astype(jnp.bfloat16)
+        xf = xx.astype(f32)
+        xh = xf.astype(jnp.bfloat16)
+        xl = (xf - xh.astype(f32)).astype(jnp.bfloat16)
 
         def fdot(sl, g):
             gh = g.astype(jnp.bfloat16)
@@ -95,16 +104,11 @@ def _kernel(x_ref, g_ref, hist0_ref, f32r_ref, f32i_ref, f128r_ref,
                     + jnp.dot(xl[sl], gh, preferred_element_type=f32)
                     + jnp.dot(xh[sl], gl, preferred_element_type=f32))
     else:
-        fdot = lambda sl, g: dot(x[sl], g)
+        fdot = lambda sl, g: dot(xx[sl].astype(f32), g)
 
-    acc_y = fdot(slice(None), g_ref[0])
+    acc_y = fdot(slice(off, off + rows), g_ref[0])
     for d in range(1, D):
-        # history rows are a tiny (d,128) matmul — keep at HIGHEST
-        top = dot(hist_ref[D - 1 - d:, :][: d, :].astype(f32), g_ref[d])
-        bot = fdot(slice(0, rows - d), g_ref[d])
-        acc_y = acc_y + jnp.concatenate([top, bot], axis=0)
-    if D > 1:
-        hist_ref[...] = xraw[rows - (D - 1):, :]
+        acc_y = acc_y + fdot(slice(off - d, off - d + rows), g_ref[d])
 
     # ---- stage 2: DFT-4096 + power accumulate ----
     # When the F32 factor arrives as a (128,128) block-diagonal (4 frames
