@@ -7,6 +7,7 @@ Writes ./build/report/ber_sweep/index.html with the curves and prints a
 summary table.  Run on CPU or TPU:
     PYTHONPATH=/root/repo python examples/ber_sweep.py
 """
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -14,8 +15,12 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 import jax
 
-if jax.default_backend() not in ("tpu",):
-    jax.config.update("jax_platforms", jax.default_backend())
+# host-driven example: default to CPU (the axon remote-TPU tunnel cannot
+# do the host-side complex transfers this script needs; set
+# LIBTSD_EXAMPLE_TPU=1 on a directly-attached TPU).  Note the platform
+# must be set BEFORE any backend query initializes jax.
+if os.environ.get("LIBTSD_EXAMPLE_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 

@@ -52,6 +52,11 @@ class Figure:
 
     # --- plot API --------------------------------------------------------
     def plot(self, x, y=None, fmt: str = "", label: str = ""):
+        # Matlab-style plot(y, "b-o") — a string second argument is the
+        # format (parity: Figure::plot(y, format), vue.hpp:520-560)
+        if isinstance(y, str):
+            fmt = y
+            y = None
         if y is None:
             y = x
             x = None
