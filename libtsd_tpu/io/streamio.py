@@ -17,6 +17,7 @@ from typing import Callable, Optional
 import numpy as np
 
 __all__ = ["native_available", "RingBuffer", "Rebuffer",
+           "IqFileReader",
            "cs16_to_cf32", "cu8_to_cf32", "deinterleave", "interleave"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -31,7 +32,7 @@ def _build_native() -> bool:
         return False
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
              src, "-o", _SO_PATH],
             check=True, capture_output=True, timeout=120)
         return True
@@ -39,12 +40,21 @@ def _build_native() -> bool:
         return False
 
 
+def _stale() -> bool:
+    src = os.path.join(_NATIVE_DIR, "streamio.cc")
+    try:
+        return os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
+    except OSError:
+        return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO_PATH) and not _build_native():
-        return None
+    if (not os.path.exists(_SO_PATH) or _stale()) and not _build_native():
+        if not os.path.exists(_SO_PATH):
+            return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
@@ -62,6 +72,11 @@ def _load() -> Optional[ctypes.CDLL]:
     for name in ["cs16_to_cf32", "cu8_to_cf32", "cf32_deinterleave",
                  "cf32_interleave", "s16_to_f32", "f32_to_s16"]:
         getattr(lib, name).restype = None
+    lib.iq_open.restype = ctypes.c_void_p
+    lib.iq_open.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int]
+    lib.iq_next.restype = ctypes.c_int64
+    lib.iq_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.iq_close.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -209,3 +224,85 @@ def interleave(planes: np.ndarray) -> np.ndarray:
                             out.ctypes.data_as(ctypes.c_void_p), n)
         return out.view(np.complex64)
     return (planes[0] + 1j * planes[1]).astype(np.complex64)
+
+
+class IqFileReader:
+    """Prefetching block reader for raw SDR capture files — the
+    framework's data loader (native background-thread double buffering;
+    pure-python fallback reads synchronously).
+
+    Reads fixed-size blocks of RAW dtype: int8 ("cs8"), int16 ("cs16"),
+    uint8 ("cu8"), or float32 ("cf32"), interleaved I/Q — integers stay
+    integer so they can feed the fused chain kernel's int8/int16 ingest
+    tiers directly (ops/pallas/chain.py precision="int8"/"int16").  The
+    background thread keeps ``nbuf`` blocks in flight, so disk IO overlaps
+    device compute.  No reference counterpart: core/src/wav.cc reads
+    synchronously on the caller's thread.
+
+    Usage::
+        with IqFileReader(path, "cs16", block_iq=65536) as rd:
+            for blk in rd:              # (block_iq, 2) int16 I/Q
+                ...
+    """
+
+    _DTYPES = {"cs8": np.int8, "cs16": np.int16, "cu8": np.uint8,
+               "cf32": np.float32}
+
+    def __init__(self, path: str, fmt: str = "cs16",
+                 block_iq: int = 1 << 16, nbuf: int = 4):
+        assert fmt in self._DTYPES, fmt
+        self.dtype = np.dtype(self._DTYPES[fmt])
+        self.block_iq = block_iq
+        self.block_bytes = block_iq * 2 * self.dtype.itemsize
+        self._lib = _load()
+        self._h = None
+        self._f = None
+        if self._lib is not None:
+            self._h = self._lib.iq_open(path.encode(), self.block_bytes,
+                                        int(nbuf))
+        if self._h is None:
+            self._lib = None
+            self._f = open(path, "rb")
+
+    def next_block(self) -> Optional[np.ndarray]:
+        """Next block as (n_iq, 2) raw-dtype array; None at EOF.  The
+        final partial block is returned truncated."""
+        buf = np.empty(self.block_bytes, np.uint8)
+        if self._lib is not None:
+            got = int(self._lib.iq_next(
+                self._h, buf.ctypes.data_as(ctypes.c_void_p)))
+        else:
+            raw = self._f.read(self.block_bytes)
+            got = len(raw)
+            buf[:got] = np.frombuffer(raw, np.uint8)
+        if got == 0:
+            return None
+        got -= got % (2 * self.dtype.itemsize)
+        return buf[:got].view(self.dtype).reshape(-1, 2)
+
+    def __iter__(self):
+        while True:
+            blk = self.next_block()
+            if blk is None:
+                return
+            yield blk
+
+    def close(self):
+        if self._lib is not None and self._h:
+            self._lib.iq_close(self._h)
+            self._h = None
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

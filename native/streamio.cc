@@ -13,12 +13,19 @@
 //    capture files.  Memory-bandwidth-bound tight loops where the compiler
 //    auto-vectorizes; measured ~4-10x over numpy element ops.
 //
-// Build: g++ -O3 -march=native -shared -fPIC streamio.cc -o libstreamio.so
+// Build: g++ -O3 -march=native -shared -fPIC -pthread streamio.cc \
+//            -o libstreamio.so
 
 #include <cstdint>
 #include <cstring>
+#include <cstdio>
 #include <cstdlib>
 #include <algorithm>
+#include <atomic>
+#include <condition_variable>
+#include <mutex>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -111,6 +118,88 @@ void cf32_interleave(const float* re, const float* im, float* dst,
         dst[2 * i] = re[i];
         dst[2 * i + 1] = im[i];
     }
+}
+
+// --------------------------------------------------- prefetching IQ reader
+//
+// Double (or deeper) buffered file reader with a background thread: disk IO
+// overlaps device compute, so jit steps are never starved waiting on reads.
+// Dtype-agnostic byte mover — raw int8/int16 ADC blocks stay integer all the
+// way to the device (they feed the fused chain kernel's int8/int16 ingest
+// tiers directly; quantized ingest is the wire format of SDR captures).
+// This is the framework's data-loader: the runtime piece AROUND the
+// JAX/XLA compute path (no reference counterpart — the reference reads
+// files synchronously, core/src/wav.cc:280-340).
+
+struct IqReader {
+    FILE* f = nullptr;
+    int64_t block_bytes = 0;
+    std::vector<std::vector<uint8_t>> bufs;   // slot -> block storage
+    std::vector<int64_t> fill;                // bytes valid per slot
+    int nbuf = 0;
+    // ring of filled slots
+    int64_t rd = 0, wr = 0;                   // slot sequence numbers
+    bool eof = false;
+    std::atomic<bool> stop{false};
+    std::mutex mu;
+    std::condition_variable cv_can_read, cv_has_data;
+    std::thread th;
+};
+
+static void iq_reader_loop(IqReader* r) {
+    for (;;) {
+        std::unique_lock<std::mutex> lk(r->mu);
+        r->cv_can_read.wait(lk, [r] {
+            return r->stop.load() || (r->wr - r->rd) < r->nbuf; });
+        if (r->stop.load()) return;
+        int slot = static_cast<int>(r->wr % r->nbuf);
+        lk.unlock();
+        int64_t got = static_cast<int64_t>(
+            std::fread(r->bufs[slot].data(), 1, r->block_bytes, r->f));
+        lk.lock();
+        r->fill[slot] = got;
+        r->wr += 1;
+        if (got < r->block_bytes) { r->eof = true; }
+        r->cv_has_data.notify_all();
+        if (r->eof) return;
+    }
+}
+
+IqReader* iq_open(const char* path, int64_t block_bytes, int nbuf) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f || block_bytes <= 0 || nbuf < 2) { if (f) std::fclose(f);
+        return nullptr; }
+    IqReader* r = new IqReader();
+    r->f = f;
+    r->block_bytes = block_bytes;
+    r->nbuf = nbuf;
+    r->bufs.assign(nbuf, std::vector<uint8_t>(block_bytes));
+    r->fill.assign(nbuf, 0);
+    r->th = std::thread(iq_reader_loop, r);
+    return r;
+}
+
+// Blocking: copy the next block into dst; returns bytes delivered (0 at
+// EOF; may be < block_bytes for the final partial block).
+int64_t iq_next(IqReader* r, uint8_t* dst) {
+    std::unique_lock<std::mutex> lk(r->mu);
+    r->cv_has_data.wait(lk, [r] { return r->wr > r->rd || r->eof; });
+    if (r->wr == r->rd) return 0;  // eof, fully drained
+    int slot = static_cast<int>(r->rd % r->nbuf);
+    int64_t got = r->fill[slot];
+    std::memcpy(dst, r->bufs[slot].data(), got);
+    r->rd += 1;
+    r->cv_can_read.notify_all();
+    return got;
+}
+
+void iq_close(IqReader* r) {
+    if (!r) return;
+    r->stop.store(true);
+    { std::lock_guard<std::mutex> lk(r->mu); r->cv_can_read.notify_all(); }
+    if (r->th.joinable()) r->th.join();
+    std::fclose(r->f);
+    delete r;
 }
 
 // int16 PCM -> float32 (WAV ingest hot loop)

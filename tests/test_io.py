@@ -110,3 +110,50 @@ def test_native_faster_than_numpy_on_big_convert():
     assert np.allclose(z1, z2)
     # native should not be slower (usually 2-6x faster)
     assert t_native < t_numpy * 1.5, (t_native, t_numpy)
+
+
+def test_iq_file_reader_roundtrip(tmp_path):
+    """Prefetching IQ reader delivers the file exactly, in order, with the
+    final partial block truncated (the framework's data loader)."""
+    from libtsd_tpu.io.streamio import IqFileReader
+    rng = np.random.default_rng(3)
+    # 100k IQ pairs: NOT a multiple of the block size -> partial tail
+    d = rng.integers(-2000, 2000, size=(100000, 2)).astype(np.int16)
+    p = str(tmp_path / "cap.iq")
+    d.tofile(p)
+    with IqFileReader(p, "cs16", block_iq=1 << 14, nbuf=3) as rd:
+        blocks = list(rd)
+    assert len(blocks) == 7                      # 6 full + 1 partial
+    got = np.concatenate(blocks)
+    assert np.array_equal(got, d)
+    assert blocks[-1].shape[0] == 100000 - 6 * (1 << 14)
+
+
+def test_iq_file_reader_int8_feeds_chain_dtype(tmp_path):
+    """cs8 captures stay int8 end-to-end (the chain kernel's int8 tier
+    ingest dtype)."""
+    from libtsd_tpu.io.streamio import IqFileReader
+    rng = np.random.default_rng(4)
+    d = rng.integers(-127, 127, size=(4096, 2)).astype(np.int8)
+    p = str(tmp_path / "cap8.iq")
+    d.tofile(p)
+    with IqFileReader(p, "cs8", block_iq=1024) as rd:
+        blocks = list(rd)
+    got = np.concatenate(blocks)
+    assert got.dtype == np.int8
+    assert np.array_equal(got, d)
+
+
+def test_iq_file_reader_python_fallback(tmp_path, monkeypatch):
+    """The pure-python path (no native lib) returns identical blocks."""
+    import libtsd_tpu.io.streamio as sio
+    rng = np.random.default_rng(5)
+    d = rng.standard_normal((5000, 2)).astype(np.float32)
+    p = str(tmp_path / "cap32.iq")
+    d.tofile(p)
+    monkeypatch.setattr(sio, "_load", lambda: None)
+    with sio.IqFileReader(p, "cf32", block_iq=2048) as rd:
+        assert rd._lib is None                    # fallback engaged
+        blocks = list(rd)
+    got = np.concatenate(blocks)
+    assert np.array_equal(got, d)
