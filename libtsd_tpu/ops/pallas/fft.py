@@ -54,8 +54,9 @@ def dft_factors(nfft: int, inverse: bool = False):
             f32(F2.real), f32(F2.imag))
 
 
-def _kernel(xr_ref, xi_ref, f1r_ref, f1i_ref, twr_ref, twi_ref,
-            f2r_ref, f2i_ref, yr_ref, yi_ref, *, split: bool = False):
+def _kernel(xr_ref, xi_ref, f1r_ref, f1i_ref, f1s_ref, twr_ref, twi_ref,
+            f2r_ref, f2i_ref, f2s_ref, yr_ref, yi_ref, *,
+            split: bool = False):
     mm = _dft_mm(split)
     Xr, Xi = xr_ref[...], xi_ref[...]           # (TB, N1, 128)
     F1r, F1i = f1r_ref[...], f1i_ref[...]
@@ -70,14 +71,32 @@ def _kernel(xr_ref, xi_ref, f1r_ref, f1i_ref, twr_ref, twi_ref,
     if p > 1:
         Xr = Xr.reshape(tb // p, nsub, _N2)
         Xi = Xi.reshape(tb // p, nsub, _N2)
-    Ar = mm("kn,bnm->bkm", F1r, Xr) - mm("kn,bnm->bkm", F1i, Xi)
-    Ai = mm("kn,bnm->bkm", F1r, Xi) + mm("kn,bnm->bkm", F1i, Xr)
     TWr, TWi = twr_ref[...], twi_ref[...]
-    Br = Ar * TWr - Ai * TWi
-    Bi = Ar * TWi + Ai * TWr
     F2r, F2i = f2r_ref[...], f2i_ref[...]
-    Yr = mm("bkn,qn->bkq", Br, F2r) - mm("bkn,qn->bkq", Bi, F2i)
-    Yi = mm("bkn,qn->bkq", Br, F2i) + mm("bkn,qn->bkq", Bi, F2r)
+    if split:
+        # Karatsuba 3-mult complex matmuls: both stages are complex x
+        # complex here, so the MXU pass count drops 4+4 -> 3+3 (the
+        # Fs = Fr + Fi factors are host-precomputed).  "highest" keeps
+        # the 4-mult form — fewer rounding terms for the accuracy tier.
+        a1 = mm("kn,bnm->bkm", F1r, Xr)
+        a2 = mm("kn,bnm->bkm", F1i, Xi)
+        a3 = mm("kn,bnm->bkm", f1s_ref[...], Xr + Xi)
+        Ar = a1 - a2
+        Ai = a3 - a1 - a2
+        Br = Ar * TWr - Ai * TWi
+        Bi = Ar * TWi + Ai * TWr
+        t1 = mm("bkn,qn->bkq", Br, F2r)
+        t2 = mm("bkn,qn->bkq", Bi, F2i)
+        t3 = mm("bkn,qn->bkq", Br + Bi, f2s_ref[...])
+        Yr = t1 - t2
+        Yi = t3 - t1 - t2
+    else:
+        Ar = mm("kn,bnm->bkm", F1r, Xr) - mm("kn,bnm->bkm", F1i, Xi)
+        Ai = mm("kn,bnm->bkm", F1r, Xi) + mm("kn,bnm->bkm", F1i, Xr)
+        Br = Ar * TWr - Ai * TWi
+        Bi = Ar * TWi + Ai * TWr
+        Yr = mm("bkn,qn->bkq", Br, F2r) - mm("bkn,qn->bkq", Bi, F2i)
+        Yi = mm("bkn,qn->bkq", Br, F2i) + mm("bkn,qn->bkq", Bi, F2r)
     if p > 1:
         Yr = Yr.reshape(tb, n1, _N2)
         Yi = Yi.reshape(tb, n1, _N2)
@@ -119,6 +138,8 @@ def fft_pow2(xr: jax.Array, xi: jax.Array, inverse: bool = False,
         F1r, F1i = blk(F1r), blk(F1i)
         TWr, TWi = np.tile(TWr, (p, 1)), np.tile(TWi, (p, 1))
     tb = _pick_tb(B, nfft, p)
+    F1s = F1r + F1i                  # Karatsuba factors (split tier)
+    F2s = F2r + F2i
     const = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     grid = (B // tb,)
     spec3 = pl.BlockSpec((tb, n1, _N2), lambda b: (b, 0, 0),
@@ -127,7 +148,8 @@ def fft_pow2(xr: jax.Array, xi: jax.Array, inverse: bool = False,
         functools.partial(_kernel, split=(precision == "split")),
         grid=grid,
         in_specs=[spec3, spec3,
-                  const(), const(), const(), const(), const(), const()],
+                  const(), const(), const(), const(), const(), const(),
+                  const(), const()],
         out_specs=[spec3, spec3],
         out_shape=[jax.ShapeDtypeStruct((B, n1, _N2), jnp.float32)] * 2,
         # mid-sized operands can tempt XLA into staging the whole call in
@@ -136,8 +158,9 @@ def fft_pow2(xr: jax.Array, xi: jax.Array, inverse: bool = False,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xr.reshape(B, n1, _N2), xi.reshape(B, n1, _N2),
-      jnp.asarray(F1r), jnp.asarray(F1i), jnp.asarray(TWr),
-      jnp.asarray(TWi), jnp.asarray(F2r), jnp.asarray(F2i))
+      jnp.asarray(F1r), jnp.asarray(F1i), jnp.asarray(F1s),
+      jnp.asarray(TWr), jnp.asarray(TWi),
+      jnp.asarray(F2r), jnp.asarray(F2i), jnp.asarray(F2s))
     # output laid out [k1, q]; bin k = q*N1 + k1
     yr = yr.swapaxes(-1, -2).reshape(B, nfft)
     yi = yi.swapaxes(-1, -2).reshape(B, nfft)

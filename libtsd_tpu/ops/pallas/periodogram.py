@@ -82,7 +82,7 @@ def _dft_mm(split: bool):
                              preferred_element_type=jnp.float32)
 
 
-def _kernel(y_ref, f32r_ref, f32i_ref, f128r_ref, f128i_ref,
+def _kernel(y_ref, f32r_ref, f32i_ref, f128r_ref, f128i_ref, f128s_ref,
             twr_ref, twi_ref, acc_ref, *, split: bool = False):
     f = pl.program_id(1)
 
@@ -102,8 +102,18 @@ def _kernel(y_ref, f32r_ref, f32i_ref, f128r_ref, f128i_ref,
     Ai = mm("kn,bnm->bkm", F32i, Xm)
     Br = Ar * TWr - Ai * TWi
     Bi = Ar * TWi + Ai * TWr
-    Xr = mm("bkn,qn->bkq", Br, F128r) - mm("bkn,qn->bkq", Bi, F128i)
-    Xi = mm("bkn,qn->bkq", Br, F128i) + mm("bkn,qn->bkq", Bi, F128r)
+    if split:
+        # Karatsuba 3-mult complex matmul (F128s = F128r + F128i, host-
+        # precomputed): one fewer MXU pass in stage B; "highest" keeps
+        # the 4-mult form for fewer rounding terms.
+        t1 = mm("bkn,qn->bkq", Br, F128r)
+        t2 = mm("bkn,qn->bkq", Bi, F128i)
+        t3 = mm("bkn,qn->bkq", Br + Bi, f128s_ref[...])
+        Xr = t1 - t2
+        Xi = t3 - t1 - t2
+    else:
+        Xr = mm("bkn,qn->bkq", Br, F128r) - mm("bkn,qn->bkq", Bi, F128i)
+        Xi = mm("bkn,qn->bkq", Br, F128i) + mm("bkn,qn->bkq", Bi, F128r)
     P = jnp.sum(Xr * Xr + Xi * Xi, axis=0)  # [(fr, k1), k2]
     acc_ref[...] += P.reshape(_N2 // _N1, _N1, _N2).sum(axis=0)[None]
 
@@ -125,6 +135,7 @@ def periodogram4096_acc(y: jax.Array, interpret: bool = False,
     nchunks = N // (_TB * _NFFT)
     F32r, F32i, F128r, F128i, TWr, TWi = _factors()
     F32r, F32i, TWr, TWi = _pack_factors(F32r, F32i, TWr, TWi)
+    F128s = F128r + F128i            # Karatsuba stage-B factor
     const = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     acc = pl.pallas_call(
         functools.partial(_kernel, split=(precision == "split")),
@@ -132,7 +143,7 @@ def periodogram4096_acc(y: jax.Array, interpret: bool = False,
         in_specs=[
             pl.BlockSpec((1, _TB * _N1, _N2), lambda c, f: (c, f, 0),
                          memory_space=pltpu.VMEM),
-            const(), const(), const(), const(), const(), const(),
+            const(), const(), const(), const(), const(), const(), const(),
         ],
         out_specs=pl.BlockSpec((1, _N1, _N2), lambda c, f: (c, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -140,6 +151,7 @@ def periodogram4096_acc(y: jax.Array, interpret: bool = False,
         interpret=interpret,
     )(y.reshape(C, nchunks * _TB * _N1, _N2),
       jnp.asarray(F32r), jnp.asarray(F32i), jnp.asarray(F128r),
-      jnp.asarray(F128i), jnp.asarray(TWr), jnp.asarray(TWi))
+      jnp.asarray(F128i), jnp.asarray(F128s), jnp.asarray(TWr),
+      jnp.asarray(TWi))
     # [k1, k2] -> linear bin order k = k1 + 32*k2  (tiny transpose in XLA)
     return acc.swapaxes(-1, -2).reshape(C, _NFFT)
