@@ -520,13 +520,18 @@ class OlaFft(Block):
     M: int = struct.field(pytree_node=False)   # filter length (tail M-1)
     engine: str = struct.field(pytree_node=False, default="xla")
     complex_taps: bool = struct.field(pytree_node=False, default=False)
+    precision: str = struct.field(pytree_node=False, default="highest")
 
     @classmethod
     def create(cls, h, Ne: Optional[int] = None,
-               engine: str = "xla") -> "OlaFft":
+               engine: str = "xla", precision: str = "highest") -> "OlaFft":
         """engine: "xla" (jnp.fft overlap-add) or "pallas" (the fused
         overlap-save MXU kernel, ops/pallas/ola.py — spectrum never leaves
-        VMEM; block size follows ola_plan, so Ne is recomputed)."""
+        VMEM; block size follows ola_plan, so Ne is recomputed).
+        precision (pallas engine only): "highest" (fp32 emulated matmuls,
+        ~2e-7) or "split" (bf16 MXU passes + Karatsuba 3-mult complex
+        matmuls, ~5e-3 — inside the reference's 1e-2 large-n FFT
+        tolerance — and ~1.4x faster)."""
         from .fft import ola_complexity_optimize, next_pow2
         h = np.asarray(h)
         M = len(h)
@@ -539,7 +544,8 @@ class OlaFft(Block):
             Nf = next_pow2(Ne + M - 1)
         H = np.fft.fft(h, Nf)
         return cls(H_ri=to_ri(H), Ne=Ne, Nf=Nf, M=M, engine=engine,
-                   complex_taps=bool(np.iscomplexobj(h)))
+                   complex_taps=bool(np.iscomplexobj(h)),
+                   precision=precision)
 
     def init(self):
         if self.engine == "pallas":
@@ -575,7 +581,8 @@ class OlaFft(Block):
             y, new_state = ola_stream_planes(
                 xc, sc.astype(complex_dtype),
                 jnp.real(H).astype(real_dtype),
-                jnp.imag(H).astype(real_dtype), self.M, Nf)
+                jnp.imag(H).astype(real_dtype), self.M, Nf,
+                precision=self.precision)
             if not is_complex and not self.complex_taps:
                 y = jnp.real(y)
             if squeeze:

@@ -47,7 +47,11 @@ def ola_plan(ntaps: int, Nf: int | None = None) -> tuple[int, int, int]:
     ola_complexity_optimize lands on for mid-sized filters)."""
     V = max(_L, ((ntaps - 1 + _L - 1) // _L) * _L)
     if Nf is None:
-        Nf = 1024
+        # Floor of 2048, not the CPU-classic 1024: the two-stage matmul
+        # DFT costs O(sqrt(Nf)) MACs/point (not O(log Nf)), and measured
+        # on v5e the lower overlap fraction of Nf=2048 wins for K<=512
+        # (3.99 vs 3.68 Gsamp/s at K=256, split tier).
+        Nf = 2048
         while Nf < 4 * max(ntaps - 1, 1):
             Nf *= 2
         Nf = min(Nf, 16384)
@@ -57,7 +61,8 @@ def ola_plan(ntaps: int, Nf: int | None = None) -> tuple[int, int, int]:
 
 
 def _kernel(xr_ref, xi_ref, h0r_ref, h0i_ref, hr_ref, hi_ref,
-            f1r_ref, f1i_ref, twr_ref, twi_ref, f2r_ref, f2i_ref,
+            f1r_ref, f1i_ref, f1s_ref, f1d_ref, twr_ref, twi_ref,
+            f2r_ref, f2i_ref, f2s_ref, f2d_ref,
             yr_ref, yi_ref, houtr_ref, houti_ref, histr_ref, histi_ref,
             *, hop_rows: int, split: bool = False):
     f = pl.program_id(1)
@@ -93,12 +98,33 @@ def _kernel(xr_ref, xi_ref, h0r_ref, h0i_ref, hr_ref, hi_ref,
     F1r, F1i = f1r_ref[...], f1i_ref[...]
     TWr, TWi = twr_ref[...], twi_ref[...]
     F2r, F2i = f2r_ref[...], f2i_ref[...]
-    Ar = mm("kn,nm->km", F1r, Xr) - mm("kn,nm->km", F1i, Xi)
-    Ai = mm("kn,nm->km", F1r, Xi) + mm("kn,nm->km", F1i, Xr)
-    Br = Ar * TWr - Ai * TWi
-    Bi = Ar * TWi + Ai * TWr
-    Sr = mm("kn,qn->kq", Br, F2r) - mm("kn,qn->kq", Bi, F2i)
-    Si = mm("kn,qn->kq", Br, F2i) + mm("kn,qn->kq", Bi, F2r)
+    if split:
+        # Karatsuba 3-mult complex matmuls throughout (split tier): the
+        # four complex matmul groups drop 16 -> 12 MXU passes.  Fs/Fd =
+        # F_r +/- F_i are host-precomputed; the conjugated inverse stages
+        # use the DIFFERENCE factor (conj flips the cross-term sign).
+        # "highest" keeps the 4-mult form (fewer rounding terms).
+        F1s, F1d = f1s_ref[...], f1d_ref[...]
+        F2s, F2d = f2s_ref[...], f2d_ref[...]
+        a1 = mm("kn,nm->km", F1r, Xr)
+        a2 = mm("kn,nm->km", F1i, Xi)
+        a3 = mm("kn,nm->km", F1s, Xr + Xi)
+        Ar = a1 - a2
+        Ai = a3 - a1 - a2
+        Br = Ar * TWr - Ai * TWi
+        Bi = Ar * TWi + Ai * TWr
+        s1 = mm("kn,qn->kq", Br, F2r)
+        s2 = mm("kn,qn->kq", Bi, F2i)
+        s3 = mm("kn,qn->kq", Br + Bi, F2s)
+        Sr = s1 - s2
+        Si = s3 - s1 - s2
+    else:
+        Ar = mm("kn,nm->km", F1r, Xr) - mm("kn,nm->km", F1i, Xi)
+        Ai = mm("kn,nm->km", F1r, Xi) + mm("kn,nm->km", F1i, Xr)
+        Br = Ar * TWr - Ai * TWi
+        Bi = Ar * TWi + Ai * TWr
+        Sr = mm("kn,qn->kq", Br, F2r) - mm("kn,qn->kq", Bi, F2i)
+        Si = mm("kn,qn->kq", Br, F2i) + mm("kn,qn->kq", Bi, F2r)
 
     # 3. frequency response (already row-tiled in the [k1, q] layout)
     Hr, Hi = hr_ref[...], hi_ref[...]
@@ -108,13 +134,27 @@ def _kernel(xr_ref, xi_ref, h0r_ref, h0i_ref, hr_ref, hi_ref,
     # 4. inverse DFT straight back to the natural (n1, n2) layout: lane
     #    matmul with conj(F2), conj twiddle, block-diag sublane matmul
     #    with conj(F1) (F_N1 is symmetric), 1/N scale
-    Cr = mm("kq,nq->kn", Yr, F2r) + mm("kq,nq->kn", Yi, F2i)
-    Ci = mm("kq,nq->kn", Yi, F2r) - mm("kq,nq->kn", Yr, F2i)
-    Dr = Cr * TWr + Ci * TWi
-    Di = Ci * TWr - Cr * TWi
     n = n1 * _L
-    yr = (mm("nk,km->nm", F1r, Dr) + mm("nk,km->nm", F1i, Di)) / n
-    yi = (mm("nk,km->nm", F1r, Di) - mm("nk,km->nm", F1i, Dr)) / n
+    if split:
+        c1 = mm("kq,nq->kn", Yr, F2r)
+        c2 = mm("kq,nq->kn", Yi, F2i)
+        c3 = mm("kq,nq->kn", Yr + Yi, F2d)     # F2d = F2r - F2i
+        Cr = c1 + c2
+        Ci = c3 - c1 + c2
+        Dr = Cr * TWr + Ci * TWi
+        Di = Ci * TWr - Cr * TWi
+        d1 = mm("nk,km->nm", F1r, Dr)
+        d2 = mm("nk,km->nm", F1i, Di)
+        d3 = mm("nk,km->nm", F1d, Dr + Di)     # F1d = F1r - F1i
+        yr = (d1 + d2) / n
+        yi = (d3 - d1 + d2) / n
+    else:
+        Cr = mm("kq,nq->kn", Yr, F2r) + mm("kq,nq->kn", Yi, F2i)
+        Ci = mm("kq,nq->kn", Yi, F2r) - mm("kq,nq->kn", Yr, F2i)
+        Dr = Cr * TWr + Ci * TWi
+        Di = Ci * TWr - Cr * TWi
+        yr = (mm("nk,km->nm", F1r, Dr) + mm("nk,km->nm", F1i, Di)) / n
+        yi = (mm("nk,km->nm", F1r, Di) - mm("nk,km->nm", F1i, Dr)) / n
 
     # 5. keep each window's valid tail (overlap-save discard); publish the
     #    carried input history (last write per channel = streaming state)
@@ -152,6 +192,8 @@ def _ola_filter_planes(xr, xi, h0r, h0i, Hr, Hi, ntaps: int, Nf: int,
     eye = np.eye(tbw, dtype=np.float32)
     F1r = np.kron(eye, F1r)
     F1i = np.kron(eye, F1i)
+    F1s, F1d = F1r + F1i, F1r - F1i  # Karatsuba factors (split tier)
+    F2s, F2d = F2r + F2i, F2r - F2i
     TWr = np.tile(TWr, (tbw, 1))
     TWi = np.tile(TWi, (tbw, 1))
     Hr = jnp.tile(Hr, (tbw, 1))
@@ -166,7 +208,7 @@ def _ola_filter_planes(xr, xi, h0r, h0i, Hr, Hi, ntaps: int, Nf: int,
         functools.partial(_kernel, hop_rows=ne_rows,
                           split=(precision == "split")),
         grid=(C, nsteps),
-        in_specs=[bspec, bspec, hspec(), hspec()] + [const()] * 8,
+        in_specs=[bspec, bspec, hspec(), hspec()] + [const()] * 12,
         out_specs=[bspec, bspec, hspec(), hspec()],
         out_shape=[jax.ShapeDtypeStruct(xr.shape, jnp.float32)] * 2
         + [jax.ShapeDtypeStruct((C, nv, _L), jnp.float32)] * 2,
@@ -174,9 +216,11 @@ def _ola_filter_planes(xr, xi, h0r, h0i, Hr, Hi, ntaps: int, Nf: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xr, xi, h0r, h0i, Hr, Hi, jnp.asarray(F1r), jnp.asarray(F1i),
-      jnp.asarray(TWr), jnp.asarray(TWi), jnp.asarray(F2r),
-      jnp.asarray(F2i))
+    )(xr, xi, h0r, h0i, Hr, Hi,
+      jnp.asarray(F1r), jnp.asarray(F1i), jnp.asarray(F1s),
+      jnp.asarray(F1d), jnp.asarray(TWr), jnp.asarray(TWi),
+      jnp.asarray(F2r), jnp.asarray(F2i), jnp.asarray(F2s),
+      jnp.asarray(F2d))
     return (yr.reshape(C, nblk, ne_rows, _L),
             yi.reshape(C, nblk, ne_rows, _L), hor, hoi)
 

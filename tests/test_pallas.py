@@ -155,6 +155,29 @@ def test_ola_filter_real_and_complex_taps():
     assert np.max(np.abs(yc - refc)) / np.max(np.abs(refc)) < 1e-5
 
 
+def test_ola_filter_split_precision():
+    """Split tier (bf16 MXU passes + Karatsuba 3-mult complex matmuls in
+    all four DFT stage groups) must stay within the reference's large-n
+    FFT tolerance of 1e-2 (/root/reference/core/tests/test-fourier.cc:256).
+    Measured on v5e hardware: 4.6e-3 rel err, ~1.4x faster than highest."""
+    from libtsd_tpu.ops.pallas.ola import ola_filter
+    from scipy.signal import lfilter
+    h = rng.standard_normal(201)
+    x = rng.standard_normal((2, 3000)).astype(np.float32)
+    y = np.asarray(ola_filter(jnp.asarray(x), h, precision="split",
+                              interpret=True))
+    ref = lfilter(h, 1.0, x.astype(np.float64), axis=-1)
+    assert np.max(np.abs(y - ref)) / np.max(np.abs(ref)) < 1e-2
+
+    hc = rng.standard_normal(150) + 1j * rng.standard_normal(150)
+    xc = (rng.standard_normal((1, 2500))
+          + 1j * rng.standard_normal((1, 2500))).astype(np.complex64)
+    yc = np.asarray(ola_filter(jnp.asarray(xc), hc, precision="split",
+                               interpret=True))
+    refc = lfilter(hc, 1.0, xc.astype(np.complex128), axis=-1)
+    assert np.max(np.abs(yc - refc)) / np.max(np.abs(refc)) < 1e-2
+
+
 def test_ola_stream_continuation_exact():
     from libtsd_tpu.ops.pallas.ola import (ola_filter, ola_filter_stream,
                                            ola_plan)
