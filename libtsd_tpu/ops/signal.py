@@ -188,6 +188,18 @@ def upsample(x: jax.Array, r: int) -> jax.Array:
     return y.reshape(n * r)
 
 
+def sample_hold(x: jax.Array, r: int) -> jax.Array:
+    """Repeat each sample r times — zero-order hold (parity: sah,
+    dsp/telecom.hpp:513)."""
+    return jnp.repeat(x, r, axis=0)
+
+
+def trange(n: int, fs: float) -> jax.Array:
+    """Time vector of n samples at rate fs: k/fs (parity:
+    intervalle_temporel, tsd.hpp:989)."""
+    return jnp.arange(n, dtype=real_dtype) / fs
+
+
 def zero_pad(x: jax.Array, n: int) -> jax.Array:
     """Pad with zeros to total length n."""
     if n <= x.shape[0]:
@@ -220,6 +232,22 @@ def find_first(mask: jax.Array) -> jax.Array:
     """Index of first true element, -1 if none (parity: trouve_premier)."""
     idx = jnp.argmax(mask)
     return jnp.where(jnp.any(mask), idx, -1)
+
+
+def find_last(mask: jax.Array) -> jax.Array:
+    """Index of last true element, -1 if none (parity: trouve_dernier,
+    tsd.hpp:322)."""
+    n = mask.shape[0]
+    idx = n - 1 - jnp.argmax(mask[::-1])
+    return jnp.where(jnp.any(mask), idx, -1)
+
+
+def find_first_local_max(x: jax.Array) -> jax.Array:
+    """Index of the first interior local maximum x[i-1] < x[i] >= x[i+1],
+    -1 if none (parity: trouve_premier_max_local, tsd.hpp:327)."""
+    interior = (x[1:-1] > x[:-2]) & (x[1:-1] >= x[2:])
+    idx = find_first(interior)
+    return jnp.where(idx >= 0, idx + 1, -1)
 
 
 # ------------------------------------------------------------------- misc

@@ -79,6 +79,21 @@ def test_find():
     assert np.array_equal(idx, [1, 3, 4])
     assert int(S.find_first(x > 0)) == 1
     assert int(S.find_first(x > 10)) == -1
+    assert int(S.find_last(x > 0)) == 4
+    assert int(S.find_last(x > 10)) == -1
+
+
+def test_find_first_local_max():
+    x = jnp.asarray([0.0, 1.0, 3.0, 2.0, 5.0, 4.0])
+    assert int(S.find_first_local_max(x)) == 2
+    assert int(S.find_first_local_max(jnp.arange(5.0))) == -1
+
+
+def test_sample_hold_trange():
+    y = np.asarray(S.sample_hold(jnp.asarray([1.0, 2.0]), 3))
+    assert np.array_equal(y, [1, 1, 1, 2, 2, 2])
+    t = np.asarray(S.trange(4, 100.0))
+    assert np.allclose(t, [0.0, 0.01, 0.02, 0.03])
 
 
 def test_randn_stats():
