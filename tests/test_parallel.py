@@ -123,3 +123,34 @@ def test_sharded_fused_chain_split_precision():
         for f in range(N // 4096):
             ref[c] += np.abs(np.fft.fft(y[c, f * 4096:(f + 1) * 4096])) ** 2
     assert np.max(np.abs(acc - ref)) / ref.max() < 1e-2
+
+
+def test_baseline_config3_sharded_resampler_chain():
+    """BASELINE config 3: 256-tap FIR + rational 48k->44.1k resampler
+    (147/160 fractional-interpolator bank) on 64 channels sharded over the
+    mesh — sharded output must equal the unsharded computation."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from libtsd_tpu.ops import resample as RS
+
+    mesh = make_mesh(chan=8, time=1)
+    h = FD.fir_lowpass(256, 0.2)
+    fir = FR.Fir.create(h)
+    rs = RS.RationalResampler.create(44100 / 48000)
+    assert (rs.p, rs.q) == (147, 160)
+    C, N = 64, 1600
+    x = jnp.asarray(rng.standard_normal((C, N)), jnp.float32)
+    xs = jax.device_put(x, channel_sharding(mesh))
+
+    def per_shard(v):
+        _, y = fir.step(fir.init_for(v), v)
+        _, z = rs.step(rs.init_for(y), y)
+        return z
+
+    f = jax.jit(shard_map(per_shard, mesh=mesh,
+                          in_specs=P("chan", None),
+                          out_specs=P("chan", None)))
+    z = np.asarray(f(xs))
+    assert z.shape == (C, N * 147 // 160)
+    z_ref = np.asarray(per_shard(x))
+    check_max_error(z, z_ref, 1e-5)
