@@ -47,12 +47,13 @@ def ola_plan(ntaps: int, Nf: int | None = None) -> tuple[int, int, int]:
     ola_complexity_optimize lands on for mid-sized filters)."""
     V = max(_L, ((ntaps - 1 + _L - 1) // _L) * _L)
     if Nf is None:
-        # Floor of 2048, not the CPU-classic 1024: the two-stage matmul
-        # DFT costs O(sqrt(Nf)) MACs/point (not O(log Nf)), and measured
-        # on v5e the lower overlap fraction of Nf=2048 wins for K<=512
-        # (3.99 vs 3.68 Gsamp/s at K=256, split tier).
-        Nf = 2048
-        while Nf < 4 * max(ntaps - 1, 1):
+        # Floor of 4096 with a ~16x rule, not the CPU-classic 4x/1024:
+        # the two-stage matmul DFT costs O(sqrt(Nf)) MACs/point (not
+        # O(log Nf)) so the overlap fraction dominates.  Measured on v5e
+        # at K=256 (split tier, C=256): Nf=1024 3.7, 2048 4.0, 4096 5.18
+        # (beats the XLA overlap-add path's 4.3), 8192 5.0 Gsamp/s.
+        Nf = 4096
+        while Nf < 16 * max(ntaps - 1, 1):
             Nf *= 2
         Nf = min(Nf, 16384)
     assert Nf % _L == 0 and (Nf & (Nf - 1)) == 0, Nf
