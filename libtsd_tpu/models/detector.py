@@ -34,6 +34,11 @@ class DetectorConfig:
     Ne: int = 0                  # OLA input block (0 = auto)
     mode: str = "ola"            # "ola" (FFT) | "rif" (direct MXU FIR)
                                  # (parity: MODE_OLA / MODE_RIF)
+    engine: str = "xla"          # OLA engine: "xla" | "pallas" (fused
+                                 # overlap-save MXU kernel)
+    precision: str = "highest"   # pallas engine tier ("split" = bf16 DFT
+                                 # stages, ~5e-3 — ample for a normalized
+                                 # detection score, ~20%+ faster)
 
 
 class Detection(struct.PyTreeNode):
@@ -76,7 +81,8 @@ class Detector(Block):
             # detection.cc:68-96)
             corr = Fir.create(taps)
         else:
-            corr = OlaFft.create(taps, Ne=cfg.Ne if cfg.Ne else None)
+            corr = OlaFft.create(taps, Ne=cfg.Ne if cfg.Ne else None,
+                                 engine=cfg.engine, precision=cfg.precision)
         return cls(corr=corr, energy=MovingAverage(K=M),
                    pattern_norm=norm, M=M, cfg=cfg)
 

@@ -81,6 +81,30 @@ def test_detector_multiple_patterns():
     assert got == positions, got
 
 
+def test_detector_pallas_engine_matches_xla():
+    """OLA detector on the fused Pallas overlap-save engine (split tier)
+    finds the same peaks with the same scores as the XLA engine."""
+    rng = np.random.default_rng(7)
+    M = 48
+    p = (rng.standard_normal(M) + 1j * rng.standard_normal(M)).astype(np.complex64)
+    n = 8192
+    x = 0.05 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    positions = [700, 4200]
+    for pos in positions:
+        x[pos:pos + M] += p
+    det_x, _ = detect_pattern(jnp.asarray(x), p,
+                              DetectorConfig(threshold=0.6))
+    det_p, _ = detect_pattern(jnp.asarray(x), p,
+                              DetectorConfig(threshold=0.6, engine="pallas",
+                                             precision="split"))
+    for det in (det_x, det_p):
+        got = sorted(np.asarray(det.position)[np.asarray(det.valid)].tolist())
+        assert got == positions, got
+    sx = np.sort(np.asarray(det_x.score)[np.asarray(det_x.valid)])
+    sp = np.sort(np.asarray(det_p.score)[np.asarray(det_p.valid)])
+    assert np.max(np.abs(sx - sp)) < 1e-2
+
+
 def test_detector_no_false_alarm():
     rng = np.random.default_rng(6)
     M = 48
