@@ -32,15 +32,59 @@ __all__ = [
 # jnp's norm= argument: jnp.fft's norm path runs an eager scalar prod() that
 # is UNIMPLEMENTED on some TPU runtimes, and a static constant folds for free.
 
-def fft(x: jax.Array, n: Optional[int] = None, axis: int = -1) -> jax.Array:
-    """Orthonormal forward DFT (parity: tsd::fourier::fft, fourier.hpp:145)."""
+
+def _pallas_fft_eligible(x: jax.Array, n: Optional[int], axis: int) -> bool:
+    """True when the Pallas MXU FFT can (and should) take this transform:
+    TPU backend, unpadded power-of-two length 256..16384.  Measured on
+    v5e it beats XLA's jnp.fft even in full-fp32 mode (1.91 vs 1.80
+    Gpts/s at 4096-pt, batch 2048)."""
+    N = x.shape[axis]
+    if n is not None and n != N:
+        return False
+    if N < 256 or N > 16384 or N & (N - 1):
+        return False
+    if x.size == 0:
+        return False
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _fft_pallas(x: jax.Array, axis: int, inverse: bool) -> jax.Array:
+    from .pallas.fft import fft_pow2
+    xm = jnp.moveaxis(x.astype(complex_dtype), axis, -1)
+    shp = xm.shape
+    N = shp[-1]
+    B = int(np.prod(shp[:-1], dtype=np.int64)) if len(shp) > 1 else 1
+    xr = jnp.real(xm).reshape(B, N).astype(jnp.float32)
+    xi = jnp.imag(xm).reshape(B, N).astype(jnp.float32)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    yr, yi = fft_pow2(xr, xi, inverse=inverse, interpret=interpret)
+    y = (yr + 1j * yi).astype(complex_dtype).reshape(shp)
+    return jnp.moveaxis(y, -1, axis)
+
+
+def fft(x: jax.Array, n: Optional[int] = None, axis: int = -1,
+        engine: str = "auto") -> jax.Array:
+    """Orthonormal forward DFT (parity: tsd::fourier::fft, fourier.hpp:145).
+
+    engine: "auto" routes unpadded pow-2 lengths 256..16384 on TPU through
+    the Pallas MXU kernel (ops/pallas/fft.py, full-fp32 tier, ~2e-7 —
+    faster than XLA's FFT); "xla" forces jnp.fft (e.g. to differentiate
+    through the transform); "pallas" forces the kernel."""
     N = n if n is not None else x.shape[axis]
+    if engine == "pallas" or (engine == "auto"
+                              and _pallas_fft_eligible(x, n, axis)):
+        return _fft_pallas(x, axis, inverse=False) * (1.0 / np.sqrt(N))
     return jnp.fft.fft(x.astype(complex_dtype), n=n, axis=axis) * (1.0 / np.sqrt(N))
 
 
-def ifft(x: jax.Array, n: Optional[int] = None, axis: int = -1) -> jax.Array:
-    """Orthonormal inverse DFT (parity: tsd::fourier::ifft)."""
+def ifft(x: jax.Array, n: Optional[int] = None, axis: int = -1,
+         engine: str = "auto") -> jax.Array:
+    """Orthonormal inverse DFT (parity: tsd::fourier::ifft).  engine as in
+    ``fft`` (the kernel applies 1/N; the ortho factor rescales)."""
     N = n if n is not None else x.shape[axis]
+    if engine == "pallas" or (engine == "auto"
+                              and _pallas_fft_eligible(x, n, axis)):
+        return _fft_pallas(x, axis, inverse=True) * np.sqrt(N)
     return jnp.fft.ifft(x.astype(complex_dtype), n=n, axis=axis) * np.sqrt(N)
 
 

@@ -2,6 +2,7 @@
 fractional delay — mirrors core/tests/test-fourier.cc:182-256 strategy."""
 import numpy as np
 import pytest
+import jax.numpy as jnp
 
 from libtsd_tpu.ops import fft as F
 from libtsd_tpu.utils.testing import check_max_error
@@ -144,3 +145,18 @@ def test_ola_complexity():
     # must beat the naive choice Ne = Nf - M + 1 with Nf = 512
     C512, _, _ = F.ola_complexity(256, 512 - 255)
     assert C <= C512
+
+
+def test_fft_pallas_engine_matches_xla():
+    """engine="pallas" (the MXU two-matmul FFT, auto-selected on TPU for
+    pow-2 lengths) must match the XLA path, incl. batches, axis=0, and the
+    inverse round-trip."""
+    rng = np.random.default_rng(9)
+    for shape, axis in [((1024,), -1), ((3, 2048), -1), ((512, 5), 0)]:
+        x = (rng.standard_normal(shape)
+             + 1j * rng.standard_normal(shape)).astype(np.complex64)
+        xp = np.asarray(F.fft(jnp.asarray(x), axis=axis, engine="pallas"))
+        xx = np.asarray(F.fft(jnp.asarray(x), axis=axis, engine="xla"))
+        assert np.max(np.abs(xp - xx)) / np.max(np.abs(xx)) < 1e-5
+        rt = np.asarray(F.ifft(jnp.asarray(xp), axis=axis, engine="pallas"))
+        assert np.max(np.abs(rt - x)) < 1e-5
