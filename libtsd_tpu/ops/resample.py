@@ -36,7 +36,7 @@ __all__ = [
     "cic_design_ba", "cic_freq", "cic_bits", "cic_comp_design",
     "sinc_interp_lut", "cspline_coefs", "cspline_lut", "linear_coefs",
     "lagrange_coefs", "Interpolator", "make_interpolator",
-    "RationalResampler", "resample", "Resampler",
+    "RationalResampler", "resample", "Resampler", "interp_irregular",
 ]
 
 
@@ -525,3 +525,55 @@ def resample(x: jax.Array, ratio: float) -> jax.Array:
     xp = pad_to_multiple(x, q, axis=x.ndim - 1)
     _, y = blk.step(blk.init_for(xp), xp)
     return y
+
+
+def interp_irregular(x: jax.Array, y: jax.Array, x2: jax.Array,
+                     mode: str = "linear") -> jax.Array:
+    """Interpolate an irregularly sampled function: given knots (x, y) with
+    x strictly increasing, evaluate at the points x2 (parity:
+    tsd::filtrage::interp, filtrage.hpp:2048-2068 — InterpOption
+    LINEAIRE / CSPLINE natural cubic splines).
+
+    mode: "linear" or "cspline" (natural cubic spline: second derivative
+    zero at both ends; the tridiagonal system is solved densely, fine for
+    the typical few-thousand-knot use).  Evaluation clamps outside
+    [x[0], x[-1]] like the reference's boundary handling.
+    """
+    x = jnp.asarray(x, real_dtype)
+    y = jnp.asarray(y)
+    x2 = jnp.asarray(x2, real_dtype)
+    if mode == "linear":
+        if jnp.iscomplexobj(y):
+            return (jnp.interp(x2, x, jnp.real(y))
+                    + 1j * jnp.interp(x2, x, jnp.imag(y))
+                    ).astype(complex_dtype)
+        return jnp.interp(x2, x, y.astype(real_dtype))
+    assert mode == "cspline", mode
+    n = x.shape[0]
+    h = jnp.diff(x)                                    # (n-1,)
+    # natural spline: solve for interior second derivatives m[1..n-2]
+    # (m[0] = m[n-1] = 0) in the standard tridiagonal system
+    dy = jnp.diff(y) / h.astype(y.dtype)
+    rhs = 6.0 * jnp.diff(dy)                           # (n-2,)
+    A = (jnp.diag(2.0 * (h[:-1] + h[1:]))
+         + jnp.diag(h[1:-1], 1) + jnp.diag(h[1:-1], -1))
+    if jnp.iscomplexobj(y):
+        m_int = (jnp.linalg.solve(A, jnp.real(rhs))
+                 + 1j * jnp.linalg.solve(A, jnp.imag(rhs)))
+    else:
+        m_int = jnp.linalg.solve(A, rhs)
+    m = jnp.concatenate([jnp.zeros((1,), m_int.dtype), m_int,
+                         jnp.zeros((1,), m_int.dtype)])
+    # evaluate piecewise cubic on each query point
+    k = jnp.clip(jnp.searchsorted(x, x2, side="right") - 1, 0, n - 2)
+    xk, hk = x[k], h[k]
+    t = jnp.clip((x2 - xk) / hk, 0.0, 1.0)
+    yk, yk1, mk, mk1 = y[k], y[k + 1], m[k], m[k + 1]
+    hk = hk.astype(y.dtype)
+    t_ = t.astype(y.dtype)
+    a = yk
+    b = (yk1 - yk) / hk - hk * (2.0 * mk + mk1) / 6.0
+    c = mk / 2.0
+    d = (mk1 - mk) / (6.0 * hk)
+    dx = t_ * hk
+    return a + dx * (b + dx * (c + dx * d))

@@ -206,3 +206,36 @@ def test_resampler_factor2_roundtrip():
     a = x_shift[100: n - 100]
     b = down[100: n - 100]
     check_max_error(b, a, 0.03)
+
+
+def test_interp_irregular_linear():
+    x = np.array([0.0, 0.5, 2.0, 3.0])
+    y = np.array([1.0, 2.0, 0.0, 4.0])
+    x2 = np.linspace(0.0, 3.0, 61)
+    got = np.asarray(RS.interp_irregular(jnp.asarray(x), jnp.asarray(y),
+                                         jnp.asarray(x2)))
+    ref = np.interp(x2, x, y)
+    assert np.max(np.abs(got - ref)) < 1e-6
+
+
+def test_interp_irregular_cspline_vs_scipy():
+    from scipy.interpolate import CubicSpline
+    rng = np.random.default_rng(3)
+    x = np.sort(rng.uniform(0, 10, 17))
+    y = np.sin(x) + 0.1 * rng.standard_normal(17)
+    x2 = np.linspace(x[0], x[-1], 200)
+    got = np.asarray(RS.interp_irregular(jnp.asarray(x), jnp.asarray(y),
+                                         jnp.asarray(x2), mode="cspline"))
+    ref = CubicSpline(x, y, bc_type="natural")(x2)
+    assert np.max(np.abs(got - ref)) < 1e-4
+
+
+def test_interp_irregular_complex():
+    from scipy.interpolate import CubicSpline
+    x = np.linspace(0, 1, 9)
+    y = np.exp(2j * np.pi * x).astype(np.complex64)
+    x2 = np.linspace(0, 1, 33)
+    got = np.asarray(RS.interp_irregular(jnp.asarray(x), jnp.asarray(y),
+                                         jnp.asarray(x2), mode="cspline"))
+    ref = CubicSpline(x, y, bc_type="natural")(x2)
+    assert np.max(np.abs(got - ref)) < 1e-4
