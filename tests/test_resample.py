@@ -239,3 +239,24 @@ def test_interp_irregular_complex():
                                          jnp.asarray(x2), mode="cspline"))
     ref = CubicSpline(x, y, bc_type="natural")(x2)
     assert np.max(np.abs(got - ref)) < 1e-4
+
+
+def test_filter_delay_conventions():
+    """Impulse-response peak lands at the documented .delay for the plain
+    FIR and the polyphase upsampler across R (mirrors the reference's
+    test_delais_filtres, test-telecom.cc:114-149)."""
+    from libtsd_tpu.ops import fir_design as FD
+    from libtsd_tpu.ops.filter_rt import Fir
+
+    h = FD.fir_design_windowed(7, "lp", 0.3, "hn")
+    x = np.zeros(15, np.float32)
+    x[0] = 1.0
+    fir = Fir.create(h)
+    _, y = fir.step(fir.init(), jnp.asarray(x))
+    assert int(np.argmax(np.asarray(y))) == int(round(fir.delay)) == 3
+
+    for R in (1, 2, 3, 4, 5, 8, 16):
+        ups = RS.FirUps.create(h, R)
+        _, y = ups.step(ups.init(), jnp.asarray(x))
+        got = int(np.argmax(np.abs(np.asarray(y))))
+        assert got == int(round(ups.delay)), (R, got, ups.delay)
