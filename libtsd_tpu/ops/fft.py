@@ -12,6 +12,7 @@ shapes, so the ``FFTPlan`` concept disappears by design (SURVEY §3.1).
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -48,6 +49,7 @@ def _pallas_fft_eligible(x: jax.Array, n: Optional[int], axis: int) -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def _fft_pallas(x: jax.Array, axis: int, inverse: bool) -> jax.Array:
     from .pallas.fft import fft_pow2
     xm = jnp.moveaxis(x.astype(complex_dtype), axis, -1)
@@ -62,30 +64,64 @@ def _fft_pallas(x: jax.Array, axis: int, inverse: bool) -> jax.Array:
     return jnp.moveaxis(y, -1, axis)
 
 
+def _fft_xla_core(x: jax.Array, axis: int, inverse: bool) -> jax.Array:
+    f = jnp.fft.ifft if inverse else jnp.fft.fft
+    return f(x.astype(complex_dtype), axis=axis)
+
+
+def _fft_pallas_fwd(x, axis, inverse):
+    return _fft_pallas(x, axis, inverse), None
+
+
+def _fft_pallas_bwd(axis, inverse, _, ct):
+    # the DFT is linear, so its vjp is shape-preserving and independent of
+    # the primal; derive it from the XLA path (linearized at zero) so the
+    # Pallas kernel stays differentiation-free
+    _, vjp = jax.vjp(lambda v: _fft_xla_core(v, axis, inverse),
+                     jnp.zeros_like(ct))
+    return (vjp(ct)[0],)
+
+
+_fft_pallas.defvjp(_fft_pallas_fwd, _fft_pallas_bwd)
+
+
+def _fft_dispatch(x: jax.Array, n: Optional[int], axis: int, engine: str,
+                  inverse: bool) -> jax.Array:
+    if n is not None and n != x.shape[axis]:
+        # honor the pad/truncate semantics of jnp.fft for EVERY engine
+        # before dispatching (the kernel itself never pads)
+        cur = x.shape[axis]
+        if n < cur:
+            x = jax.lax.slice_in_dim(x, 0, n, axis=axis)
+        else:
+            pads = [(0, 0)] * x.ndim
+            pads[axis if axis >= 0 else x.ndim + axis] = (0, n - cur)
+            x = jnp.pad(x, pads)
+    if engine == "pallas" or (engine == "auto"
+                              and _pallas_fft_eligible(x, None, axis)):
+        return _fft_pallas(x, axis, inverse)
+    return _fft_xla_core(x, axis, inverse)
+
+
 def fft(x: jax.Array, n: Optional[int] = None, axis: int = -1,
         engine: str = "auto") -> jax.Array:
     """Orthonormal forward DFT (parity: tsd::fourier::fft, fourier.hpp:145).
 
-    engine: "auto" routes unpadded pow-2 lengths 256..16384 on TPU through
-    the Pallas MXU kernel (ops/pallas/fft.py, full-fp32 tier, ~2e-7 —
-    faster than XLA's FFT); "xla" forces jnp.fft (e.g. to differentiate
-    through the transform); "pallas" forces the kernel."""
+    engine: "auto" routes pow-2 lengths 256..16384 on TPU through the
+    Pallas MXU kernel (ops/pallas/fft.py, full-fp32 tier, ~2e-7 — faster
+    than XLA's FFT; reverse-mode autodiff supported via a custom vjp);
+    "xla" forces jnp.fft; "pallas" forces the kernel.  ``n`` pads or
+    truncates first, as in jnp.fft, for every engine."""
     N = n if n is not None else x.shape[axis]
-    if engine == "pallas" or (engine == "auto"
-                              and _pallas_fft_eligible(x, n, axis)):
-        return _fft_pallas(x, axis, inverse=False) * (1.0 / np.sqrt(N))
-    return jnp.fft.fft(x.astype(complex_dtype), n=n, axis=axis) * (1.0 / np.sqrt(N))
+    return _fft_dispatch(x, n, axis, engine, inverse=False) * (1.0 / np.sqrt(N))
 
 
 def ifft(x: jax.Array, n: Optional[int] = None, axis: int = -1,
          engine: str = "auto") -> jax.Array:
-    """Orthonormal inverse DFT (parity: tsd::fourier::ifft).  engine as in
-    ``fft`` (the kernel applies 1/N; the ortho factor rescales)."""
+    """Orthonormal inverse DFT (parity: tsd::fourier::ifft).  engine/n as
+    in ``fft`` (the kernel applies 1/N; the ortho factor rescales)."""
     N = n if n is not None else x.shape[axis]
-    if engine == "pallas" or (engine == "auto"
-                              and _pallas_fft_eligible(x, n, axis)):
-        return _fft_pallas(x, axis, inverse=True) * np.sqrt(N)
-    return jnp.fft.ifft(x.astype(complex_dtype), n=n, axis=axis) * np.sqrt(N)
+    return _fft_dispatch(x, n, axis, engine, inverse=True) * np.sqrt(N)
 
 
 def rfft(x: jax.Array, n: Optional[int] = None, axis: int = -1) -> jax.Array:

@@ -537,7 +537,20 @@ class OlaFft(Block):
         M = len(h)
         if engine == "pallas":
             from .pallas.ola import ola_plan
-            Nf, Ne, _ = ola_plan(M, None if Ne is None else next_pow2(Ne))
+            if Ne is None:
+                Nf, Ne, _ = ola_plan(M)
+            else:
+                # Ne is the desired HOP (as in the xla engine): pick the
+                # smallest valid FFT size whose hop covers it, so the
+                # resulting block granularity is >= the request instead of
+                # silently shrinking (or tripping ola_plan's assert)
+                V = max(128, -(-(M - 1) // 128) * 128)
+                Nf = min(max(next_pow2(Ne + V), 256), 16384)
+                if Nf < V + 128:
+                    raise ValueError(
+                        f"filter too long for the pallas OLA engine: "
+                        f"ntaps={M} needs Nf > {V + 128}, max 16384")
+                Nf, Ne, _ = ola_plan(M, Nf)
         elif Ne is None:
             _, Nf, _, Ne = ola_complexity_optimize(M)
         else:

@@ -43,8 +43,9 @@ _L = 128
 def ola_plan(ntaps: int, Nf: int | None = None) -> tuple[int, int, int]:
     """(Nf, Ne, V): FFT size, hop (valid samples per block), overlap.
     V = K-1 rounded up to a lane multiple; Nf defaults to the smallest
-    power of two >= max(1024, 4*(K-1)) (the classic ~4x rule that
-    ola_complexity_optimize lands on for mid-sized filters)."""
+    power of two >= max(4096, 16*(K-1)) — a ~16x rule, NOT the classic
+    CPU 4x: the matmul DFT costs O(sqrt(Nf)) MACs/point so the overlap
+    fraction dominates (see the measured sweep in the comment below)."""
     V = max(_L, ((ntaps - 1 + _L - 1) // _L) * _L)
     if Nf is None:
         # Floor of 4096 with a ~16x rule, not the CPU-classic 4x/1024:

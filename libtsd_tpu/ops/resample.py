@@ -541,6 +541,9 @@ def interp_irregular(x: jax.Array, y: jax.Array, x2: jax.Array,
     """
     x = jnp.asarray(x, real_dtype)
     y = jnp.asarray(y)
+    # promote y to float up front: the spline math divides by knot
+    # spacings cast to y's dtype, which truncates to garbage for int y
+    y = y.astype(complex_dtype if jnp.iscomplexobj(y) else real_dtype)
     x2 = jnp.asarray(x2, real_dtype)
     if mode == "linear":
         if jnp.iscomplexobj(y):

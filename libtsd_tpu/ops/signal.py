@@ -243,9 +243,13 @@ def find_last(mask: jax.Array) -> jax.Array:
 
 
 def find_first_local_max(x: jax.Array) -> jax.Array:
-    """Index of the first interior local maximum x[i-1] < x[i] >= x[i+1],
-    -1 if none (parity: trouve_premier_max_local, tsd.hpp:327)."""
-    interior = (x[1:-1] > x[:-2]) & (x[1:-1] >= x[2:])
+    """Index of the first interior STRICT local maximum
+    x[i-1] < x[i] > x[i+1], -1 if none — plateaus don't count, matching
+    the reference exactly (parity: trouve_premier_max_local,
+    tsd.hpp:327)."""
+    if x.shape[0] < 3:
+        return jnp.asarray(-1)
+    interior = (x[1:-1] > x[:-2]) & (x[1:-1] > x[2:])
     idx = find_first(interior)
     return jnp.where(idx >= 0, idx + 1, -1)
 

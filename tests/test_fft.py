@@ -160,3 +160,35 @@ def test_fft_pallas_engine_matches_xla():
         assert np.max(np.abs(xp - xx)) / np.max(np.abs(xx)) < 1e-5
         rt = np.asarray(F.ifft(jnp.asarray(xp), axis=axis, engine="pallas"))
         assert np.max(np.abs(rt - x)) < 1e-5
+
+
+def test_fft_pallas_engine_honors_n():
+    """n (pad/truncate) must behave like jnp.fft for every engine."""
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal(300)
+         + 1j * rng.standard_normal(300)).astype(np.complex64)
+    for n in (512, 256, 1024):
+        yp = np.asarray(F.fft(jnp.asarray(x), n=n, engine="pallas"))
+        yx = np.asarray(F.fft(jnp.asarray(x), n=n, engine="xla"))
+        assert yp.shape == (n,)
+        assert np.max(np.abs(yp - yx)) / np.max(np.abs(yx)) < 1e-5
+    ip = np.asarray(F.ifft(jnp.asarray(x), n=512, engine="pallas"))
+    ix = np.asarray(F.ifft(jnp.asarray(x), n=512, engine="xla"))
+    assert ip.shape == (512,)
+    assert np.max(np.abs(ip - ix)) / np.max(np.abs(ix)) < 1e-5
+
+
+def test_fft_pallas_engine_grad():
+    """Reverse-mode autodiff works through the pallas FFT path (custom
+    vjp derived from the XLA linearization)."""
+    import jax
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal(512).astype(np.float32)
+
+    def loss(v, engine):
+        X = F.fft(v.astype(np.complex64), engine=engine)
+        return jnp.sum(jnp.abs(X) ** 2)
+
+    gp = np.asarray(jax.grad(lambda v: loss(v, "pallas"))(jnp.asarray(x)))
+    gx = np.asarray(jax.grad(lambda v: loss(v, "xla"))(jnp.asarray(x)))
+    assert np.max(np.abs(gp - gx)) / (np.max(np.abs(gx)) + 1e-30) < 1e-5

@@ -315,3 +315,13 @@ def test_fft_pow2_packed_batches():
         err = (np.max(np.abs((np.asarray(yr) + 1j * np.asarray(yi)) - ref))
                / np.max(np.abs(ref)))
         assert err < 1e-5, (nfft, B, err)
+
+
+def test_olafft_pallas_explicit_ne_is_min_hop():
+    """OlaFft(engine='pallas', Ne=...) treats Ne as the minimum hop (like
+    the xla engine's block size) instead of silently shrinking it."""
+    from libtsd_tpu.ops.filter_rt import OlaFft
+    h = rng.standard_normal(129)
+    for req in (128, 1024, 4000):
+        blk = OlaFft.create(h, Ne=req, engine="pallas")
+        assert blk.Ne >= req, (req, blk.Ne)

@@ -260,3 +260,15 @@ def test_filter_delay_conventions():
         _, y = ups.step(ups.init(), jnp.asarray(x))
         got = int(np.argmax(np.abs(np.asarray(y))))
         assert got == int(round(ups.delay)), (R, got, ups.delay)
+
+
+def test_interp_irregular_integer_y():
+    x = np.array([0.0, 0.5, 1.0, 1.7, 2.0])
+    y = np.array([0, 1, 0, 2, 1], np.int32)
+    x2 = np.linspace(0.0, 2.0, 21)
+    got = np.asarray(RS.interp_irregular(jnp.asarray(x), jnp.asarray(y),
+                                         jnp.asarray(x2), mode="cspline"))
+    assert np.all(np.isfinite(got))
+    from scipy.interpolate import CubicSpline
+    ref = CubicSpline(x, y.astype(float), bc_type="natural")(x2)
+    assert np.max(np.abs(got - ref)) < 1e-4

@@ -87,6 +87,10 @@ def test_find_first_local_max():
     x = jnp.asarray([0.0, 1.0, 3.0, 2.0, 5.0, 4.0])
     assert int(S.find_first_local_max(x)) == 2
     assert int(S.find_first_local_max(jnp.arange(5.0))) == -1
+    # plateaus are NOT maxima (strict >, reference parity) and short
+    # inputs return the sentinel instead of crashing
+    assert int(S.find_first_local_max(jnp.asarray([0.0, 2.0, 2.0, 1.0]))) == -1
+    assert int(S.find_first_local_max(jnp.arange(2.0))) == -1
 
 
 def test_sample_hold_trange():
