@@ -1,0 +1,141 @@
+"""Streaming executor: source -> jitted device chain -> host sink.
+
+The production serving loop the reference runs implicitly inside its
+Sink/tampon callbacks (/root/reference/core/src/tsd.cc:303-386, receiver
+loop recepteur.cc:404-650), built TPU-native:
+
+* the host side re-blocks arbitrary-size source reads into the fixed
+  block length the jitted step was compiled for (native ring buffer);
+* complex samples cross the host<->device boundary as (2, N) float32
+  re/im PLANES (some TPU runtimes cannot transfer complex64 at all —
+  see config.to_ri); the complex view exists only inside jit;
+* dispatch is ASYNCHRONOUS with a bounded in-flight queue: while block
+  k's result is being read back, block k+1 is already enqueued on the
+  device, so host transfer and device compute overlap (double
+  buffering) without any thread machinery;
+* per-block wall time is tracked in a Monitor (samples/s, ≙ the
+  reference's MoniteurCpu stage counters).
+"""
+from __future__ import annotations
+
+from collections import deque
+from typing import Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from ..config import from_ri, to_ri
+from ..utils.monitor import Monitor
+from .streamio import RingBuffer
+
+__all__ = ["StreamRunner"]
+
+
+class StreamRunner:
+    """Drive a Block over an unbounded sample stream.
+
+    block:      any ``state, y = block.step(state, x)`` pytree block
+                (Fir, OlaFft, Chain, Receiver front ends, ...).
+    block_len:  samples per device step (static shape; for OlaFft-like
+                blocks use a multiple of ``block.Ne``).
+    sink:       callback receiving each output block as a NumPy array
+                (None = outputs are collected and returned by ``run``).
+    complex_in: whether the source samples are complex (moved as planes).
+    depth:      max in-flight device steps (2 = classic double buffer).
+    """
+
+    def __init__(self, block, block_len: int,
+                 sink: Optional[Callable[[np.ndarray], None]] = None,
+                 complex_in: bool = True, depth: int = 2):
+        self.block = block
+        self.block_len = int(block_len)
+        self.sink = sink
+        self.complex_in = bool(complex_in)
+        self.depth = int(depth)
+        self.monitor = Monitor("stream_runner")
+
+        def _body(blk, state, x):
+            state, y = blk.step(state, x)
+            if jax.numpy.iscomplexobj(y):
+                return state, to_ri(y)
+            return state, y
+
+        def step(blk, state, x_planes):
+            x = from_ri(x_planes) if self.complex_in else x_planes
+            return _body(blk, state, x)
+
+        def init_step(blk, x_planes):
+            # the initial state is created INSIDE jit: init_for on a host
+            # complex array would need a complex host->device transfer,
+            # which some TPU runtimes cannot do at all
+            x = from_ri(x_planes) if self.complex_in else x_planes
+            return _body(blk, blk.init_for(x), x)
+
+        self._step = jax.jit(step)
+        self._init_step = jax.jit(init_step)
+        self._rb = RingBuffer(max(8 * self.block_len, 1 << 16),
+                              complex_iq=self.complex_in)
+        self._state = None
+        self._pending: deque = deque()
+        self._out: list = []
+
+    # ------------------------------------------------------------- core
+
+    def _host_to_planes(self, xb: np.ndarray):
+        if self.complex_in:
+            return jax.device_put(np.stack([xb.real.astype(np.float32),
+                                            xb.imag.astype(np.float32)]))
+        return jax.device_put(np.asarray(xb, np.float32))
+
+    def _emit(self, y_dev):
+        y = np.asarray(y_dev)            # sync point for THIS block only
+        if y.ndim >= 1 and y.shape[0] == 2 and np.isrealobj(y):
+            y = y[0] + 1j * y[1]
+        if self.sink is not None:
+            self.sink(y)
+        else:
+            self._out.append(y)
+
+    def _submit(self, xb: np.ndarray):
+        xd = self._host_to_planes(xb)
+        with self.monitor.scope(self.block_len):
+            if self._state is None:
+                self._state, y = self._init_step(self.block, xd)
+            else:
+                self._state, y = self._step(self.block, self._state, xd)
+        self._pending.append(y)
+        while len(self._pending) >= self.depth:
+            self._emit(self._pending.popleft())
+
+    # -------------------------------------------------------------- API
+
+    def push(self, x: np.ndarray) -> None:
+        """Feed arbitrary-length samples; full blocks are dispatched."""
+        self._rb.push(np.ascontiguousarray(x))
+        while True:
+            blk = self._rb.pop_block(self.block_len)
+            if blk is None:
+                break
+            self._submit(blk)
+
+    def drain(self) -> None:
+        """Wait for all in-flight device steps and emit their outputs."""
+        while self._pending:
+            self._emit(self._pending.popleft())
+
+    @property
+    def residual(self) -> int:
+        """Samples held back (< block_len) awaiting the next push."""
+        return self._rb.available
+
+    def run(self, source: Iterable[np.ndarray]) -> Optional[np.ndarray]:
+        """Consume an iterable of sample arrays (e.g. an IqFileReader).
+        Returns the concatenated output when no sink was given."""
+        for chunk in source:
+            self.push(chunk)
+        self.drain()
+        if self.sink is None and self._out:
+            out = np.concatenate(self._out, axis=-1)
+            self._out = []
+            return out
+        return None
