@@ -37,6 +37,12 @@ class Block(struct.PyTreeNode):
     def init(self) -> State:
         return ()
 
+    def init_for(self, x: jax.Array) -> State:
+        """Initial state for an input shaped/typed like ``x``.  Blocks
+        whose state depends on batch shape or complex dtype override this
+        (Fir, OlaFft, ...); the default ignores x."""
+        return self.init()
+
     def step(self, state: State, x: jax.Array) -> Tuple[State, jax.Array]:
         raise NotImplementedError
 
