@@ -50,7 +50,9 @@ def sharded_fir(mesh: Mesh, block: Block, x: jax.Array,
     its left neighbor's tail as initial state; output matches the unsharded
     streaming run exactly.
 
-    ``state_len`` is the number of carried samples (K-1 for a K-tap FIR).
+    ``state_len`` is the number of carried samples: K-1 for a K-tap FIR,
+    or V (= ola_plan's overlap) for the Pallas overlap-save OlaFft engine,
+    whose streaming state is exactly the last-V input samples.
     """
 
     def local(xs):
@@ -58,9 +60,11 @@ def sharded_fir(mesh: Mesh, block: Block, x: jax.Array,
         _, y = block.step(halo, xs)
         return y
 
+    # check_vma=False: blocks may contain pallas_call, which does not yet
+    # declare varying-mesh-axes metadata for shard_map's vma checker
     fn = shard_map(local, mesh=mesh,
                    in_specs=P("chan", "time"),
-                   out_specs=P("chan", "time"))
+                   out_specs=P("chan", "time"), check_vma=False)
     return fn(x)
 
 

@@ -154,3 +154,26 @@ def test_baseline_config3_sharded_resampler_chain():
     assert z.shape == (C, N * 147 // 160)
     z_ref = np.asarray(per_shard(x))
     check_max_error(z, z_ref, 1e-5)
+
+
+def test_sharded_ola_pallas_matches_unsharded():
+    """Sequence parallelism extends to the fused Pallas overlap-save OLA
+    engine: its streaming state is exactly the last-V input samples, i.e.
+    the time-shard halo, so sharded_fir composes with OlaFft(pallas)
+    unchanged — sharded output == unsharded filtering."""
+    from libtsd_tpu.ops.filter_rt import OlaFft
+
+    mesh = make_mesh(chan=2, time=4)
+    h = rng.standard_normal(129).astype(np.float32)
+    blk = OlaFft.create(h, Ne=256, engine="pallas")
+    from libtsd_tpu.ops.pallas.ola import ola_plan
+    _, Ne, V = ola_plan(blk.M, blk.Nf)
+    C = 2
+    n_per_shard = 2 * Ne
+    N = 4 * n_per_shard
+    x = (rng.standard_normal((C, N))
+         + 1j * rng.standard_normal((C, N))).astype(np.complex64)
+    xs = jax.device_put(jnp.asarray(x), channel_sharding(mesh))
+    y = np.asarray(sharded_fir(mesh, blk, xs, state_len=V))
+    y_ref = np.asarray(FR.fir_filter(h, jnp.asarray(x)))
+    assert np.max(np.abs(y - y_ref)) / np.max(np.abs(y_ref)) < 1e-5
