@@ -39,7 +39,7 @@ _L = 128
 
 def _kernel(x_ref, g_ref, hist0_ref, f32r_ref, f32i_ref, f128r_ref,
             f128i_ref, f128s_ref, twr_ref, twi_ref, acc_ref, hist_ref, *,
-            prec: str = "highest"):
+            prec: str = "highest", pipe: int = 1):
     split = prec in ("split", "bf16", "int8", "int16")
     f = pl.program_id(1)
     D = g_ref.shape[0]
@@ -106,11 +106,7 @@ def _kernel(x_ref, g_ref, hist0_ref, f32r_ref, f32i_ref, f128r_ref,
     else:
         fdot = lambda sl, g: dot(xx[sl].astype(f32), g)
 
-    acc_y = fdot(slice(off, off + rows), g_ref[0])
-    for d in range(1, D):
-        acc_y = acc_y + fdot(slice(off - d, off - d + rows), g_ref[d])
-
-    # ---- stage 2: DFT-4096 + power accumulate ----
+    # ---- stage 2 helpers: DFT-4096 + power, per row-slab ----
     # When the F32 factor arrives as a (128,128) block-diagonal (4 frames
     # per MXU tile, see the host wrapper), every DFT matmul runs with a
     # full 128-deep contraction/sublane extent — without the packing, the
@@ -121,37 +117,73 @@ def _kernel(x_ref, g_ref, hist0_ref, f32r_ref, f32i_ref, f128r_ref,
     TWr, TWi = twr_ref[...], twi_ref[...]
     packed = F32r.shape[0] == _N2
     nsub = _N2 if packed else _N1
-    Xm = acc_y.reshape(rows // nsub, nsub, _N2)  # [blk, (frame,n1), n2]
-    Ar = mm("kn,bnm->bkm", F32r, Xm)
-    Ai = mm("kn,bnm->bkm", F32i, Xm)
-    Br = Ar * TWr - Ai * TWi
-    Bi = Ar * TWi + Ai * TWr
-    if split:
-        # Karatsuba 3-mult complex matmul: stage B drops from 4 MXU
-        # passes to 3 (F128s = F128r + F128i precomputed host-side);
-        # measured +4-6% whole-kernel across the split/bf16/int8 tiers.
-        # The "highest" tier keeps the 4-mult form (fewer rounding terms).
-        t1 = mm("bkn,qn->bkq", Br, F128r)
-        t2 = mm("bkn,qn->bkq", Bi, F128i)
-        t3 = mm("bkn,qn->bkq", Br + Bi, f128s_ref[...])
-        Xr = t1 - t2
-        Xi = t3 - t1 - t2
+
+    def fir(lo, nr):                               # MXU
+        y = fdot(slice(off + lo, off + lo + nr), g_ref[0])
+        for d in range(1, D):
+            y = y + fdot(slice(off + lo - d, off + lo - d + nr), g_ref[d])
+        return y
+
+    def stage_a(acc_y):                            # MXU (real input)
+        Xm = acc_y.reshape(acc_y.shape[0] // nsub, nsub, _N2)
+        return (mm("kn,bnm->bkm", F32r, Xm), mm("kn,bnm->bkm", F32i, Xm))
+
+    def twiddle(Ar, Ai):                           # VPU
+        return Ar * TWr - Ai * TWi, Ar * TWi + Ai * TWr
+
+    def stage_b(Br, Bi):                           # MXU
+        if split:
+            # Karatsuba 3-mult complex matmul: stage B drops from 4 MXU
+            # passes to 3 (F128s = F128r + F128i precomputed host-side);
+            # measured +4-6% whole-kernel across split/bf16/int8 tiers.
+            # The "highest" tier keeps 4-mult (fewer rounding terms).
+            t1 = mm("bkn,qn->bkq", Br, F128r)
+            t2 = mm("bkn,qn->bkq", Bi, F128i)
+            t3 = mm("bkn,qn->bkq", Br + Bi, f128s_ref[...])
+            return t1 - t2, t3 - t1 - t2
+        return (mm("bkn,qn->bkq", Br, F128r) - mm("bkn,qn->bkq", Bi, F128i),
+                mm("bkn,qn->bkq", Br, F128i) + mm("bkn,qn->bkq", Bi, F128r))
+
+    def power(Xr, Xi):                             # VPU
+        P = jnp.sum(Xr * Xr + Xi * Xi, axis=0)
+        if packed:
+            P = P.reshape(_N2 // _N1, _N1, _N2).sum(axis=0)
+        return P
+
+    if pipe == 1:
+        A = stage_a(fir(0, rows))
+        P = power(*stage_b(*twiddle(*A)))
     else:
-        Xr = mm("bkn,qn->bkq", Br, F128r) - mm("bkn,qn->bkq", Bi, F128i)
-        Xi = mm("bkn,qn->bkq", Br, F128i) + mm("bkn,qn->bkq", Bi, F128r)
-    P = jnp.sum(Xr * Xr + Xi * Xi, axis=0)
-    if packed:
-        P = P.reshape(_N2 // _N1, _N1, _N2).sum(axis=0)
+        # Software pipeline over `pipe` independent row slabs: the trace
+        # alternates MXU stages of slab h+1 with VPU stages of slab h, so
+        # Mosaic's in-order issue can overlap the units (the full-batch
+        # trace serializes on the MXU->VPU->MXU dependency chain; stage
+        # ablation shows only ~30% natural overlap).
+        nr = rows // pipe
+        A = [None] * pipe                     # stage-A outputs in flight
+        B = [None] * pipe                     # post-twiddle in flight
+        X = [None] * pipe                     # stage-B outputs in flight
+        P = None
+        for h in range(pipe + 2):
+            if h < pipe:
+                A[h] = stage_a(fir(h * nr, nr))          # MXU slab h
+            if 0 <= h - 1 < pipe:
+                X[h - 1] = stage_b(*B[h - 1])            # MXU slab h-1
+            if h < pipe:
+                B[h] = twiddle(*A[h])                    # VPU slab h
+            if 0 <= h - 1 < pipe:
+                Ph = power(*X[h - 1])                    # VPU slab h-1
+                P = Ph if P is None else P + Ph
     acc_ref[...] += P[None]
 
 
 @functools.partial(jax.jit,
-                    static_argnames=("interpret", "precision", "tb"))
+                    static_argnames=("interpret", "precision", "tb", "pipe"))
 def fir_periodogram4096(x: jax.Array, G: jax.Array,
                         hist0: jax.Array | None = None,
                         interpret: bool = False,
                         precision: str = "highest",
-                        tb: int = 16) -> jax.Array:
+                        tb: int = 16, pipe: int = 1) -> jax.Array:
     """x: (C, N) float32 (N % 65536 == 0); G: (D, 128, 128) Toeplitz tap
     matrices (fir_toeplitz_mats).  Returns (C, 4096) accumulated power
     spectra of the FIR-filtered signal (zero initial state per channel).
@@ -171,7 +203,13 @@ def fir_periodogram4096(x: jax.Array, G: jax.Array,
     "int8" ingests raw int8 ADC samples (quarter the bytes; int8->bf16 is
     exact so compute accuracy equals the bf16 tier); "int16" ingests raw
     int16 ADC samples losslessly at half the bytes (split-tier
-    accuracy)."""
+    accuracy).
+
+    pipe: number of independent row slabs software-pipelined inside each
+    grid step (1 = single full-batch trace).  pipe=2 interleaves the MXU
+    stages of one slab with the VPU stages of the other so the units can
+    overlap; numerically identical per slab (only the final accumulate
+    associates additions differently)."""
     C, N = x.shape
     rows = tb * _N1
     chunk = rows * _L
@@ -186,6 +224,7 @@ def fir_periodogram4096(x: jax.Array, G: jax.Array,
         xdt = jnp.bfloat16 if precision == "bf16" else jnp.float32
         x = x.astype(xdt)
     nchunks = N // chunk
+    assert pipe >= 1 and rows % (pipe * 4 * _N1) == 0, (pipe, rows)
     D = G.shape[0]
     H = max(D - 1, 1)
     if hist0 is None:
@@ -206,7 +245,7 @@ def fir_periodogram4096(x: jax.Array, G: jax.Array,
     F128s = F128r + F128i            # Karatsuba stage-B factor
     const = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     acc = pl.pallas_call(
-        functools.partial(_kernel, prec=precision),
+        functools.partial(_kernel, prec=precision, pipe=pipe),
         grid=(C, nchunks),
         in_specs=[
             pl.BlockSpec((1, rows, _L), lambda c, f: (c, f, 0),
