@@ -37,19 +37,74 @@ __all__ = ["fir_periodogram4096"]
 _L = 128
 
 
-def _kernel(x_ref, g_ref, hist0_ref, f32r_ref, f32i_ref, f128r_ref,
-            f128i_ref, f128s_ref, twr_ref, twi_ref, acc_ref, hist_ref, *,
-            prec: str = "highest", pipe: int = 1):
+def _kernel(*refs, prec: str = "highest", pipe: int = 1,
+            halo_axis: str | None = None,
+            mesh_axes: Tuple[str, ...] = ()):
+    if halo_axis is None:
+        (x_ref, g_ref, hist0_ref, f32r_ref, f32i_ref, f128r_ref, f128i_ref,
+         f128s_ref, twr_ref, twi_ref, acc_ref, hist_ref) = refs
+    else:
+        (x_ref, g_ref, hist0_ref, tail_ref, f32r_ref, f32i_ref, f128r_ref,
+         f128i_ref, f128s_ref, twr_ref, twi_ref, acc_ref, hist_ref,
+         histrecv_ref, send_sem, recv_sem) = refs
     split = prec in ("split", "bf16", "int8", "int16")
+    c = pl.program_id(0)
     f = pl.program_id(1)
     D = g_ref.shape[0]
+
+    if halo_axis is not None:
+        # Fused halo exchange (SURVEY §5.8 / step 6): at the very first
+        # grid step each time shard pushes its own input tail — the next
+        # shard's initial FIR state — straight into the right neighbor's
+        # VMEM with ONE remote DMA riding ICI; no XLA ppermute pass over
+        # the input.  The barrier semaphore guarantees the neighbor's
+        # kernel instance has started before the DMA lands (the standard
+        # collective_id handshake).
+        @pl.when(jnp.logical_and(c == 0, f == 0))
+        def _():
+            my = jax.lax.axis_index(halo_axis)
+            n = jax.lax.axis_size(halo_axis)
+            right = jax.lax.rem(my + 1, n)
+            left = jax.lax.rem(my + n - 1, n)
+
+            def coords(t):
+                # full mesh coordinates: own index on every other axis
+                return tuple(t if a == halo_axis else jax.lax.axis_index(a)
+                             for a in mesh_axes)
+
+            bsem = pltpu.get_barrier_semaphore()
+            pltpu.semaphore_signal(
+                bsem, device_id=coords(right),
+                device_id_type=pltpu.DeviceIdType.MESH)
+            pltpu.semaphore_signal(
+                bsem, device_id=coords(left),
+                device_id_type=pltpu.DeviceIdType.MESH)
+            pltpu.semaphore_wait(bsem, 2)
+            copy = pltpu.make_async_remote_copy(
+                src_ref=tail_ref, dst_ref=histrecv_ref,
+                send_sem=send_sem, recv_sem=recv_sem,
+                device_id=coords(right),
+                device_id_type=pltpu.DeviceIdType.MESH)
+            copy.start()
+            copy.wait()
+
+            @pl.when(my == 0)
+            def _():
+                # leftmost shard: fresh stream — the ring delivered the
+                # last shard's tail here; replace it with the caller's
+                # initial state (zeros for a fresh signal)
+                histrecv_ref[...] = hist0_ref[...]
 
     @pl.when(f == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
         # initial FIR state: zeros for a fresh signal, or the left
-        # neighbor's tail when the time axis is sharded (parallel/halo.py)
-        hist_ref[...] = hist0_ref[0]
+        # neighbor's tail when the time axis is sharded (parallel/halo.py
+        # ppermute form, or the fused remote-DMA form above)
+        if halo_axis is None:
+            hist_ref[...] = hist0_ref[0]
+        else:
+            hist_ref[...] = histrecv_ref[c]
 
     hp = jax.lax.Precision.HIGHEST
     mm = _dft_mm(split)
@@ -178,12 +233,15 @@ def _kernel(x_ref, g_ref, hist0_ref, f32r_ref, f32i_ref, f128r_ref,
 
 
 @functools.partial(jax.jit,
-                    static_argnames=("interpret", "precision", "tb", "pipe"))
+                    static_argnames=("interpret", "precision", "tb", "pipe",
+                                     "halo_axis", "mesh_axes"))
 def fir_periodogram4096(x: jax.Array, G: jax.Array,
                         hist0: jax.Array | None = None,
                         interpret: bool = False,
                         precision: str = "highest",
-                        tb: int = 16, pipe: int = 1) -> jax.Array:
+                        tb: int = 16, pipe: int = 1,
+                        halo_axis: str | None = None,
+                        mesh_axes: Tuple[str, ...] = ()) -> jax.Array:
     """x: (C, N) float32 (N % 65536 == 0); G: (D, 128, 128) Toeplitz tap
     matrices (fir_toeplitz_mats).  Returns (C, 4096) accumulated power
     spectra of the FIR-filtered signal (zero initial state per channel).
@@ -209,7 +267,15 @@ def fir_periodogram4096(x: jax.Array, G: jax.Array,
     grid step (1 = single full-batch trace).  pipe=2 interleaves the MXU
     stages of one slab with the VPU stages of the other so the units can
     overlap; numerically identical per slab (only the final accumulate
-    associates additions differently)."""
+    associates additions differently).
+
+    halo_axis/mesh_axes: when called inside shard_map with the signal's
+    time axis sharded, halo_axis names that mesh axis and mesh_axes lists
+    ALL mesh axis names in order; the kernel then performs the overlap
+    halo exchange ITSELF with one `make_async_remote_copy` over ICI (x is
+    the local shard; hist0 is consumed only by the leftmost shard).  The
+    ppermute form (parallel/halo.py + hist0) remains the default engine;
+    see parallel/chain.py `halo=`."""
     C, N = x.shape
     rows = tb * _N1
     chunk = rows * _L
@@ -224,7 +290,8 @@ def fir_periodogram4096(x: jax.Array, G: jax.Array,
         xdt = jnp.bfloat16 if precision == "bf16" else jnp.float32
         x = x.astype(xdt)
     nchunks = N // chunk
-    assert pipe >= 1 and rows % (pipe * 4 * _N1) == 0, (pipe, rows)
+    nsub_rows = 4 * _N1 if tb % 4 == 0 else _N1   # rows per DFT slab unit
+    assert pipe == 1 or rows % (pipe * nsub_rows) == 0, (pipe, rows)
     D = G.shape[0]
     H = max(D - 1, 1)
     if hist0 is None:
@@ -244,25 +311,59 @@ def fir_periodogram4096(x: jax.Array, G: jax.Array,
         TWr, TWi = np.tile(TWr, (pack, 1)), np.tile(TWi, (pack, 1))
     F128s = F128r + F128i            # Karatsuba stage-B factor
     const = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    acc = pl.pallas_call(
-        functools.partial(_kernel, prec=precision, pipe=pipe),
-        grid=(C, nchunks),
-        in_specs=[
-            pl.BlockSpec((1, rows, _L), lambda c, f: (c, f, 0),
-                         memory_space=pltpu.VMEM),
-            const(),
-            pl.BlockSpec((1, H, _L), lambda c, f: (c, 0, 0),
-                         memory_space=pltpu.VMEM),
-            const(), const(), const(), const(), const(), const(), const(),
-        ],
-        out_specs=pl.BlockSpec((1, _N1, _N2), lambda c, f: (c, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, _N1, _N2), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((H, _L), xdt)],
-        interpret=interpret,
-    )(x.reshape(C, nchunks * rows, _L),
-      G.astype(jnp.float32), hist0.astype(xdt),
-      jnp.asarray(F32r), jnp.asarray(F32i),
-      jnp.asarray(F128r), jnp.asarray(F128i), jnp.asarray(F128s),
-      jnp.asarray(TWr), jnp.asarray(TWi))
+    consts = (jnp.asarray(F32r), jnp.asarray(F32i),
+              jnp.asarray(F128r), jnp.asarray(F128i), jnp.asarray(F128s),
+              jnp.asarray(TWr), jnp.asarray(TWi))
+    if halo_axis is None:
+        acc = pl.pallas_call(
+            functools.partial(_kernel, prec=precision, pipe=pipe),
+            grid=(C, nchunks),
+            in_specs=[
+                pl.BlockSpec((1, rows, _L), lambda c, f: (c, f, 0),
+                             memory_space=pltpu.VMEM),
+                const(),
+                pl.BlockSpec((1, H, _L), lambda c, f: (c, 0, 0),
+                             memory_space=pltpu.VMEM),
+                const(), const(), const(), const(), const(), const(),
+                const(),
+            ],
+            out_specs=pl.BlockSpec((1, _N1, _N2), lambda c, f: (c, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((C, _N1, _N2), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((H, _L), xdt)],
+            interpret=interpret,
+        )(x.reshape(C, nchunks * rows, _L),
+          G.astype(jnp.float32), hist0.astype(xdt), *consts)
+    else:
+        # fused-halo form: this shard's own input tail rides a remote DMA
+        # to the right neighbor inside the kernel (see _kernel prologue)
+        assert mesh_axes and halo_axis in mesh_axes, (halo_axis, mesh_axes)
+        tail = x[:, N - H * _L:].reshape(C, H, _L)
+        acc = pl.pallas_call(
+            functools.partial(_kernel, prec=precision, pipe=pipe,
+                              halo_axis=halo_axis, mesh_axes=mesh_axes),
+            grid=(C, nchunks),
+            in_specs=[
+                pl.BlockSpec((1, rows, _L), lambda c, f: (c, f, 0),
+                             memory_space=pltpu.VMEM),
+                const(), const(), const(),
+                const(), const(), const(), const(), const(), const(),
+                const(),
+            ],
+            out_specs=pl.BlockSpec((1, _N1, _N2), lambda c, f: (c, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((C, _N1, _N2), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((H, _L), xdt),
+                            pltpu.VMEM((C, H, _L), xdt),
+                            pltpu.SemaphoreType.DMA,
+                            pltpu.SemaphoreType.DMA],
+            compiler_params=pltpu.CompilerParams(collective_id=11),
+            # bool True -> the Pallas TPU interpret machinery (simulates
+            # the inter-device DMAs/semaphores on CPU); callers may pass
+            # an InterpretParams directly (e.g. detect_races=True)
+            interpret=(interpret if not isinstance(interpret, bool)
+                       else (pltpu.InterpretParams() if interpret
+                             else False)),
+        )(x.reshape(C, nchunks * rows, _L),
+          G.astype(jnp.float32), hist0.astype(xdt), tail, *consts)
     return acc.swapaxes(-1, -2).reshape(C, _NFFT)

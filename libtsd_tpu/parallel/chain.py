@@ -35,26 +35,42 @@ __all__ = ["sharded_fir_periodogram4096"]
 
 def sharded_fir_periodogram4096(mesh: Mesh, x: jax.Array, G: jax.Array,
                                 precision: str = "split",
-                                interpret: bool = False) -> jax.Array:
+                                interpret: bool = False,
+                                halo: str = "ppermute",
+                                tb: int = 16) -> jax.Array:
     """Distributed fused FIR+periodogram over a ("chan", "time") mesh.
 
     x: (C, N) float32, sharded (or shardable) as P("chan", "time");
     N / time_shards must be a multiple of 65536 (the kernel chunk).
     G: (D, 128, 128) Toeplitz tap matrices, replicated.
 
+    halo: "ppermute" exchanges the (D-1)*128-sample input tails with one
+    XLA collective before the kernel; "fused" performs the exchange
+    INSIDE the Pallas kernel with `make_async_remote_copy` over ICI
+    (comm fused with compute — no XLA permute pass over the input;
+    validated on the virtual mesh via the Pallas TPU interpret machinery
+    with race detection, tests/test_parallel.py).
+
     Returns (C, 4096) accumulated power spectra of the FIR-filtered
     signal — identical to `fir_periodogram4096(x, G)` on one device —
     laid out P("chan", None) (replicated over "time").
     """
+    assert halo in ("ppermute", "fused"), halo
     D = G.shape[0]
     H = max(D - 1, 1)
 
     def local(xs, g):
-        # left neighbor's input tail = this shard's initial FIR state
-        halo = halo_exchange_left(xs, H * 128, "time")
-        hist0 = halo.reshape(xs.shape[0], H, 128)
-        part = fir_periodogram4096(xs, g, hist0=hist0,
-                                   interpret=interpret, precision=precision)
+        if halo == "fused":
+            part = fir_periodogram4096(
+                xs, g, interpret=interpret, precision=precision, tb=tb,
+                halo_axis="time", mesh_axes=tuple(mesh.axis_names))
+        else:
+            # left neighbor's input tail = this shard's initial FIR state
+            halo_t = halo_exchange_left(xs, H * 128, "time")
+            hist0 = halo_t.reshape(xs.shape[0], H, 128)
+            part = fir_periodogram4096(xs, g, hist0=hist0,
+                                       interpret=interpret,
+                                       precision=precision, tb=tb)
         return lax.psum(part, "time")
 
     # check_vma=False: pallas_call does not yet declare varying-mesh-axes

@@ -125,6 +125,50 @@ def test_sharded_fused_chain_split_precision():
     assert np.max(np.abs(acc - ref)) / ref.max() < 1e-2
 
 
+def test_sharded_chain_fused_remote_dma_halo():
+    """halo="fused": the overlap halo rides `make_async_remote_copy`
+    INSIDE the Pallas kernel (SURVEY §5.8 / step 6 — comm fused with
+    compute).  Validated on the virtual mesh via the Pallas TPU interpret
+    machinery, which simulates the inter-device DMAs, barrier semaphores
+    and ring ordering; with race detection on, a misordered send/compute
+    would fail the test."""
+    from jax.experimental.pallas import tpu as pltpu
+    from libtsd_tpu.ops.filter_rt import fir_toeplitz_mats
+    from libtsd_tpu.ops.pallas.chain import fir_periodogram4096
+    from libtsd_tpu.parallel import sharded_fir_periodogram4096
+
+    # NOTE: the interpret machinery runs every simulated device's program
+    # concurrently (they rendezvous on threading.Barrier) on XLA:CPU's
+    # pool of os.cpu_count() threads — more simulated devices than
+    # physical cores DEADLOCKS (verified: 8 devices on this 4-core box
+    # hangs, <=4 is reliable).  Keep fused-halo tests at <=4 devices.
+    mesh = make_mesh(chan=1, time=4)
+    h = FD.fir_lowpass(200, 0.15)
+    G = jnp.asarray(fir_toeplitz_mats(np.asarray(h, np.float64)), jnp.float32)
+    C, N = 2, 4 * 8192           # 8192 per time shard (tb=1 kernel chunks)
+    x = jnp.asarray(rng.standard_normal((C, N)), jnp.float32)
+    xs = jax.device_put(x, channel_sharding(mesh))
+
+    acc_f = np.asarray(jax.jit(lambda a, g: sharded_fir_periodogram4096(
+        mesh, a, g, precision="highest", interpret=True, halo="fused",
+        tb=1))(xs, G))
+    acc_1 = np.asarray(fir_periodogram4096(
+        x, G, interpret=True, precision="highest", tb=1))
+    assert np.max(np.abs(acc_f - acc_1)) / acc_1.max() < 1e-5
+
+    # tiny race-detected run (the detector is slow — keep it minimal)
+    mesh2 = make_mesh(chan=1, time=2)
+    x2 = x[:1, : 2 * 4096]
+    xs2 = jax.device_put(x2, channel_sharding(mesh2))
+    acc_r = np.asarray(jax.jit(lambda a, g: sharded_fir_periodogram4096(
+        mesh2, a, g, precision="highest",
+        interpret=pltpu.InterpretParams(detect_races=True),
+        halo="fused", tb=1))(xs2, G))
+    acc_r1 = np.asarray(fir_periodogram4096(
+        x2, G, interpret=True, precision="highest", tb=1))
+    assert np.max(np.abs(acc_r - acc_r1)) / acc_r1.max() < 1e-5
+
+
 def test_baseline_config3_sharded_resampler_chain():
     """BASELINE config 3: 256-tap FIR + rational 48k->44.1k resampler
     (147/160 fractional-interpolator bank) on 64 channels sharded over the
