@@ -37,8 +37,8 @@ from ..config import complex_dtype, from_ri, real_dtype, to_ri
 __all__ = [
     "fir_toeplitz_mats", "fir_filter", "fir_filter_valid", "Fir",
     "Decimator", "DelayLine", "FirDecim", "MovingAverage", "ExpSmoother",
-    "DcBlocker", "Iir", "Sos", "OlaFft", "FirFft", "filter_signal",
-    "filtfilt",
+    "DcBlocker", "Iir", "IirFrame", "iir_filter", "sos_frame_chain", "Sos",
+    "OlaFft", "FirFft", "filter_signal", "filtfilt",
 ]
 
 _L = 128  # MXU lane width / frame size
@@ -449,6 +449,192 @@ class Iir(Block):
         xs = jnp.moveaxis(x, -1, 0)
         state, ys = jax.lax.scan(body, state, xs)
         return state, jnp.moveaxis(ys, 0, -1)
+
+
+def _iir_frame_mats(b: np.ndarray, a: np.ndarray, L: int = _L):
+    """Precompute the frame operators of an LTI recursion (host, float64).
+
+    State-space form (controller-canonical) of y = (b/a)(z) x with state
+    s just before each sample: s[n+1] = A s[n] + B x[n], y[n] = C s[n] +
+    D x[n].  Over an L-sample frame starting in state s0:
+
+        y[j]  = (C A^j) s0 + sum_{i<=j} h[j-i] x[i]   (h = impulse resp.)
+        s_end = A^L s0 + sum_i A^{L-1-i} B x[i]
+
+    so a whole frame is ONE (L,L) lower-triangular Toeplitz matmul (MXU)
+    plus rank-k state terms — exact LTI algebra, no approximation.
+
+    Returns T (L,L) in-frame Toeplitz, S (L,k) state->output, W (k,L)
+    with W[:,m] = A^m B (input->state powers; frame update uses its
+    flip), Apow (L+1,k,k) powers of A.  All float32, computed in float64.
+    """
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    b, a = b / a[0], a / a[0]
+    k = max(len(a), len(b)) - 1
+    a = np.pad(a, (0, k + 1 - len(a)))
+    bp = np.pad(b, (0, k + 1 - len(b)))
+    # controller canonical: A = [[-a1..-ak],[I 0]], B = e0,
+    # C[i] = b[i+1] - a[i+1] b0, D = b0
+    A = np.zeros((k, k))
+    A[0, :] = -a[1:]
+    A[1:, :-1] = np.eye(k - 1)
+    B = np.zeros(k)
+    B[0] = 1.0
+    C = bp[1:] - a[1:] * bp[0]
+    D = bp[0]
+    Apow = np.empty((L + 1, k, k))
+    Apow[0] = np.eye(k)
+    for m in range(1, L + 1):
+        Apow[m] = A @ Apow[m - 1]
+    # impulse response h[0]=D, h[m]=C A^{m-1} B
+    h = np.empty(L)
+    h[0] = D
+    for m in range(1, L):
+        h[m] = C @ Apow[m - 1] @ B
+    i = np.arange(L)
+    idx = i[:, None] - i[None, :]
+    T = np.where(idx >= 0, h[np.clip(idx, 0, L - 1)], 0.0)
+    S = np.stack([C @ Apow[j] for j in range(L)])          # (L, k)
+    W = np.stack([Apow[m] @ B for m in range(L)], axis=1)  # (k, L)
+    f32 = lambda M: np.asarray(M, np.float32)
+    return f32(T), f32(S), f32(W), f32(Apow)
+
+
+def _affine_matrix_scan(M: jax.Array, u: jax.Array) -> jax.Array:
+    """s_m = M s_{m-1} + u_m with s_{-1} folded into u_0; returns all s_m.
+
+    u: (..., nf, k).  Associative in the frame axis: (M1,v1) o (M2,v2) =
+    (M2 M1, M2 v1 + v2) — log-depth instead of a length-nf scan.
+    """
+    nf = u.shape[-2]
+    uf = jnp.moveaxis(u, -2, 0)                       # (nf, ..., k)
+    Ms = jnp.broadcast_to(M, (nf,) + u.shape[:-2] + M.shape)
+
+    def combine(l, r):
+        Ml, vl = l
+        Mr, vr = r
+        return (jnp.matmul(Mr, Ml, precision=jax.lax.Precision.HIGHEST),
+                jnp.einsum("...ij,...j->...i", Mr, vl,
+                           precision=jax.lax.Precision.HIGHEST) + vr)
+
+    _, s = jax.lax.associative_scan(combine, (Ms, uf), axis=0)
+    return jnp.moveaxis(s, 0, -2)
+
+
+class IirFrame(Block):
+    """Frame-parallel IIR: the TPU-native runtime for order >= 2.
+
+    The per-sample recursion is restated as exact block state-space
+    algebra over L=128-sample frames (see _iir_frame_mats): all in-frame
+    work becomes one (nframes, L) @ (L, L) MXU matmul, and the only
+    sequential dependence left is the k-dimensional state hop between
+    frames, solved in log-depth by an associative scan.  Identical
+    semantics to `Iir` (same one-shot outputs, same streaming protocol);
+    a pure re-design of FiltreRII (filtre-rt.cc:178-284) — the
+    reference's per-sample loop has no TPU equivalent worth keeping.
+
+    State: the k-dim canonical state vector (NOT the DF-II delay line).
+    Input length must be a multiple of 128 per step (use `Rebuffer` or
+    pad upstream for ragged tails; `iir_filter` handles the tail).
+    """
+
+    T: jax.Array      # (L, L) in-frame Toeplitz
+    S: jax.Array      # (L, k) state -> in-frame output
+    Wf: jax.Array     # (L, k) flipped input -> state-update weights
+    M: jax.Array      # (k, k) = A^L frame state hop
+
+    @classmethod
+    def create(cls, b, a, L: int = _L) -> "IirFrame":
+        T, S, W, Apow = _iir_frame_mats(b, a, L)
+        return cls(T=jnp.asarray(T), S=jnp.asarray(S),
+                   Wf=jnp.asarray(W[:, ::-1].T.copy()),
+                   M=jnp.asarray(Apow[L]))
+
+    @property
+    def order(self) -> int:
+        return self.S.shape[1]
+
+    def init(self):
+        return jnp.zeros((self.order,), real_dtype)
+
+    def init_for(self, x):
+        dt = complex_dtype if jnp.iscomplexobj(x) else real_dtype
+        return jnp.zeros(x.shape[:-1] + (self.order,), dt)
+
+    def step(self, state, x):
+        L = self.T.shape[0]
+        n = x.shape[-1]
+        assert n % L == 0, f"IirFrame.step needs len(x) % {L} == 0, got {n}"
+        if jnp.iscomplexobj(x):
+            sr, yr = self.step(jnp.real(state), jnp.real(x))
+            si, yi = self.step(jnp.imag(state), jnp.imag(x))
+            return sr + 1j * si, yr + 1j * yi
+        hp = functools.partial(jnp.matmul,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=real_dtype)
+        xf = x.reshape(x.shape[:-1] + (n // L, L))
+        u = hp(xf, self.Wf)                     # (..., nf, k)
+        # fold the incoming state into frame 0's affine term
+        u = u.at[..., 0, :].add(
+            jnp.einsum("ij,...j->...i", self.M, state,
+                       precision=jax.lax.Precision.HIGHEST))
+        s_end = _affine_matrix_scan(self.M, u)  # state AFTER each frame
+        s_start = jnp.concatenate(
+            [state[..., None, :], s_end[..., :-1, :]], axis=-2)
+        y = hp(xf, self.T.T) + hp(s_start, self.S.T)
+        return s_end[..., -1, :], y.reshape(x.shape)
+
+
+def iir_filter(b, a, x: jax.Array) -> jax.Array:
+    """One-shot IIR (zero initial state), frame-parallel fast path.
+
+    Pads x up to a multiple of 128 internally (zero-padding an LTI filter
+    does not change the first len(x) outputs), so any length works.
+
+    Order > 4 is factored into second-order sections first
+    (sos_frame_chain) — like any float32 IIR runtime, a high-order
+    expanded transfer function is ill-conditioned (measured: order-6
+    elliptic 6e-2 rel direct vs 1e-5 as SOS), and the reference itself
+    cascades biquads for the same reason (filtre_sois,
+    filtre-rt.cc:295-581)."""
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    a_np = np.atleast_1d(np.asarray(a, np.float64))
+    b_np = np.atleast_1d(np.asarray(b, np.float64))
+    order = max(len(a_np), len(b_np)) - 1
+    from ..block import safe_pad
+    if order > 4:
+        from .iir_design import ZPK, zpk_to_sos
+        zpk = ZPK(z=np.roots(b_np / b_np[0]), p=np.roots(a_np / a_np[0]),
+                  k=float(b_np[0] / a_np[0]))
+        sos, k = zpk_to_sos(zpk)
+        blk = sos_frame_chain(sos, k)
+        L = blk.blocks[0].T.shape[0]
+        xp = safe_pad(x, 0, (-n) % L, axis=-1)
+        st = tuple(bl.init_for(xp) for bl in blk.blocks)
+        _, y = blk.step(st, xp)
+        return y[..., :n]
+    blk = IirFrame.create(b, a)
+    L = blk.T.shape[0]
+    xp = safe_pad(x, 0, (-n) % L, axis=-1)
+    _, y = blk.step(blk.init_for(xp), xp)
+    return y[..., :n]
+
+
+def sos_frame_chain(sos, k: float = 1.0, L: int = _L):
+    """Frame-parallel SOS cascade: each second-order section as an
+    `IirFrame` (MXU Toeplitz + 2-dim state hop), composed with `Chain`.
+    Keeps the cascade's numerical conditioning (no polynomial expansion)
+    while replacing the per-sample scan of `Sos` with matmuls.
+    """
+    from ..block import Chain
+    sos = np.asarray(sos, np.float64)
+    blocks = []
+    for s in range(sos.shape[0]):
+        b = sos[s, :3] * (k if s == 0 else 1.0)
+        blocks.append(IirFrame.create(b, sos[s, 3:], L=L))
+    return Chain(blocks=tuple(blocks))
 
 
 class Sos(Block):
