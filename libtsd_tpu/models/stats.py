@@ -17,7 +17,7 @@ import numpy as np
 from ..config import complex_dtype, real_dtype
 
 __all__ = [
-    "levinson_real", "levinson", "lpc", "wiener_fir", "covmtx",
+    "levinson_real", "levinson", "lpc", "wiener_fir", "r2R", "covmtx",
     "subspace_spectrum", "psd_subspace",
 ]
 
@@ -89,6 +89,21 @@ def wiener_fir(rxx: np.ndarray, rxy: np.ndarray) -> np.ndarray:
     rxy = np.asarray(rxy, np.float64)
     n = len(rxy)
     return levinson(rxx[:n], rxx[:n], rxy)
+
+
+def r2R(r) -> jax.Array:
+    """Autocorrelation vector -> Hermitian Toeplitz autocorrelation matrix
+    R[i,j] = r[|i-j|] (conjugated above the diagonal for complex r,
+    matching the reference).
+    Parity: dsp::stats::r2R / tsd::stats::r_vers_R
+    (/root/reference/core/include/dsp/stats.hpp:114)."""
+    r = jnp.asarray(r)
+    n = r.shape[-1]
+    idx = jnp.arange(n)[:, None] - jnp.arange(n)[None, :]
+    R = r[jnp.abs(idx)]
+    if jnp.iscomplexobj(r):
+        R = jnp.where(idx < 0, jnp.conj(R), R)
+    return R
 
 
 def covmtx(x: jax.Array, m: int) -> jax.Array:

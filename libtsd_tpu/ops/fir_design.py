@@ -17,6 +17,7 @@ import numpy as np
 from .window import chebyshev_window, kaiser_param, kaiser_window, window
 
 __all__ = [
+    "check_normalized_freq",
     "sinc2", "fir_lowpass", "fir_design_windowed", "fir_design_kaiser",
     "fir_design_chebyshev", "FreqIntervalSpec", "fir_design_equiripple",
     "fir_design_equiripple_grid", "fir_design_freq_sampling",
@@ -42,10 +43,21 @@ def _sinc_taps(n: int, fc: float) -> np.ndarray:
     return sinc2(2 * fc, k)
 
 
+def check_normalized_freq(f: float, msg: str = "") -> None:
+    """Raise if f is not a normalized frequency in [0, 0.5] (parity:
+    verifie_frequence_normalisee, filtrage.cc:110-117)."""
+    if not (0.0 <= f <= 0.5):
+        what = f"{msg}: f" if msg else "F"
+        raise ValueError(
+            f"{what}requency must be normalized (cycles/sample) in "
+            f"[0, 0.5]; got {f}.")
+
+
 def fir_design_windowed(n: int, typ: str, fcut: float, fen: str = "hn",
                         fcut2: float = 0.0) -> np.ndarray:
     """Windowed-sinc FIR: 'lp'/'hp'/'bp'/'sb' (parity: design_rif_fen,
     rif-fen.cc:83-116; lp is normalized to unit DC gain)."""
+    check_normalized_freq(fcut, "fir_design_windowed")
     f = window(fen, n, sym=True)
     no2 = (n - 1) // 2
     if typ in ("lp", "pb"):

@@ -13,14 +13,28 @@ from typing import Tuple
 import numpy as np
 
 __all__ = [
+    "year_is_valid", "year_month_valid",
     "is_leap_year", "days_in_month", "gregorian_to_jd", "jd_to_gregorian",
     "mjd", "day_of_week", "sidereal_time", "local_sidereal_time",
     "Calendar", "TimeOfDay", "DateTime",
 ]
 
 
+def year_is_valid(y: int) -> bool:
+    """Calendar-supported year range (parity: année_est_valide,
+    temps.cc:394-397)."""
+    return 1 <= y <= 9999
+
+
+def year_month_valid(y: int, m: int) -> bool:
+    """Parity: année_mois_valide, temps.cc:190-195."""
+    return year_is_valid(y) and 1 <= m <= 12
+
+
 def is_leap_year(y: int) -> bool:
-    """Parity: est_bissextile, temps.cc."""
+    """Parity: est_bissextile, temps.cc (invalid years -> False)."""
+    if not year_is_valid(y):
+        return False
     return (y % 4 == 0 and y % 100 != 0) or (y % 400 == 0)
 
 

@@ -70,6 +70,30 @@ def test_psd_subspace_resolves_close_tones():
     assert abs(fpk[0] - f1) < 0.005 and abs(fpk[1] - f2) < 0.005, fpk
 
 
+def test_r2R_toeplitz():
+    """Autocorr vector -> Hermitian Toeplitz matrix (parity: r_vers_R,
+    tsd/stats.hpp:118-133; mirrors test-stats.cc usage)."""
+    r = (np.array([3.0, 1.0, 0.5]) + 1j * np.array([0.0, 0.2, -0.1]))
+    R = np.asarray(ST.r2R(jnp.asarray(r, jnp.complex64)))
+    assert R.shape == (3, 3)
+    assert np.allclose(np.diag(R), 3.0)
+    assert np.isclose(R[1, 0], r[1]) and np.isclose(R[0, 1], np.conj(r[1]))
+    assert np.isclose(R[2, 0], r[2]) and np.isclose(R[0, 2], np.conj(r[2]))
+    assert np.allclose(R, R.conj().T)
+    # real path: plain symmetric Toeplitz
+    Rr = np.asarray(ST.r2R(jnp.asarray(r.real, jnp.float32)))
+    assert np.allclose(Rr, Rr.T)
+
+
+def test_check_normalized_freq():
+    from libtsd_tpu.ops import fir_design as FD
+    FD.check_normalized_freq(0.25)
+    with pytest.raises(ValueError):
+        FD.check_normalized_freq(0.7, "design")
+    with pytest.raises(ValueError):
+        FD.fir_design_windowed(31, "lp", 0.8)
+
+
 def test_covmtx_hermitian():
     rng = np.random.default_rng(4)
     x = (rng.standard_normal(256) + 1j*rng.standard_normal(256)).astype(np.complex64)

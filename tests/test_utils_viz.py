@@ -62,6 +62,16 @@ def test_leap_years():
     assert TD.days_in_month(2024, 2) == 29
 
 
+def test_year_validity():
+    # parity: année_est_valide / année_mois_valide, temps.cc:190-195,394-397
+    assert TD.year_is_valid(1) and TD.year_is_valid(9999)
+    assert not TD.year_is_valid(0) and not TD.year_is_valid(10000)
+    assert TD.year_month_valid(2024, 12)
+    assert not TD.year_month_valid(2024, 13)
+    assert not TD.year_month_valid(0, 1)
+    assert not TD.is_leap_year(0)
+
+
 def test_sidereal_time():
     # GMST at 2000-01-01 12:00 UT ~ 18h 41m 50s = 280.46 deg
     jd = 2451545.0
