@@ -602,8 +602,17 @@ def iir_filter(b, a, x: jax.Array) -> jax.Array:
     n = x.shape[-1]
     a_np = np.atleast_1d(np.asarray(a, np.float64))
     b_np = np.atleast_1d(np.asarray(b, np.float64))
-    order = max(len(a_np), len(b_np)) - 1
     from ..block import safe_pad
+    # leading zeros of b = a pure z^-d delay factor: filter with the
+    # trimmed numerator, then shift the output (LTI ops commute)
+    nz = np.flatnonzero(b_np)
+    if nz.size == 0:
+        return jnp.zeros_like(x)
+    d = int(nz[0])
+    if d:
+        y = iir_filter(b_np[d:], a_np, x)
+        return safe_pad(y, d, 0, axis=-1)[..., :n]
+    order = max(len(a_np), len(b_np)) - 1
     if order > 4:
         from .iir_design import ZPK, zpk_to_sos
         zpk = ZPK(z=np.roots(b_np / b_np[0]), p=np.roots(a_np / a_np[0]),

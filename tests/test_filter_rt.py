@@ -207,6 +207,19 @@ def test_iir_frame_high_order_routes_sos():
     check_max_error(y, ref, 1e-4)
 
 
+def test_iir_frame_degenerate_numerators():
+    """Leading-zero numerator = pure delay factor (commuted to an output
+    shift); short numerator; all-zero numerator."""
+    x = rng.standard_normal(600).astype(np.float32)
+    _, a6 = sps.butter(6, 0.2)
+    for b in (np.array([0.0, 0.0, 1.0, 0.5]), np.array([1.0, 0.3])):
+        ref = sps.lfilter(b, a6, x.astype(np.float64))
+        y = np.asarray(FR.iir_filter(b, a6, jnp.asarray(x)))
+        check_max_error(y, ref, 1e-4)
+    assert not np.any(np.asarray(FR.iir_filter(np.zeros(3), a6,
+                                               jnp.asarray(x))))
+
+
 def test_sos_frame_chain_matches_sosfilt():
     sos = sps.cheby1(8, 1, 0.05, output="sos")
     x = rng.standard_normal(1024).astype(np.float32)
