@@ -80,6 +80,13 @@ class Chain(Block):
     def init(self) -> State:
         return tuple(b.init() for b in self.blocks)
 
+    def init_for(self, x: jax.Array) -> State:
+        # delegate so members that batch state by input shape/dtype
+        # (Fir, IirFrame, ...) get a correctly shaped state.  Sample-rate
+        # changes inside the chain don't matter here: init_for only uses
+        # batch shape / dtype, which rate changes preserve.
+        return tuple(b.init_for(x) for b in self.blocks)
+
     def step(self, state: State, x: jax.Array):
         new_states = []
         for b, s in zip(self.blocks, state):

@@ -100,7 +100,7 @@ def r2R(r) -> jax.Array:
     r = jnp.asarray(r)
     n = r.shape[-1]
     idx = jnp.arange(n)[:, None] - jnp.arange(n)[None, :]
-    R = r[jnp.abs(idx)]
+    R = r[..., jnp.abs(idx)]      # (..., n, n), gathered on the last axis
     if jnp.iscomplexobj(r):
         R = jnp.where(idx < 0, jnp.conj(R), R)
     return R

@@ -472,6 +472,9 @@ def _iir_frame_mats(b: np.ndarray, a: np.ndarray, L: int = _L):
     a = np.atleast_1d(np.asarray(a, np.float64))
     b, a = b / a[0], a / a[0]
     k = max(len(a), len(b)) - 1
+    if k == 0:
+        raise ValueError("IirFrame needs order >= 1 (a pure gain has no "
+                         "state); use iir_filter or Iir for order 0.")
     a = np.pad(a, (0, k + 1 - len(a)))
     bp = np.pad(b, (0, k + 1 - len(b)))
     # controller canonical: A = [[-a1..-ak],[I 0]], B = e0,
@@ -613,6 +616,8 @@ def iir_filter(b, a, x: jax.Array) -> jax.Array:
         y = iir_filter(b_np[d:], a_np, x)
         return safe_pad(y, d, 0, axis=-1)[..., :n]
     order = max(len(a_np), len(b_np)) - 1
+    if order == 0:
+        return (b_np[0] / a_np[0]) * x
     if order > 4:
         from .iir_design import ZPK, zpk_to_sos
         zpk = ZPK(z=np.roots(b_np / b_np[0]), p=np.roots(a_np / a_np[0]),
@@ -620,12 +625,9 @@ def iir_filter(b, a, x: jax.Array) -> jax.Array:
         sos, k = zpk_to_sos(zpk)
         blk = sos_frame_chain(sos, k)
         L = blk.blocks[0].T.shape[0]
-        xp = safe_pad(x, 0, (-n) % L, axis=-1)
-        st = tuple(bl.init_for(xp) for bl in blk.blocks)
-        _, y = blk.step(st, xp)
-        return y[..., :n]
-    blk = IirFrame.create(b, a)
-    L = blk.T.shape[0]
+    else:
+        blk = IirFrame.create(b, a)
+        L = blk.T.shape[0]
     xp = safe_pad(x, 0, (-n) % L, axis=-1)
     _, y = blk.step(blk.init_for(xp), xp)
     return y[..., :n]

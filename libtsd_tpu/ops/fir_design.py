@@ -58,6 +58,8 @@ def fir_design_windowed(n: int, typ: str, fcut: float, fen: str = "hn",
     """Windowed-sinc FIR: 'lp'/'hp'/'bp'/'sb' (parity: design_rif_fen,
     rif-fen.cc:83-116; lp is normalized to unit DC gain)."""
     check_normalized_freq(fcut, "fir_design_windowed")
+    if typ in ("bp", "pm", "sb"):
+        check_normalized_freq(fcut2, "fir_design_windowed (fcut2)")
     f = window(fen, n, sym=True)
     no2 = (n - 1) // 2
     if typ in ("lp", "pb"):

@@ -219,7 +219,7 @@ def _kernel(*refs, prec: str = "highest", pipe: int = 1,
         B = [None] * pipe                     # post-twiddle in flight
         X = [None] * pipe                     # stage-B outputs in flight
         P = None
-        for h in range(pipe + 2):
+        for h in range(pipe + 1):
             if h < pipe:
                 A[h] = stage_a(fir(h * nr, nr))          # MXU slab h
             if 0 <= h - 1 < pipe:

@@ -83,6 +83,10 @@ def test_r2R_toeplitz():
     # real path: plain symmetric Toeplitz
     Rr = np.asarray(ST.r2R(jnp.asarray(r.real, jnp.float32)))
     assert np.allclose(Rr, Rr.T)
+    # batched: last axis is the lag axis
+    rb = np.stack([r.real, 2 * r.real])
+    Rb = np.asarray(ST.r2R(jnp.asarray(rb, jnp.float32)))
+    assert Rb.shape == (2, 3, 3) and np.allclose(Rb[1], 2 * Rb[0])
 
 
 def test_check_normalized_freq():
@@ -92,6 +96,8 @@ def test_check_normalized_freq():
         FD.check_normalized_freq(0.7, "design")
     with pytest.raises(ValueError):
         FD.fir_design_windowed(31, "lp", 0.8)
+    with pytest.raises(ValueError):
+        FD.fir_design_windowed(31, "bp", 0.1, fcut2=0.9)
 
 
 def test_covmtx_hermitian():

@@ -227,6 +227,24 @@ def test_sos_frame_chain_matches_sosfilt():
     _, y = ch.step(ch.init(), jnp.asarray(x))
     check_max_error(np.asarray(y), sps.sosfilt(sos, x.astype(np.float64)),
                     1e-4)
+    # batched input: Chain.init_for delegates to members
+    xb = rng.standard_normal((3, 256)).astype(np.float32)
+    _, yb = ch.step(ch.init_for(jnp.asarray(xb)), jnp.asarray(xb))
+    check_max_error(np.asarray(yb),
+                    sps.sosfilt(sos, xb.astype(np.float64), axis=-1), 1e-4)
+
+
+def test_iir_filter_order0_and_validation():
+    x = rng.standard_normal(256).astype(np.float32)
+    y = np.asarray(FR.iir_filter([2.0], [1.0], jnp.asarray(x)))
+    check_max_error(y, 2.0 * x, 1e-6)
+    # pure delay numerator over unit denominator
+    y2 = np.asarray(FR.iir_filter([0.0, 1.5], [1.0], jnp.asarray(x)))
+    check_max_error(y2[1:], 1.5 * x[:-1], 1e-6)
+    assert y2[0] == 0.0
+    import pytest
+    with pytest.raises(ValueError):
+        FR.IirFrame.create([2.0], [1.0])
 
 
 def test_sos_matches_sosfilt():
