@@ -1,2 +1,4 @@
 from .figure import Figure, Figures  # noqa: F401
 from .report import Report, get_report  # noqa: F401
+from .units import (calc_expo_ndigits, calc_expo_ndigits_common,  # noqa: F401
+                    unit_format, si_tick_formatter)

@@ -49,6 +49,8 @@ class Figure:
         self._ops: List = []
         self._xlabel = ""
         self._ylabel = ""
+        self._xunit = None
+        self._yunit = None
 
     # --- plot API --------------------------------------------------------
     def plot(self, x, y=None, fmt: str = "", label: str = ""):
@@ -96,6 +98,14 @@ class Figure:
     # alias parity with the reference naming
     titres = titles
 
+    def set_units(self, xunit: str = None, yunit: str = None):
+        """SI-prefixed tick labels with a shared exponent per axis
+        (parity: the reference axes' engineering-unit ticks,
+        axes.cc via tsd::vue::unites / viz/units.py)."""
+        self._xunit = xunit
+        self._yunit = yunit
+        return self
+
     # --- rendering -------------------------------------------------------
     def _render(self, ax):
         has_label = False
@@ -123,6 +133,14 @@ class Figure:
             ax.set_ylabel(self._ylabel, fontsize=8)
         if has_label:
             ax.legend(fontsize=7)
+        for unit, axis in ((self._xunit, ax.xaxis), (self._yunit, ax.yaxis)):
+            if unit is not None:
+                from .units import si_tick_formatter
+                from matplotlib.ticker import FixedFormatter, FixedLocator
+                tics = [t for t in axis.get_ticklocs()]
+                axis.set_major_locator(FixedLocator(tics))
+                axis.set_major_formatter(
+                    FixedFormatter(si_tick_formatter(tics, unit)))
         ax.grid(True, alpha=0.3)
 
     def save(self, path: str, dpi: int = 100):

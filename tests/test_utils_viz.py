@@ -11,6 +11,7 @@ from libtsd_tpu.utils import geometry as GEO
 from libtsd_tpu.utils.monitor import Monitor, Monitors
 from libtsd_tpu.ops import dwt as DW
 from libtsd_tpu.ops import cqt as CQ
+from libtsd_tpu import viz as VZ
 
 
 def test_wav_roundtrip(tmp_path):
@@ -60,6 +61,36 @@ def test_leap_years():
     assert TD.is_leap_year(2000) and TD.is_leap_year(2024)
     assert not TD.is_leap_year(1900) and not TD.is_leap_year(2023)
     assert TD.days_in_month(2024, 2) == 29
+
+
+def test_unit_formatting():
+    """SI-prefixed engineering units (parity: tsd::vue::unites,
+    unites.cc:8-155; mirrors test_unites, test-figure-old.cc:11-30)."""
+    from libtsd_tpu.viz import (calc_expo_ndigits, calc_expo_ndigits_common,
+                                si_tick_formatter, unit_format)
+    assert unit_format(1500, "Hz") == "1.5 KHz"
+    assert unit_format(2.5e7, "Hz") == "25 MHz"
+    assert unit_format(3e9, "Hz") == "3 GHz"
+    assert unit_format(0.0005, "s") == "500 us"
+    assert unit_format(0.25, "V") == "250 mV"
+    assert unit_format(42, "") == "42"
+    assert unit_format(0, "Hz") == "0 Hz"
+    assert calc_expo_ndigits(1500, "Hz") == (3, 1)
+    assert calc_expo_ndigits_common([0, 1000, 2500], "Hz") == (3, 1)
+    # shared exponent across the tick vector
+    assert si_tick_formatter([0, 1000, 2000, 2500], "Hz") == [
+        "0.0 KHz", "1.0 KHz", "2.0 KHz", "2.5 KHz"]
+    # Figure renders with unit ticks
+    import matplotlib
+    matplotlib.use("Agg")
+    import tempfile, os
+    f = VZ.Figure("u")
+    f.plot(np.linspace(0, 5e6, 50), np.sin(np.linspace(0, 20, 50)))
+    f.set_units("Hz", "V")
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "u.png")
+        f.save(p)
+        assert os.path.getsize(p) > 0
 
 
 def test_year_validity():
