@@ -827,9 +827,27 @@ class FirFft(OlaFft):
     pass
 
 
+def _as_design(h):
+    """Normalize a filter spec: taps array -> FIR; (b, a) tuple or ZPK ->
+    IIR (parity: the reference's Design accepting RIF coefs or an FRat,
+    filtrage.hpp:1684-1782)."""
+    if isinstance(h, tuple) and len(h) == 2:
+        return ("iir", h[0], h[1])
+    # duck-type ZPK from ops.iir_design
+    if hasattr(h, "to_ba") and hasattr(h, "p"):
+        b, a = h.to_ba()
+        return ("iir", b, a)
+    return ("fir", h, None)
+
+
 def filter_signal(h, x: jax.Array, mode: str = "direct") -> jax.Array:
-    """One-shot filtering, choosing the direct MXU path or the OLA FFT path
-    (parity: filtrer / filtre_rif_fft one-shot wrappers)."""
+    """One-shot filtering (parity: filtrer one-shot wrappers,
+    filtrage.hpp:1684-1744).  h may be FIR taps, a (b, a) tuple, or a
+    ZPK design (IIR routed through the frame-parallel runtime);
+    mode="fft" selects the OLA FFT path (FIR only)."""
+    kind, b, a = _as_design(h)
+    if kind == "iir":
+        return iir_filter(b, a, x)
     if mode == "fft":
         h = np.asarray(h)
         blk = OlaFft.create(h)
@@ -842,9 +860,12 @@ def filter_signal(h, x: jax.Array, mode: str = "direct") -> jax.Array:
 
 
 def filtfilt(h, x: jax.Array) -> jax.Array:
-    """Zero-phase forward-backward FIR filtering (parity: filtfilt,
-    filtrage.hpp:1663-1782)."""
-    y = fir_filter(h, x)
+    """Zero-phase forward-backward filtering, FIR or IIR (parity:
+    filtfilt, filtrage.hpp:1663-1782)."""
+    kind, b, a = _as_design(h)
+    one = (lambda v: iir_filter(b, a, v)) if kind == "iir" \
+        else (lambda v: fir_filter(h, v))
+    y = one(x)
     y = jnp.flip(y, axis=-1)
-    y = fir_filter(h, y)
+    y = one(y)
     return jnp.flip(y, axis=-1)

@@ -207,6 +207,27 @@ def test_iir_frame_high_order_routes_sos():
     check_max_error(y, ref, 1e-4)
 
 
+def test_filtfilt_and_filter_signal_iir():
+    """filtrer/filtfilt accept IIR designs too (Design with an FRat,
+    filtrage.hpp:1684-1782) — routed through the frame-parallel runtime."""
+    b, a = sps.butter(4, 0.2)
+    x = rng.standard_normal(700).astype(np.float32)
+    y = np.asarray(FR.filter_signal((b, a), jnp.asarray(x)))
+    check_max_error(y, sps.lfilter(b, a, x.astype(np.float64)), 1e-4)
+    yz = np.asarray(FR.filtfilt((b, a), jnp.asarray(x)))
+    # oracle = explicit forward/backward lfilter with zero initial state
+    # (the reference's filtfilt semantics; scipy's filtfilt differs — it
+    # edge-matches initial conditions)
+    fwd = sps.lfilter(b, a, x.astype(np.float64))
+    ref_zp = sps.lfilter(b, a, fwd[::-1])[::-1]
+    check_max_error(yz, ref_zp, 1e-3)
+    # ZPK design object
+    h = ID.design_iir(4, "lp", "butt", 0.2)
+    y2 = np.asarray(FR.filter_signal(h, jnp.asarray(x)))
+    bb, aa = h.to_ba()
+    check_max_error(y2, sps.lfilter(bb, aa, x.astype(np.float64)), 1e-4)
+
+
 def test_iir_frame_degenerate_numerators():
     """Leading-zero numerator = pure delay factor (commuted to an output
     shift); short numerator; all-zero numerator."""
