@@ -23,7 +23,7 @@ import numpy as np
 from flax import struct
 
 from ..block import Block
-from ..config import complex_dtype, from_ri, real_dtype, to_ri
+from ..config import complex_dtype, real_dtype
 from ..ops.filter_rt import Fir
 from ..ops.resample import Interpolator, make_interpolator
 from .carrier_rec import Cpll, CpllConfig
@@ -90,9 +90,12 @@ class Receiver(Block):
     recepteur.cc:31-785).
 
     step(state, x) processes one block and returns up to
-    ``detector.cfg.max_peaks`` frames with validity flags.  Each input block
-    must be at least frame_len samples; the carried tail guarantees frames
-    straddling the boundary are caught on the next block.
+    ``2 * detector.cfg.max_peaks`` frame slots with validity flags: this
+    block's complete detections plus last block's deferred ones.  A frame
+    whose payload extends past the block edge is NOT extracted early —
+    its detection is carried and extracted next block against the
+    ``hist_len`` history, so off-edge frames decode from the full data.
+    Each input block must be at least ``frame_len + 2*itp.K`` samples.
     """
 
     det: Detector
@@ -101,10 +104,10 @@ class Receiver(Block):
     wf: Waveform
     itp: Interpolator
     fmt: FrameFormat = struct.field(pytree_node=False)
-    header_samples_ri: jax.Array
     nsym_header: int = struct.field(pytree_node=False)
     nsym_payload: int = struct.field(pytree_node=False)
     frame_len: int = struct.field(pytree_node=False)
+    hist_len: int = struct.field(pytree_node=False)
     mod_delay: float = struct.field(pytree_node=False)
     dt_mod: float = struct.field(pytree_node=False)  # δt_modulateur
 
@@ -148,41 +151,81 @@ class Receiver(Block):
                                 fcut=0.45 if osf > 1 else 0.5)
         fmt_static = dataclasses.replace(
             fmt, modulation=dataclasses.replace(fmt.modulation, wf=None))
+        # history budget: a deferred detection (frame cut by the block
+        # edge) is re-extracted next block starting up to
+        # frame_len + 2K + int(mf.delay) samples back — keep that much
+        # plus the detector's own M-sample lag
+        hist_len = frame_len + det.M + 3 * itp.K + int(mf.delay)
         return cls(det=det, mf=mf, pll=pll, wf=wf, itp=itp, fmt=fmt_static,
-                   header_samples_ri=to_ri(hdr_ref),
                    nsym_header=nsym_header,
                    nsym_payload=nsym_payload, frame_len=frame_len,
+                   hist_len=hist_len,
                    mod_delay=mod.delay, dt_mod=dt_mod)
+
+    def _empty_dets(self) -> Detection:
+        P = self.det.cfg.max_peaks
+        z = jnp.zeros((P,), real_dtype)
+        return Detection(position=jnp.zeros((P,), jnp.int32),
+                         position_frac=z, score=z, gain=z, theta=z,
+                         snr_db=z, valid=jnp.zeros((P,), bool))
 
     def init(self):
         return dict(
             det=self.det.init(),
-            # carried raw samples so frames straddling block edges survive:
-            # keep frame_len + M history
-            hist=jnp.zeros((self.frame_len + self.det.M,), complex_dtype),
-            # sample counter for the IF mixer NCO (fi != 0 path)
-            n0=jnp.zeros((), jnp.int32),
+            # carried raw samples so frames straddling block edges survive
+            hist=jnp.zeros((self.hist_len,), complex_dtype),
+            # IF mixer NCO phase in CYCLES, wrapped to [0, 1) every block
+            # (an unbounded sample counter in float32 would lose phase
+            # accuracy on long streams)
+            phi0=jnp.zeros((), real_dtype),
+            # detections whose payload had not fully arrived at the block
+            # edge: re-extracted against the carried history next block
+            pending=self._empty_dets(),
         )
 
     def _front(self, state, x: jax.Array):
-        """Stage 1 (mon 'recepteur/ola'): IF mixdown + header detection.
-        Returns (new_state, dets, buf) where buf = [hist | x] baseband."""
+        """Stage 1 (mon 'recepteur/ola'): IF mixdown + header detection +
+        block-edge deferral.  Returns (new_state, dets, buf) where buf =
+        [hist | x] baseband and dets = [last block's deferred detections |
+        this block's complete ones] (2*max_peaks entries).
+
+        Deferral: the detector emits a peak exactly once, in the block
+        where the header's correlation index falls — but the frame's
+        PAYLOAD may extend past that block's end.  Such detections are
+        carried (position shifted by -n) and extracted next block against
+        the history, which is sized for it (hist_len)."""
+        n = x.shape[-1]
         fi = self.fmt.modulation.fi
         if fi != 0.0:
             # mix to baseband with a phase-continuous NCO (fi != 0 path;
             # the reference pushes fi into its demod config instead,
             # recepteur.cc:236-238 — a front-end mixer is the TPU-friendly
             # equivalent: one vectorized rotation, everything downstream
-            # stays baseband)
+            # stays baseband).  Phase = phi0 + f*m cycles with phi0 wrapped
+            # every block; the per-block increment is reduced mod 1 in
+            # float64 on host (f and n are static), so no f32 accumulation.
             f = fi / self.fmt.modulation.fe
-            n = state["n0"] + jnp.arange(x.shape[-1])
-            x = x * jnp.exp(-2j * jnp.pi * f * n).astype(complex_dtype)
-        n0 = state["n0"] + x.shape[-1]
+            ph = state["phi0"] + jnp.asarray(f, real_dtype) * jnp.arange(
+                n, dtype=real_dtype)
+            x = x * jnp.exp(-2j * jnp.pi * ph).astype(complex_dtype)
+            phi0 = jnp.mod(state["phi0"] + jnp.asarray((f * n) % 1.0,
+                                                       real_dtype), 1.0)
+        else:
+            phi0 = state["phi0"]
         dstate, (dets, score) = self.det.step(state["det"], x)
         buf = jnp.concatenate([state["hist"], x])
-        new_state = dict(det=dstate, hist=buf[-state["hist"].shape[0]:],
-                         n0=n0)
-        return new_state, dets, buf
+        # partition: a detection is complete when the whole frame (+ the
+        # interpolator support) is inside buf; otherwise defer one block
+        safe = dets.valid & (dets.position
+                             <= n - self.frame_len - 2 * self.itp.K)
+        cur = dets.replace(valid=safe)
+        pend = dets.replace(position=dets.position - n,
+                            valid=dets.valid & ~safe)
+        alldets = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b]), state["pending"], cur)
+        new_state = dict(det=dstate, hist=buf[-self.hist_len:],
+                         phi0=phi0, pending=pend)
+        return new_state, alldets, buf
 
     def _extract_all(self, buf, dets):
         """Stage 2 (mon 'recepteur/demod'): per-detection frame extraction,
@@ -190,36 +233,45 @@ class Receiver(Block):
         cfg = self.fmt
         osf = cfg.modulation.osf
         k = self.wf.info.k
-        H = self.frame_len + self.det.M
+        H = self.hist_len
         K = self.itp.K
+        # matched-filter delay split into integer + fractional parts: the
+        # slice starts e samples BEFORE the pattern (so the causal MF is
+        # warmed up by the time the first symbol arrives) and the
+        # half-sample residue r (even tap counts) rides the fractional
+        # interpolator
+        e = int(np.floor(self.mf.delay))
+        r = float(self.mf.delay) - e
 
-        def extract(pos, frac, gain, theta, valid):
+        def extract(pos, frac, gain, theta):
             # effective fractional timing: detector sub-sample refinement
-            # minus the pattern's own fractional start offset
-            eff = frac - self.dt_mod
+            # minus the pattern's own fractional start offset, plus the
+            # matched filter's fractional delay residue
+            eff = frac - self.dt_mod + r
             fshift = jnp.floor(eff)
             tau = eff - fshift                  # in [0, 1)
             # pos is relative to current block; in buf it's at pos + H.
-            # slice K//2 early to feed the interpolator's left support
-            start = pos + H + fshift.astype(jnp.int32) - K // 2
+            # slice K//2 early to feed the interpolator's left support,
+            # and e early for MF warm-up
+            start = pos + H + fshift.astype(jnp.int32) - K // 2 - e
             start = jnp.clip(start, 0, buf.shape[0] - (self.frame_len + K))
             fr = jax.lax.dynamic_slice_in_dim(buf, start, self.frame_len + K)
             # RF corrections from the header detection
             fr = fr * jnp.exp(-1j * theta).astype(complex_dtype) / \
                 jnp.maximum(gain, 1e-6)
-            # fractional-delay interpolation: y[n] = buf(pos + n + eff)
+            # fractional-delay interpolation: y[n] = buf(pos - e + n + eff)
             # via the windowed-sinc phase LUT (parity: regle_delais +
             # filtre_itrp, recepteur.cc:131-160,672)
             taps = self.itp.taps(tau).astype(real_dtype)
             y = jnp.correlate(fr, taps.astype(complex_dtype), mode="valid")
             y = y[: self.frame_len]
-            # matched filter
+            # matched filter (warm: y starts e samples before the pattern)
             _, z = self.mf.step(self.mf.init_for(y), y)
-            # symbols at header-derived timing: first symbol center at
-            # mf.delay (pattern starts at 0 in y after interpolation)
-            d0 = int(self.mf.delay)
-            sym_idx = d0 + osf * jnp.arange(self.nsym_header
-                                            + self.nsym_payload)
+            # symbols at header-derived timing: pattern starts at y-index
+            # e, first symbol center mf.delay later -> z index 2e (+r via
+            # the interpolator)
+            sym_idx = 2 * e + osf * jnp.arange(self.nsym_header
+                                               + self.nsym_payload)
             syms = z[sym_idx]
             # decision PLL over the whole frame tracks residual phase
             _, syms_c = self.pll.step(self.pll.init(), syms)
@@ -241,8 +293,7 @@ class Receiver(Block):
             return bits, pay, ebn0_db
 
         bits, pays, ebn0s = jax.vmap(extract)(
-            dets.position, dets.position_frac, dets.gain, dets.theta,
-            dets.valid)
+            dets.position, dets.position_frac, dets.gain, dets.theta)
         return FrameRx(bits=bits, symbols=pays, detection=dets,
                        EbN0_db=ebn0s, valid=dets.valid)
 
@@ -259,9 +310,13 @@ class Receiver(Block):
         return _STEP_JIT(self, state, x)
 
     def receive(self, x: jax.Array) -> FrameRx:
-        """One-shot receive over a buffer."""
-        from ..block import pad_to_multiple
-        xp = pad_to_multiple(x, self.det.Ne, axis=0)
+        """One-shot receive over a buffer.  Pads with enough zeros past
+        the end that every detection is complete within the single step
+        (no pending left behind)."""
+        from ..block import pad_to_multiple, safe_pad
+        extra = self.frame_len + 2 * self.itp.K
+        xp = pad_to_multiple(safe_pad(x, 0, extra, axis=0),
+                             self.det.Ne, axis=0)
         _, frames = self.step(self.init(), xp)
         return frames
 
@@ -309,8 +364,10 @@ class MonitoredReceiver:
     def receive(self, x: jax.Array) -> FrameRx:
         m = self.monitors["recepteur/misc"]
         m.start()
-        from ..block import pad_to_multiple
-        xp = pad_to_multiple(x, self.rx.det.Ne, axis=0)
+        from ..block import pad_to_multiple, safe_pad
+        extra = self.rx.frame_len + 2 * self.rx.itp.K
+        xp = pad_to_multiple(safe_pad(x, 0, extra, axis=0),
+                             self.rx.det.Ne, axis=0)
         state = self.init()
         m.stop(samples=0)
         _, frames = self.step(state, xp)

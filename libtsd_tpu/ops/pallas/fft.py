@@ -1,7 +1,7 @@
 """Pallas TPU kernel: general power-of-two FFT as MXU matmuls.
 
 Generalization of the fixed 32x128 factorization in periodogram.py to any
-N = N1 * 128 with N1 in {8..128} (N = 1024..16384): the N-point DFT is
+N = N1 * 128 with N1 in {2..128} (N = 256..16384): the N-point DFT is
 computed as the two-stage Cooley-Tukey factorization
 
     n = n1*128 + n2,  k = q*N1 + k1

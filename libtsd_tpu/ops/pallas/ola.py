@@ -58,7 +58,12 @@ def ola_plan(ntaps: int, Nf: int | None = None) -> tuple[int, int, int]:
             Nf *= 2
         Nf = min(Nf, 16384)
     assert Nf % _L == 0 and (Nf & (Nf - 1)) == 0, Nf
-    assert Nf >= V + _L, (Nf, V)
+    if Nf < V + _L:
+        raise ValueError(
+            f"filter too long for the pallas OLA engine: ntaps={ntaps} "
+            f"needs overlap V={V} but the largest FFT size is "
+            f"{Nf} (< V + {_L}); use the XLA engine (OlaFft engine='xla') "
+            f"for filters this long.")
     return Nf, Nf - V, V
 
 
@@ -194,8 +199,14 @@ def _ola_filter_planes(xr, xi, h0r, h0i, Hr, Hi, ntaps: int, Nf: int,
     eye = np.eye(tbw, dtype=np.float32)
     F1r = np.kron(eye, F1r)
     F1i = np.kron(eye, F1i)
-    F1s, F1d = F1r + F1i, F1r - F1i  # Karatsuba factors (split tier)
-    F2s, F2d = F2r + F2i, F2r - F2i
+    if precision == "split":
+        F1s, F1d = F1r + F1i, F1r - F1i  # Karatsuba factors (split tier)
+        F2s, F2d = F2r + F2i, F2r - F2i
+    else:
+        # "highest" never reads the Karatsuba factors — pass dummies so
+        # they don't occupy VMEM (at Nf=16384 the kron'd F1 pair alone is
+        # ~34 MB) or HBM->VMEM DMA
+        F1s = F1d = F2s = F2d = np.zeros((1, 1), np.float32)
     TWr = np.tile(TWr, (tbw, 1))
     TWi = np.tile(TWi, (tbw, 1))
     Hr = jnp.tile(Hr, (tbw, 1))

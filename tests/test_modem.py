@@ -430,6 +430,44 @@ def test_receiver_lookahead_frame_cut_by_block_edge(frame_setup):
     assert errs == 0, (ber, errs)
 
 
+def test_receiver_payload_cut_by_block_edge(frame_setup):
+    """A frame whose HEADER is detected in block 1 but whose PAYLOAD
+    extends into block 2 must be deferred and decoded from the full data
+    — not extracted early against a clipped buffer (which would decode
+    garbage with valid=True)."""
+    wf, fmt = frame_setup
+    tx = Transmitter.create(fmt)
+    payload = randbits(jax.random.PRNGKey(80), 256)
+    frame = tx.transmit(payload)
+    rx = Receiver.create(fmt, DetectorConfig(threshold=0.5))
+    Ne = rx.det.Ne
+    nblk = ((max(2048, rx.frame_len + 64) + Ne - 1) // Ne) * Ne
+    # header well inside block 1 (detected there), payload crossing into
+    # block 2: start so that ~3/4 of the frame is still missing
+    start = nblk - rx.frame_len // 4
+    assert start + frame.shape[0] > nblk  # really straddles
+    whole = jnp.zeros(2 * nblk, jnp.complex64).at[
+        start:start + frame.shape[0]].add(frame)
+    whole = whole + 0.01 * (
+        jax.random.normal(jax.random.PRNGKey(81), (2 * nblk,))
+        + 1j * jax.random.normal(jax.random.PRNGKey(82), (2 * nblk,))
+    ).astype(jnp.complex64)
+    st = rx.init()
+    st, f1 = rx.step(st, whole[:nblk])
+    st, f2 = rx.step(st, whole[nblk:])
+    # block 1 must NOT claim a valid frame at this position (payload
+    # incomplete there)
+    v1 = np.asarray(f1.valid)
+    p1 = np.asarray(f1.detection.position)
+    assert not np.any(v1 & (np.abs(p1 - start) < rx.frame_len)), (v1, p1)
+    # block 2 delivers it (deferred detection, negative position)
+    v2 = np.asarray(f2.valid)
+    assert v2.any(), "payload-straddling frame was lost"
+    i = int(np.argmax(v2))
+    ber, errs, _ = BER.cmp_bits(payload, jnp.asarray(f2.bits[i]), 4)
+    assert errs == 0, (ber, errs)
+
+
 def test_detector_rif_mode_matches_ola():
     """MODE_RIF (direct MXU FIR correlation) gives the same detections as
     the OLA engine (parity: DetecteurConfig::mode, detection.cc:68-96)."""
