@@ -75,6 +75,13 @@ class ClockRecConfig:
     itrp: str = "cspline"  # interpolator kind
     ted: str = "gardner"  # "gardner" | "mm" | "el" (TedType, telecom.hpp)
 
+    @property
+    def loop_gain(self) -> float:
+        """First-order loop gain from the time constant (shared by
+        ClockRec and ClockRec2 — same calibration, clock-rec.cc)."""
+        K1 = self.osf
+        return K1 * (1 - np.exp(-1.0 / (self.tc * K1)))
+
 
 class ClockRec(Block):
     """Streaming Gardner clock recovery.
@@ -99,8 +106,7 @@ class ClockRec(Block):
 
     @property
     def gain(self) -> float:
-        K1 = self.cfg.osf
-        return K1 * (1 - np.exp(-1.0 / (self.cfg.tc * K1)))
+        return self.cfg.loop_gain
 
     def init(self):
         K = self.itrp.K

@@ -44,39 +44,54 @@ class ClockRec2(Block):
 
     @property
     def gain(self) -> float:
-        K1 = self.cfg.osf
-        return K1 * (1 - np.exp(-1.0 / (self.cfg.tc * K1)))
+        return self.cfg.loop_gain
 
     @property
     def ratio(self) -> float:
         return 1.0 / self.cfg.osf
 
+    @property
+    def T(self) -> int:
+        """Carried input-tail length: interpolation windows of the symbol
+        AND its Gardner midpoint must stay inside [tail | x] for pointers
+        as far back as -osf (carry-over after a block boundary)."""
+        return self.itrp.K + 2 * self.cfg.osf
+
     def init(self):
         return dict(
-            # fractional read pointer (position of the next symbol center)
+            # fractional read pointer (position of the next symbol center,
+            # relative to the current block's first sample; may be
+            # slightly negative after a boundary — it then points into
+            # the carried tail)
             ptr=jnp.asarray(self.cfg.osf / 2.0, real_dtype),
-            ymid_ri=jnp.zeros((2,), real_dtype),
+            # last T input samples: block boundaries are seamless (the
+            # old zero-front-pad corrupted the first ~K/osf symbols of
+            # every block and permanently dropped the last ~K/osf)
+            tail=jnp.zeros((self.itrp.K + 2 * self.cfg.osf,),
+                           complex_dtype),
             yprev_ri=jnp.zeros((2,), real_dtype),
         )
 
     def step(self, state, x: jax.Array):
         osf = self.cfg.osf
         K = self.itrp.K
+        T = self.T
         lut = self.itrp.lut
         nph = self.itrp.nphases
         gain = self.gain
         n = x.shape[-1]
         nsym = n // osf
-        # pad so gather windows never clip (pointer stays in [0, n))
-        xp = jnp.concatenate([jnp.zeros(K, x.dtype), x,
+        x = x.astype(complex_dtype)
+        # [carried tail | block | small guard pad]; x[t] sits at index T+t
+        xp = jnp.concatenate([state["tail"], x,
                               jnp.zeros(K + osf, x.dtype)])
 
         def interp_at(p):
             ip = jnp.floor(p).astype(jnp.int32)
             tau = p - ip.astype(real_dtype)
-            # window covering xp[K + ip - K + 1 .. K + ip] + lookahead:
-            # taps(tau) interpolate at position K//2 + tau of the window
-            start = ip + 1  # xp offset K cancels the K-window lookback
+            # causal window x[ip-K+1 .. ip]; taps(tau) evaluate at
+            # ip - itrp.delay_ + tau... consistent with the symbol spacing
+            start = T + ip + 1 - K
             win = jax.lax.dynamic_slice(xp, (start,), (K,))
             taps = lut[jnp.clip(jnp.round(tau * nph).astype(jnp.int32),
                                 0, nph)]
@@ -84,22 +99,28 @@ class ClockRec2(Block):
 
         def body(st, _):
             p = st["ptr"]
-            y = interp_at(p)
-            ymid = interp_at(p - osf / 2.0)
+            # a pointer past the block end must WAIT for the next block
+            # (its samples haven't arrived): emit an invalid bubble and
+            # don't consume
+            ready = p < n
+            pc = jnp.where(ready, p, 0.0)   # bubble: placeholder index
+            y = interp_at(pc)
+            ymid = interp_at(pc - osf / 2.0)
             yprev = (st["yprev_ri"][0] + 1j * st["yprev_ri"][1]
                      ).astype(complex_dtype)
             e = ted_gardner(yprev, ymid, y)
             dec = jnp.clip(gain * e, -osf / 4.0, osf / 4.0)
             new = dict(
-                ptr=p + osf - dec,
-                ymid_ri=jnp.stack([jnp.real(ymid), jnp.imag(ymid)]),
-                yprev_ri=jnp.stack([jnp.real(y), jnp.imag(y)]),
+                ptr=jnp.where(ready, p + osf - dec, p),
+                yprev_ri=jnp.where(
+                    ready, jnp.stack([jnp.real(y), jnp.imag(y)]),
+                    st["yprev_ri"]),
             )
-            valid = p < n - K
-            return new, (y, valid)
+            return new, (jnp.where(ready, y, 0.0 * y), ready)
 
-        state, (syms, valid) = jax.lax.scan(body, dict(state), None,
+        carry = dict(ptr=state["ptr"], yprev_ri=state["yprev_ri"])
+        carry, (syms, valid) = jax.lax.scan(body, carry, None,
                                             length=nsym)
-        # carry the pointer into the next block's coordinates
-        state["ptr"] = state["ptr"] - n
-        return state, (syms, valid)
+        # pointer and tail carried into the next block's coordinates
+        return dict(ptr=carry["ptr"] - n, yprev_ri=carry["yprev_ri"],
+                    tail=xp[n: n + T]), (syms, valid)

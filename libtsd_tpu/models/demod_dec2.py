@@ -28,6 +28,7 @@ from ..ops.filter_rt import Fir
 from ..ops.iir_design import lexp_tc_to_coef
 from ..ops.resample import Interpolator, make_interpolator
 from .carrier_rec import LoopFilter2
+from .clock_rec import ted_gardner
 from .demod_dec import DecDemodConfig
 from .waveform import Waveform, symbol_indices_to_bits
 
@@ -56,6 +57,12 @@ class DecisionDemod2(Block):
     def _agc_alpha(self) -> float:
         return lexp_tc_to_coef(self.cfg.agc_tc)
 
+    @property
+    def T(self) -> int:
+        """Carried matched-filter-output tail: symbol + Gardner-midpoint
+        windows stay inside [tail | z] across block boundaries."""
+        return self.itrp.K + 2 * self.cfg.osf
+
     def init(self):
         lf = LoopFilter2(self.cfg.BL, self.cfg.eta)
         return dict(
@@ -65,6 +72,9 @@ class DecisionDemod2(Block):
             gain=jnp.ones((), real_dtype),
             ptr=jnp.asarray(self.cfg.osf / 2.0, real_dtype),
             yprev_ri=jnp.zeros((2,), real_dtype),
+            # last T matched-filter outputs (block boundaries seamless)
+            tail=jnp.zeros((self.itrp.K + 2 * self.cfg.osf,),
+                           complex_dtype),
         )
 
     def step(self, state, x: jax.Array):
@@ -80,34 +90,42 @@ class DecisionDemod2(Block):
         n = x.shape[-1]
         nsym = n // osf
 
+        T = self.T
         mf_state, z = self.mf.step(state["mf"], x)
         if cfg.agc_active:
             rms_ref = jnp.sqrt(jnp.mean(jnp.abs(symbols) ** 2))
             z = z * (rms_ref / jnp.sqrt(jnp.mean(jnp.abs(z) ** 2) + 1e-20))
-        zp = jnp.concatenate([jnp.zeros(K, z.dtype), z,
+        # [carried MF tail | block | guard pad]; z[t] sits at index T+t —
+        # block boundaries are seamless (the old zero-front-pad corrupted
+        # the first ~K/osf symbols of every block and dropped the last)
+        zp = jnp.concatenate([state["tail"], z,
                               jnp.zeros(K + osf, z.dtype)])
 
         def interp_at(p):
             ip = jnp.floor(p).astype(jnp.int32)
             tau = p - ip.astype(real_dtype)
-            win = jax.lax.dynamic_slice(zp, (ip + 1,), (K,))
+            win = jax.lax.dynamic_slice(zp, (T + ip + 1 - K,), (K,))
             taps = lut[jnp.clip(jnp.round(tau * nph).astype(jnp.int32),
                                 0, nph)]
             return jnp.sum(win * taps.astype(win.dtype))
 
         def body(st, _):
             p = st["ptr"]
+            # a pointer past the block end waits for the next block
+            ready = p < n
+            pc = jnp.where(ready, p, 0.0)   # bubble: placeholder index
             rot = jnp.exp(-1j * st["theta"]).astype(complex_dtype)
-            y = interp_at(p) * rot * st["gain"]
-            ymid = interp_at(p - osf / 2.0) * rot * st["gain"]
+            y = interp_at(pc) * rot * st["gain"]
+            ymid = interp_at(pc - osf / 2.0) * rot * st["gain"]
             yprev = (st["yprev_ri"][0] + 1j * st["yprev_ri"][1]
                      ).astype(complex_dtype)
             # decision
             d2 = jnp.abs(y - symbols) ** 2
             s_idx = jnp.argmin(d2).astype(jnp.int32)
             ye = symbols[s_idx]
-            # Gardner timing from the corrected samples
-            e_t = jnp.real((y - yprev) * jnp.conj(ymid))
+            # Gardner timing from the corrected samples (shared TED helper
+            # — same expression as ClockRec/ClockRec2)
+            e_t = ted_gardner(yprev, ymid, y)
             dec = jnp.clip(tgain * e_t, -osf / 4.0, osf / 4.0)
             # carrier loop
             e_ph = jnp.where(jnp.abs(y) > 0,
@@ -120,19 +138,29 @@ class DecisionDemod2(Block):
             if cfg.agc_active:
                 eg = jnp.abs(y) / jnp.maximum(jnp.abs(ye), 1e-9)
                 gain = (1 - aga) * gain + aga / jnp.maximum(eg, 1e-9)
+            # loop updates only on consumed (real) symbols
             new = dict(
-                mf=st["mf"], lf=lf_state, theta=theta, gain=gain,
-                ptr=p + osf - (dec if cfg.clock_active else 0.0),
-                yprev_ri=jnp.stack([jnp.real(y), jnp.imag(y)]),
+                lf=jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(ready, a, b), lf_state,
+                    st["lf"]),
+                theta=jnp.where(ready, theta, st["theta"]),
+                gain=jnp.where(ready, gain, st["gain"]),
+                ptr=jnp.where(
+                    ready, p + osf - (dec if cfg.clock_active else 0.0),
+                    p),
+                yprev_ri=jnp.where(
+                    ready, jnp.stack([jnp.real(y), jnp.imag(y)]),
+                    st["yprev_ri"]),
             )
-            valid = p < n - K
-            return new, (y, s_idx, valid)
+            return new, (jnp.where(ready, y, 0.0 * y),
+                         jnp.where(ready, s_idx, 0), ready)
 
-        scan_state = dict(state)
-        scan_state["mf"] = mf_state
-        new_state, (syms, sidx, valid) = jax.lax.scan(
+        scan_state = {k: state[k] for k in
+                      ("lf", "theta", "gain", "ptr", "yprev_ri")}
+        carry, (syms, sidx, valid) = jax.lax.scan(
             body, scan_state, None, length=nsym)
-        new_state["ptr"] = new_state["ptr"] - n
+        new_state = dict(carry, mf=mf_state, ptr=carry["ptr"] - n,
+                         tail=zp[n: n + T])
         bits = symbol_indices_to_bits(sidx, self.wf.info.k)
         bvalid = jnp.repeat(valid, self.wf.info.k)
         return new_state, (bits, syms, valid, bvalid)

@@ -107,7 +107,6 @@ class FirUps(Block):
         m = jnp.arange(n)[:, None]
         i = jnp.arange(Kp)[None, :]
         W = xx[..., Kp - 1 + m - i]  # (..., n, Kp)
-        Hm = self.Hm.astype(W.dtype) if jnp.iscomplexobj(W) else self.Hm
         hp = jax.lax.Precision.HIGHEST
         if jnp.iscomplexobj(W):
             Y = (jnp.matmul(jnp.real(W), self.Hm,
@@ -124,10 +123,14 @@ class FirUps(Block):
 
 
 def fir_ups_delay(nc: int, R: int) -> float:
-    """Group delay (in output samples) of FirUps (parity:
-    filtre_rif_ups_délais, polyphase.cc:363-372)."""
-    pad = (R - nc % R) % R
-    return (nc - 1) / 2.0 + pad
+    """Group delay (in output samples) of FirUps (parity concept:
+    filtre_rif_ups_délais, polyphase.cc:363-372 — but NOT its formula:
+    the reference front-pads its taps to a multiple of R, shifting the
+    peak by the pad; this implementation end-pads, so the delay is just
+    (nc-1)/2 regardless of R.  Verified by the impulse-peak
+    delay-convention test)."""
+    del R
+    return (nc - 1) / 2.0
 
 
 class HalfbandDecim(Block):
@@ -212,6 +215,12 @@ class Cic(Block):
     def step(self, state, x):
         integ, combs = state
         N, R = self.config.N, self.config.R
+        if self.mode == "d":
+            # the decimation phase restarts at each step() call, so
+            # streaming correctness requires whole-R blocks (same
+            # constraint as FirDecim)
+            assert x.shape[-1] % R == 0, \
+                f"Cic decimator block length must be a multiple of R={R}"
         xi = jnp.round(x * self.scale).astype(jnp.int32)
         if self.mode == "d":
             # N cascaded integrators (wraparound-exact int32 cumsum)
@@ -358,7 +367,13 @@ def lagrange_coefs(d: int, tau: float) -> np.ndarray:
 
 class Interpolator(struct.PyTreeNode):
     """Phase-LUT fractional interpolator: taps[phase] dot window.
-    ``delay`` is the interpolation center in samples."""
+
+    Convention (measured, tests/test_resample.py): with window w[i] =
+    x[s+i], ``taps(tau) @ w`` evaluates x at s + center + tau where
+    ``center = K - 1 - delay_``; equivalently, when the window ends at
+    the newest sample x[m] (the causal streaming case), the output is
+    x(m - delay_ + tau) — ``delay_`` IS the causal group delay in input
+    samples."""
 
     lut: jax.Array   # (nphases+1, K)
     K: int = struct.field(pytree_node=False)
@@ -382,21 +397,22 @@ def make_interpolator(kind: str = "sinc", **kw) -> Interpolator:
         nc = kw.get("ncoefs", 15)
         lut = sinc_interp_lut(nc, kw.get("nphases", 256),
                               kw.get("fcut", 0.5), kw.get("fen", "hn"))
-        delay = 0.5 * nc
+        # symmetric kernel: center (nc-1)//2 -> causal group delay
+        delay = nc - 1 - (nc - 1) // 2
         return Interpolator(lut=jnp.asarray(lut, real_dtype), K=nc, delay_=delay)
     if kind == "cspline":
         lut = cspline_lut(kw.get("nphases", 256), kw.get("c", 0.0))
-        return Interpolator(lut=jnp.asarray(lut, real_dtype), K=4, delay_=1.5)
+        return Interpolator(lut=jnp.asarray(lut, real_dtype), K=4, delay_=2.0)
     if kind == "linear":
         n = kw.get("nphases", 256)
         lut = np.stack([linear_coefs(i / n) for i in range(n + 1)])
-        return Interpolator(lut=jnp.asarray(lut, real_dtype), K=2, delay_=0.5)
+        return Interpolator(lut=jnp.asarray(lut, real_dtype), K=2, delay_=1.0)
     if kind == "lagrange":
         d = kw.get("degree", 3)
         n = kw.get("nphases", 256)
         lut = np.stack([lagrange_coefs(d, i / n) for i in range(n + 1)])
         return Interpolator(lut=jnp.asarray(lut, real_dtype), K=d + 1,
-                            delay_=0.5 * d)
+                            delay_=d - (d - 1) // 2)
     raise ValueError(f"unknown interpolator {kind!r}")
 
 
@@ -451,11 +467,12 @@ class RationalResampler(Block):
         # exact integer phase: t_j = j*q/p input samples
         ip = (j * q) // p                      # integer part
         tau = ((j * q) % p).astype(real_dtype) / p
-        # window for output j: x[ip - K + 1 + i + (K//2)] centered so that
-        # taps(tau) interpolates at position K//2 + tau of the window
-        base = ip + K  # index of x[ip] inside xx is K + ip; window start:
+        # causal window for output j ends at the newest available sample
+        # x[ip]: w = x[ip-K+1 .. ip] (xx index of x[t] is K + t, so the
+        # window starts at xx index ip + 1); the interpolated value is
+        # then x(ip + tau - delay_) — see Interpolator's convention note
         i = jnp.arange(K)[None, :]
-        widx = (ip[:, None] + i)               # covers x[ip - K + 1 .. ip]+K-1
+        widx = (ip[:, None] + 1 + i)           # covers x[ip - K + 1 .. ip]
         W = xx[..., widx]                      # (..., nout, K)
         T = self.itrp.taps(tau)                # (nout, K)
         y = jnp.sum(W * T.astype(W.dtype), axis=-1)
@@ -515,10 +532,14 @@ def resample(x: jax.Array, ratio: float) -> jax.Array:
     blk = Resampler.create(ratio)
     # pad so every stage's block-length constraint is met
     n = x.shape[-1]
+    # the constraints MULTIPLY across stages: d half-band decimators need
+    # a multiple of 2^d, and the rational stage then needs what reaches
+    # it to be a multiple of its q — a multiple of 2^d * q at the input
+    # satisfies both
     q = 1
     for s in blk.stages:
         if isinstance(s, RationalResampler):
-            q = s.q
+            q *= s.q
         elif isinstance(s, HalfbandDecim):
             q *= 2
     from ..block import pad_to_multiple

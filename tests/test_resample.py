@@ -169,6 +169,39 @@ def test_rational_resampler_tone():
     assert best[1] < 0.01, best
 
 
+def test_resample_pad_multiplies_constraints():
+    """resample() must pad for ALL stages' block constraints multiplied
+    — a half-band decimator (x2) followed by a rational stage (q) needs a
+    multiple of 2^d * q (regression: q was overwritten, not accumulated,
+    and the decimator's multiple-of-2 assert fired)."""
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(995),
+                    jnp.float32)
+    y = RS.resample(x, 0.3)           # stages: halfband + rational 3/5
+    assert abs(y.shape[-1] - int(995 * 0.3)) <= 3
+
+
+def test_rational_resampler_delay_matches_property():
+    """Impulse through a ratio-1 rational resampler peaks at .delay
+    (causal window x[ip-K+1..ip] -> group delay = itrp.delay_)."""
+    r = RS.RationalResampler.create(1.0)
+    n = 256
+    x = jnp.zeros(n, jnp.float32).at[100].set(1.0)
+    _, y = r.step(r.init_for(x), x)
+    y = np.asarray(y)
+    assert np.argmax(np.abs(y)) == 100 + int(r.delay), (
+        np.argmax(np.abs(y)), r.delay)
+
+
+def test_cic_rejects_partial_blocks():
+    """Streaming Cic decimation keeps phase only for whole-R blocks —
+    a partial block must fail loudly, not silently misalign."""
+    c = RS.Cic(config=RS.CicConfig(R=4, N=2), scale=1 << 10)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(34),
+                    jnp.float32)
+    with pytest.raises(AssertionError):
+        c.step(c.init(), x)
+
+
 def test_resampler_48_to_441():
     # 48k -> 44.1k (ratio 147/160)
     ratio = 44100 / 48000

@@ -148,6 +148,64 @@ def test_clock_rec2_pointer_variant():
     assert d.mean() < 0.15, d.mean()
 
 
+def test_clock_rec2_streaming_matches_oneshot():
+    """Block boundaries must be seamless: the interpolation buffer carries
+    the previous block's tail (a zero front-pad used to corrupt the first
+    ~K/osf symbols of every block with valid=True and permanently drop
+    the last ~K/osf)."""
+    from libtsd_tpu.models.clock_rec2 import ClockRec2
+    key = jax.random.PRNGKey(5)
+    osf = 4
+    wf = WF.wf_bpsk(WF.PulseShape.rcs(0.3))
+    bits = randbits(key, 800)
+    mod = Modulator.create(ModConfig(wf=wf, fe=float(osf), fsymb=1.0))
+    x, _ = mod.modulate(bits)
+    mf = wf.shaping.matched_filter(0, osf)
+    _, z = mf.step(mf.init_for(x), x)
+    cr = ClockRec2.create(ClockRecConfig(osf=osf, tc=8.0))
+    _, (s1, m1) = cr.step(cr.init(), z)
+    st = cr.init()
+    st, (sa, ma) = cr.step(st, z[:z.shape[0] // 2])
+    st, (sb, mb) = cr.step(st, z[z.shape[0] // 2:])
+    one = np.asarray(s1)[np.asarray(m1)]
+    two = np.concatenate([np.asarray(sa)[np.asarray(ma)],
+                          np.asarray(sb)[np.asarray(mb)]])
+    ncmp = min(len(one), len(two))
+    assert ncmp >= len(one) - 1  # no symbols dropped at the boundary
+    d = np.abs(one[:ncmp] - two[:ncmp])
+    # small residual = float32 pointer re-basing through the feedback
+    # loop; the pre-fix zero-front-pad bug read 0.88 here
+    assert np.max(d) < 0.05 and np.mean(d) < 2e-3, (np.max(d), np.mean(d))
+
+
+def test_demod_dec2_streaming_matches_oneshot():
+    """Same boundary guarantee for the fused decision-directed demod."""
+    from libtsd_tpu.models.demod_dec import DecDemodConfig
+    from libtsd_tpu.models.demod_dec2 import DecisionDemod2
+    key = jax.random.PRNGKey(6)
+    osf = 4
+    wf = WF.wf_qpsk(WF.PulseShape.rcs(0.3))
+    bits = randbits(key, 2 * 600)
+    mod = Modulator.create(ModConfig(wf=wf, fe=float(osf), fsymb=1.0))
+    x, _ = mod.modulate(bits)
+    dm = DecisionDemod2.create(wf, DecDemodConfig(osf=osf))
+    _, (b1, s1, m1, _) = dm.step(dm.init(), x)
+    st = dm.init()
+    st, (ba, sa, ma, _) = dm.step(st, x[:x.shape[0] // 2])
+    st, (bb, sb, mb, _) = dm.step(st, x[x.shape[0] // 2:])
+    one = np.asarray(s1)[np.asarray(m1)]
+    two = np.concatenate([np.asarray(sa)[np.asarray(ma)],
+                          np.asarray(sb)[np.asarray(mb)]])
+    ncmp = min(len(one), len(two))
+    assert ncmp >= len(one) - 1
+    d = np.abs(one[:ncmp] - two[:ncmp])
+    assert np.max(d) < 0.05 and np.mean(d) < 2e-3, (np.max(d), np.mean(d))
+    b1m = np.asarray(b1).reshape(-1, 2)[np.asarray(m1)]
+    b2m = np.concatenate([np.asarray(ba).reshape(-1, 2)[np.asarray(ma)],
+                          np.asarray(bb).reshape(-1, 2)[np.asarray(mb)]])
+    assert np.array_equal(b1m[:ncmp], b2m[:ncmp])  # identical decisions
+
+
 @pytest.mark.parametrize("ted", ["gardner", "mm", "el"])
 def test_ted_family_converges(ted):
     """Selectable TEDs (parity: TedType + ted_init, clock-rec.cc:11-95;
