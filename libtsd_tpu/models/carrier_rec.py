@@ -172,9 +172,13 @@ def make_ped(kind: str, wf=None, M: Optional[int] = None) -> Callable:
 
 @dataclasses.dataclass(frozen=True)
 class CpllConfig:
-    """Complex PLL config (parity: PLLConfig, telecom.hpp)."""
+    """Complex PLL config (parity: PLLConfig, telecom.hpp).
+
+    M: PED nonlinearity order; None (default) derives it from the
+    waveform when one is attached to the Cpll (e.g. QPSK -> 4), falling
+    back to 2 — an explicit value always wins."""
     ped: str = "costas"
-    M: int = 2
+    M: Optional[int] = None
     order: int = 2
     BL: float = 0.01      # normalized loop bandwidth (order 2)
     eta: float = 1.0
@@ -195,7 +199,13 @@ class Cpll(Block):
 
     @property
     def _ped(self):
-        return make_ped(self.cfg.ped, wf=self.wf, M=self.cfg.M)
+        # cfg.M None -> make_ped derives the order from the waveform
+        # (wf=QPSK -> M=4); a PED with the wrong M would not strip the
+        # modulation and the loop could never lock
+        M = self.cfg.M
+        if M is None and self.wf is None:
+            M = 2
+        return make_ped(self.cfg.ped, wf=self.wf, M=M)
 
     def init(self):
         return self._lf.init()
@@ -244,9 +254,16 @@ class Rpll(Block):
         ph, fst, pst = state
         n = x.shape[-1]
         k = jnp.arange(n, dtype=real_dtype)
-        lo = jnp.exp(-1j * (ph + 2 * jnp.pi * self.freq * k))
+        # NCO phase kept in CYCLES with the in-block ramp reduced mod 1
+        # (freq and n are static, so the per-block increment is exact in
+        # host float64); an unreduced 2*pi*f*k ramp in float32 loses
+        # ~0.1 rad of phase accuracy by k ~ 1e6
+        cyc = ph / (2 * jnp.pi) + jnp.mod(
+            jnp.asarray(self.freq, real_dtype) * k, 1.0)
+        lo = jnp.exp(-2j * jnp.pi * cyc)
         xb = x.astype(complex_dtype) * lo.astype(complex_dtype)
-        ph = jnp.mod(ph + 2 * jnp.pi * self.freq * n, 2 * jnp.pi)
+        ph = jnp.mod(ph + 2 * jnp.pi * ((self.freq * n) % 1.0),
+                     2 * jnp.pi)
         # image rejection (the 2f mixing product) before the loop
         fst, xb = self.bb_filter.step(fst, xb)
         pst, y = self.cpll.step(pst, xb)

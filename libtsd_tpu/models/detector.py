@@ -98,6 +98,16 @@ class Detector(Block):
             # carried tail of correlation/energy for boundary peaks
             tail_c=jnp.zeros((self.M,), complex_dtype),
             tail_e=jnp.zeros((self.M,), real_dtype),
+            # each block's LAST segment candidate is decided next block,
+            # when its right neighborhood is known (peaks within distance
+            # M straddling the block edge must suppress each other)
+            seg_prev=dict(
+                m=jnp.asarray(-1.0, real_dtype),      # segment max score
+                pe=jnp.asarray(0, jnp.int32),         # window-end pos
+                ok_left=jnp.asarray(True),            # left-side verdict
+                c1_ri=jnp.zeros((2,), real_dtype),    # peak correlation
+                s012=jnp.zeros((3,), real_dtype),     # refinement scores
+            ),
         )
 
     def step(self, state, x: jax.Array):
@@ -114,20 +124,30 @@ class Detector(Block):
         # guard against near-zero-energy regions (e.g. zero padding), where
         # FFT roundoff residue in corr would otherwise explode the
         # normalized score; a true detection needs real window energy
-        en_floor = 1e-6 * jnp.mean(ex)
-        score = jnp.where((jnp.abs(cx) < 1e-6) | (ex < en_floor), 0.0, score)
+        # RELATIVE floor (scale-invariant): a true detection needs real
+        # window energy; the +1e-30 absolute term catches the all-zero
+        # buffer, where FFT roundoff residue in corr would otherwise
+        # explode the normalized score
+        en_floor = 1e-6 * jnp.mean(ex) + 1e-30
+        score = jnp.where(ex < en_floor, 0.0, score)
         score = jnp.minimum(score, 1.0)
 
         # consider peaks with extended index in [M/2, M/2 + n)
         lo = M // 2
         nseg = (n + M - 1) // M
-        det = self._extract_peaks(cx, score, lo, n, nseg)
+        det, seg_prev = self._extract_peaks(cx, score, lo, n, nseg,
+                                            state["seg_prev"])
 
         new_state = dict(corr=cstate, en=estate,
-                         tail_c=cx[-M:], tail_e=ex[-M:])
-        return new_state, (det, score[lo:lo + n])
+                         tail_c=cx[-M:], tail_e=ex[-M:],
+                         seg_prev=seg_prev)
+        # score track aligned to WINDOW-END positions: track[i] is the
+        # normalized score of the correlation window ending at block
+        # sample i (matching Detection.position + M - 1); extended index
+        # of block position p's window end is p + M
+        return new_state, (det, score[M:M + n])
 
-    def _extract_peaks(self, cx, score, lo, n, nseg):
+    def _extract_peaks(self, cx, score, lo, n, nseg, prev):
         M = self.M
         P = self.cfg.max_peaks
         region = jax.lax.dynamic_slice_in_dim(score, lo, n)
@@ -135,61 +155,102 @@ class Detector(Block):
         pad = nseg * M - n
         seg = jnp.pad(region, (0, pad)).reshape(nseg, M)
         seg_max = jnp.max(seg, axis=1)
-        seg_arg = jnp.argmax(seg, axis=1) + jnp.arange(nseg) * M
-        # neighborhood suppression: a segment max survives if it beats the
-        # adjacent segment maxima within distance M
-        left = jnp.concatenate([jnp.zeros(1), seg_max[:-1]])
-        right = jnp.concatenate([seg_max[1:], jnp.zeros(1)])
-        dist_l = seg_arg - jnp.concatenate([jnp.zeros(1, jnp.int32) - M,
-                                            seg_arg[:-1].astype(jnp.int32)])
-        dist_r = jnp.concatenate([seg_arg[1:].astype(jnp.int32),
-                                  jnp.zeros(1, jnp.int32) + 10 ** 9]) - seg_arg
-        ok = (seg_max > self.cfg.threshold)
-        ok &= ~((left > seg_max) & (dist_l < M))
-        ok &= ~((right >= seg_max) & (dist_r < M))
-        # top-P by score among survivors
-        masked = jnp.where(ok, seg_max, -1.0)
-        order = jnp.argsort(-masked)[:P]
-        val = masked[order] > 0
-        idx = seg_arg[order]  # position within region
-
-        # sub-sample refinement + gain/theta from the complex correlation
-        exi = idx + lo
+        seg_argr = jnp.argmax(seg, axis=1) + jnp.arange(nseg) * M
+        # per-segment refinement data from the complex correlation
+        exi = seg_argr + lo
         c1 = cx[exi]
         s0 = score[jnp.maximum(exi - 1, 0)]
         s1 = score[exi]
         s2 = score[jnp.minimum(exi + 1, cx.shape[0] - 1)]
-        denom = s0 - 2 * s1 + s2
+        # window-end BLOCK position of each segment's peak (extended index
+        # e maps to block position e - M: the tail holds M positions)
+        pe = (seg_argr + lo - M).astype(jnp.int32)
+
+        # Decided elements this block: [prev block's deferred last
+        # segment | current segments 0..nseg-2].  The current LAST
+        # segment's right neighborhood extends into the next block, so
+        # its decision is deferred — peaks within distance M straddling
+        # the block edge then always see each other.
+        cp = (prev["c1_ri"][0] + 1j * prev["c1_ri"][1]).astype(cx.dtype)
+        em = jnp.concatenate([prev["m"][None], seg_max[:-1]])
+        epe = jnp.concatenate([prev["pe"][None], pe[:-1]])
+        ec1 = jnp.concatenate([cp[None], c1[:-1]])
+        es0 = jnp.concatenate([prev["s012"][0:1], s0[:-1]])
+        es1 = jnp.concatenate([prev["s012"][1:2], s1[:-1]])
+        es2 = jnp.concatenate([prev["s012"][2:3], s2[:-1]])
+        # left/right neighborhood suppression with full context: element
+        # 0's left verdict was decided last block (prev.ok_left); the last
+        # element's right neighbor is the newly deferred segment
+        left_m = jnp.concatenate([jnp.full(1, -1.0, real_dtype), em[:-1]])
+        left_pe = jnp.concatenate(
+            [jnp.full(1, -(10 ** 9), jnp.int32), epe[:-1]])
+        right_m = jnp.concatenate([em[1:], seg_max[-1:]])
+        right_pe = jnp.concatenate([epe[1:], pe[-1:]])
+        ok = em > self.cfg.threshold
+        okl = ~((left_m > em) & (epe - left_pe < M))
+        okl = jnp.concatenate([prev["ok_left"][None], okl[1:]])
+        ok &= okl
+        ok &= ~((right_m >= em) & (right_pe - epe < M))
+        # top-P by score among survivors; pad so short blocks (nseg < P)
+        # still yield the documented (max_peaks,) shapes
+        masked = jnp.where(ok, em, -1.0)
+        if nseg < P:
+            z = P - nseg
+            masked = jnp.concatenate([masked, jnp.full(z, -1.0)])
+            epe = jnp.concatenate([epe, jnp.zeros(z, epe.dtype)])
+            ec1 = jnp.concatenate([ec1, jnp.zeros(z, ec1.dtype)])
+            es0 = jnp.concatenate([es0, jnp.zeros(z, es0.dtype)])
+            es1 = jnp.concatenate([es1, jnp.zeros(z, es1.dtype)])
+            es2 = jnp.concatenate([es2, jnp.zeros(z, es2.dtype)])
+        order = jnp.argsort(-masked)[:P]
+        val = masked[order] > 0
+        c1o, s0o = ec1[order], es0[order]
+        s1o, s2o = es1[order], es2[order]
+
+        # sub-sample refinement + gain/theta from the complex correlation
+        denom = s0o - 2 * s1o + s2o
         frac = jnp.where(jnp.abs(denom) > 1e-12,
-                         0.5 * (s0 - s2) / denom, 0.0)
+                         0.5 * (s0o - s2o) / denom, 0.0)
         frac = jnp.clip(frac, -0.5, 0.5)
         # if window = g*e^{i theta}*pattern: corr = g*e^{i theta}*||pattern||
-        gain = jnp.abs(c1) / self.pattern_norm
-        theta = jnp.angle(c1)
-        s1c = jnp.clip(s1, 0.0, 0.999999)
+        gain = jnp.abs(c1o) / self.pattern_norm
+        theta = jnp.angle(c1o)
+        s1c = jnp.clip(s1o, 0.0, 0.999999)
         snr = s1c ** 2 / (1 - s1c ** 2)
         snr_db = 10.0 * jnp.log10(snr + 1e-12)
-        # extended index e maps to block position e - M (tail holds the
-        # previous M positions); the peak marks the window END; the pattern
-        # START is end - (M-1)
-        pos_end = idx.astype(jnp.int32) + lo - M
-        pos = pos_end - (M - 1)
-        return Detection(position=pos,
-                         position_frac=frac.astype(real_dtype),
-                         score=s1.astype(real_dtype),
-                         gain=gain.astype(real_dtype),
-                         theta=theta.astype(real_dtype),
-                         snr_db=snr_db.astype(real_dtype),
-                         valid=val)
+        # the peak marks the window END; the pattern START is end - (M-1)
+        pos = epe[order] - (M - 1)
+        det = Detection(position=pos,
+                        position_frac=frac.astype(real_dtype),
+                        score=s1o.astype(real_dtype),
+                        gain=gain.astype(real_dtype),
+                        theta=theta.astype(real_dtype),
+                        snr_db=snr_db.astype(real_dtype),
+                        valid=val)
+        # defer the last current segment (positions re-based by -n for
+        # the next block); its left verdict is decided NOW
+        ok_left_new = ~((em[-1] > seg_max[-1]) & (pe[-1] - epe[-1] < M))
+        seg_prev_new = dict(
+            m=seg_max[-1], pe=pe[-1] - n, ok_left=ok_left_new,
+            c1_ri=jnp.stack([jnp.real(c1[-1]), jnp.imag(c1[-1])
+                             ]).astype(real_dtype),
+            s012=jnp.stack([s0[-1], s1[-1], s2[-1]]).astype(real_dtype))
+        return det, seg_prev_new
 
 
 def detect_pattern(x: jax.Array, pattern,
                    cfg: DetectorConfig = DetectorConfig()):
-    """One-shot detection over a whole buffer; returns (Detection, score)."""
+    """One-shot detection over a whole buffer; returns (Detection, score).
+
+    Pads the buffer with 2M trailing zeros internally: the streaming peak
+    regions tile [-M/2, n-M/2) per block and the final segment's decision
+    is deferred to the next block — without the pad a pattern ending near
+    the buffer end would wait for a block that never comes."""
     det = Detector.create(pattern, cfg)
-    from ..block import pad_to_multiple
+    from ..block import pad_to_multiple, safe_pad
     n = x.shape[-1]
-    xp = pad_to_multiple(x, det.Ne, axis=x.ndim - 1)
+    xp = pad_to_multiple(safe_pad(x, 0, 2 * det.M, axis=-1),
+                         det.Ne, axis=x.ndim - 1)
     _, (d, score) = det.step(det.init(), xp)
     return d, score[:n]
 

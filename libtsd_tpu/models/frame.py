@@ -314,7 +314,7 @@ class Receiver(Block):
         the end that every detection is complete within the single step
         (no pending left behind)."""
         from ..block import pad_to_multiple, safe_pad
-        extra = self.frame_len + 2 * self.itp.K
+        extra = max(self.frame_len, 2 * self.det.M) + 2 * self.itp.K
         xp = pad_to_multiple(safe_pad(x, 0, extra, axis=0),
                              self.det.Ne, axis=0)
         _, frames = self.step(self.init(), xp)
@@ -365,7 +365,8 @@ class MonitoredReceiver:
         m = self.monitors["recepteur/misc"]
         m.start()
         from ..block import pad_to_multiple, safe_pad
-        extra = self.rx.frame_len + 2 * self.rx.itp.K
+        extra = (max(self.rx.frame_len, 2 * self.rx.det.M)
+                 + 2 * self.rx.itp.K)
         xp = pad_to_multiple(safe_pad(x, 0, extra, axis=0),
                              self.rx.det.Ne, axis=0)
         state = self.init()

@@ -79,8 +79,9 @@ def cqt(x: jax.Array, kernel: CqtKernel, hop: int = 256) -> jax.Array:
     hp = jax.lax.Precision.HIGHEST
     if jnp.iscomplexobj(F):
         Fr, Fi = jnp.real(F), jnp.imag(F)
-        re = Fr @ Br.T - Fi @ Bi.T
-        im = Fr @ Bi.T + Fi @ Br.T
+        mm = lambda a, b: jnp.matmul(a, b, precision=hp)
+        re = mm(Fr, Br.T) - mm(Fi, Bi.T)
+        im = mm(Fr, Bi.T) + mm(Fi, Br.T)
     else:
         re = jnp.matmul(F, Br.T, precision=hp)
         im = jnp.matmul(F, Bi.T, precision=hp)
@@ -118,10 +119,17 @@ def cqt_stream_kernel(fmin: float, fmax: float, gamma: float = 2 ** (1 / 12),
     nbins = int(np.ceil(np.log(fmax / fmin) / np.log(gamma)))
     freqs = fmin * gamma ** np.arange(nbins)
     ideal_N = int(np.ceil(Q / fmin))
+    # N >= 2 * ktime_max: with the fixed N/2 streaming hop, a bin's
+    # window must fit the buffer at EVERY block alignment (valid start
+    # positions [0, N-ktime] must span at least one hop), otherwise the
+    # per-bin phase drifts negative and the frequency-domain shift wraps
+    # circularly, silently corrupting low bins.  The reference instead
+    # consumes variable-size chunks (cqt.cc step1 minimal_position) —
+    # dynamic shapes; doubling N is the static-shape equivalent.
     N = 1
-    while N < ideal_N:
+    while N < 2 * ideal_N:
         N *= 2
-    ktime = np.minimum(np.ceil(Q / freqs).astype(int), N - 1)
+    ktime = np.minimum(np.ceil(Q / freqs).astype(int), N // 2 - 1)
     ktime = ktime + (1 - ktime % 2)          # odd
     kimin = np.zeros(nbins, int)
     ksize = np.zeros(nbins, int)
@@ -223,7 +231,7 @@ def cqt_interpolate(times, mags, valid, K: CqtStreamKernel, hop_out: int):
     v = np.asarray(mags).transpose(1, 0, 2).reshape(mags.shape[1], -1)
     ok = np.asarray(valid).transpose(1, 0, 2).reshape(valid.shape[1], -1)
     tmax = int(t[ok].max()) if ok.any() else 0
-    nout = max(1, tmax // hop_out)
+    nout = max(1, tmax // hop_out + 1)   # include the final partial span
     grid = np.arange(nout) * hop_out
     A = np.zeros((nout, t.shape[0]), np.float32)
     for k in range(t.shape[0]):

@@ -272,3 +272,29 @@ def test_cqt_stream_decimated():
     g, f, A = cqt_interpolate(np.asarray(times), mags, valid, K, hop_out=64)
     assert A.shape[1] == len(K.freqs)
     assert int(np.argmax(A.mean(axis=0))) == int(np.argmax(avg))
+    # grid covers the last valid output time (regression: one column short)
+    assert g[-1] + 64 > np.asarray(times)[np.asarray(valid)].max()
+
+
+def test_cqt_stream_low_bin_positions_stay_valid():
+    """Regression: with the N/2 hop, every bin's window must fit the
+    buffer (N >= 2*ktime_max) — the old sizing let low-bin evaluation
+    positions drift NEGATIVE (window reaching before the buffer; the
+    frequency-domain shift then wraps circularly, corrupting magnitudes
+    with valid=True)."""
+    import numpy as np
+    from libtsd_tpu.ops.cqt import cqt_stream, cqt_stream_kernel
+    K = cqt_stream_kernel(fmin=0.01, fmax=0.3, Q=20)
+    assert K.ktime.max() <= K.N // 2          # window fits every alignment
+    n = 50 * (K.N // 2)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    times, mags, valid = jax.jit(lambda v: cqt_stream(v, K))(x)
+    times, valid = np.asarray(times), np.asarray(valid)
+    # all valid window-start times are in-range and per-bin spacing is dt
+    assert (times[valid] >= 0).all()
+    dt = np.maximum(K.ktime // 2, 1)
+    for k in (0, len(K.freqs) // 2, len(K.freqs) - 1):
+        tk = np.sort(times[:, k, :][valid[:, k, :]])
+        gaps = np.diff(tk)
+        assert gaps.size and (gaps == dt[k]).all(), (k, np.unique(gaps))

@@ -105,6 +105,42 @@ def test_detector_pallas_engine_matches_xla():
     assert np.max(np.abs(sx - sp)) < 1e-2
 
 
+def test_detector_end_of_buffer_and_alignment():
+    """Regressions: (a) a pattern ending in the last M/2 samples must be
+    detected one-shot (internal M-pad); (b) the score track is aligned to
+    WINDOW-END positions; (c) tiny-amplitude signals detect (the energy
+    guard is scale-relative, not absolute); (d) short buffers still yield
+    (max_peaks,) shapes."""
+    rng = np.random.default_rng(9)
+    M = 64
+    p = (rng.standard_normal(M) + 1j * rng.standard_normal(M)).astype(np.complex64)
+    # (a) pattern flush against the end
+    x = 0.05 * (rng.standard_normal(1000) + 1j * rng.standard_normal(1000)
+                ).astype(np.complex64)
+    x[936:1000] += p
+    det, score = detect_pattern(jnp.asarray(x), p,
+                                DetectorConfig(threshold=0.6, mode="rif"))
+    got = np.asarray(det.position)[np.asarray(det.valid)]
+    assert 936 in got.tolist(), got
+    # (b) track peak at the window END of a mid-buffer pattern
+    x2 = 0.05 * (rng.standard_normal(1000) + 1j * rng.standard_normal(1000)
+                 ).astype(np.complex64)
+    x2[500:564] += p
+    det2, score2 = detect_pattern(jnp.asarray(x2), p,
+                                  DetectorConfig(threshold=0.6, mode="rif"))
+    assert int(np.argmax(np.asarray(score2))) == 563
+    # (c) the same buffer scaled down by 1e7 must still detect
+    det3, _ = detect_pattern(jnp.asarray(x2 * 1e-7), p,
+                             DetectorConfig(threshold=0.6, mode="rif"))
+    got3 = np.asarray(det3.position)[np.asarray(det3.valid)]
+    assert 500 in got3.tolist(), got3
+    # (d) buffer shorter than max_peaks segments
+    det4, _ = detect_pattern(jnp.asarray(x2[:100]), p,
+                             DetectorConfig(threshold=0.6, mode="rif",
+                                            max_peaks=4))
+    assert np.asarray(det4.position).shape == (4,)
+
+
 def test_detector_no_false_alarm():
     rng = np.random.default_rng(6)
     M = 48
