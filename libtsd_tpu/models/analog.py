@@ -77,12 +77,13 @@ def am_modulate(audio: jax.Array, cfg: AMConfig) -> jax.Array:
     if cfg.mode == "dsb":
         mx = jnp.max(jnp.abs(audio)) + 1e-30
         env = 1 + cfg.index * audio / mx
-        return env * jnp.cos(2 * jnp.pi * cfg.f_rf * k)
+        return env * jnp.cos(2 * jnp.pi * jnp.mod(cfg.f_rf * k, 1.0))
     if cfg.mode in ("dsb-sc", "dsb_suppressed_carrier"):
-        return audio * jnp.cos(2 * jnp.pi * cfg.f_rf * k)
+        return audio * jnp.cos(2 * jnp.pi * jnp.mod(cfg.f_rf * k, 1.0))
     if cfg.mode in ("usb", "lsb"):
         z = hilbert_analytic(audio)
-        lo = jnp.exp(2j * jnp.pi * cfg.f_rf * k).astype(complex_dtype)
+        lo = jnp.exp(2j * jnp.pi * jnp.mod(cfg.f_rf * k, 1.0)
+                     ).astype(complex_dtype)
         if cfg.mode == "lsb":
             z = jnp.conj(z)
         return jnp.real(z * lo)
@@ -103,11 +104,14 @@ def am_demodulate(x: jax.Array, cfg: AMConfig,
         y = env - jnp.mean(env)
         return fir_filter(h, y)
     if cfg.mode in ("dsb-sc", "dsb_suppressed_carrier"):
-        y = x * 2 * jnp.cos(2 * jnp.pi * cfg.f_rf * k)
+        y = x * 2 * jnp.cos(2 * jnp.pi * jnp.mod(cfg.f_rf * k, 1.0))
         return fir_filter(h, y)
     if cfg.mode in ("usb", "lsb"):
-        lo = jnp.exp(-2j * jnp.pi * cfg.f_rf * k).astype(complex_dtype)
+        lo = jnp.exp(-2j * jnp.pi * jnp.mod(cfg.f_rf * k, 1.0)
+                     ).astype(complex_dtype)
         z = hilbert_analytic(x) * lo
-        y = jnp.real(z) if cfg.mode == "usb" else jnp.real(jnp.conj(z))
+        # real() is insensitive to conjugation — one expression serves
+        # both sidebands (the sideband choice happened at modulation)
+        y = jnp.real(z)
         return fir_filter(h, y)
     raise ValueError(f"unknown AM mode {cfg.mode!r}")

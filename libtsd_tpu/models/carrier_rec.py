@@ -210,19 +210,28 @@ class Cpll(Block):
     def init(self):
         return self._lf.init()
 
-    def step(self, state, x: jax.Array):
+    def step(self, state, x: jax.Array, valid: Optional[jax.Array] = None):
+        """valid: optional per-sample mask; the loop FREEZES on invalid
+        entries (e.g. the zero-padded tail of a clock-recovery block) —
+        without it each pad entry would advance theta by mu and clobber
+        the loop registers with a zero-input error."""
         lf = self._lf
         ped = self._ped
 
-        def body(st, xi):
+        def body(st, inp):
+            xi, v = inp
             # apply current phase estimate, then update
             theta = st[0] if isinstance(st, tuple) else st
             y = xi * jnp.exp(-1j * theta).astype(complex_dtype)
             e = ped(y)
-            st, _ = lf.step(st, e)
+            st2, _ = lf.step(st, e)
+            st = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(v, a, b), st2, st)
             return st, y
 
-        state, y = jax.lax.scan(body, state, x)
+        if valid is None:
+            valid = jnp.ones(x.shape, bool)
+        state, y = jax.lax.scan(body, state, (x, valid))
         return state, y
 
 

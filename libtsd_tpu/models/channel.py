@@ -65,11 +65,13 @@ def propagation_channel(key, x: jax.Array, cfg: ChannelConfig) -> jax.Array:
     n = x.shape[-1]
     k1, k2, k3 = jax.random.split(key, 3)
     y = x
-    # frequency + phase offset
+    # frequency + phase offset (phase ramp reduced mod 1 cycle — an
+    # unreduced float32 ramp loses accuracy past k ~ 1e5)
     f = cfg.freq_offset / cfg.fe
     if f != 0.0 or cfg.phase_offset != 0.0:
         kk = jnp.arange(n, dtype=real_dtype)
-        y = y * jnp.exp(1j * (cfg.phase_offset + 2 * jnp.pi * f * kk)
+        cyc = jnp.mod(jnp.asarray(f, real_dtype) * kk, 1.0)
+        y = y * jnp.exp(1j * (cfg.phase_offset + 2 * jnp.pi * cyc)
                         ).astype(complex_dtype)
     # phase noise (random walk scaled from dBc/Hz)
     if np.isfinite(cfg.phase_noise_db_hz):
@@ -78,12 +80,13 @@ def propagation_channel(key, x: jax.Array, cfg: ChannelConfig) -> jax.Array:
         y = y * jnp.exp(1j * jnp.cumsum(dphi)).astype(complex_dtype)
     # AWGN at Eb/N0
     y = awgn(k1, y, cfg.Eb_N0, osf=cfg.fe / cfg.fbit)
-    # clock delay
+    # clock delay; negative config = randomized per call (kept traced so
+    # the whole impairment chain stays jittable)
     d = cfg.clock_delay
     if d < 0:
-        d = float(jax.random.randint(k3, (), 0,
-                                     int(cfg.fe / cfg.fsymb)))
-    if d:
+        y = delay_signal(y, jax.random.randint(
+            k3, (), 0, int(cfg.fe / cfg.fsymb)).astype(real_dtype))
+    elif d:
         y = delay_signal(y, float(d))
     return y
 

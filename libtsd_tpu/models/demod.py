@@ -100,8 +100,10 @@ class Demodulator(Block):
         # rotating constellations (pi/4-QPSK) break the power-loop PED
         # (x^M alternates sign between even/odd symbols) -> decision PED
         default_ped = "dec" if wf.rotating else "auto"
+        # M=None: make_ped derives the PED order from the waveform,
+        # including its ASK -> 2 rule (an explicit M here would defeat it)
         pc = cfg.carrier or CpllConfig(
-            ped=default_ped, M=wf.info.M, order=2, BL=0.01)
+            ped=default_ped, M=None, order=2, BL=0.01)
         pll = Cpll(cfg=pc, wf=wf)
         cfg_static = dataclasses.replace(cfg, wf=None)
         return cls(mf=mf, cr=cr, pll=pll, wf=wf, cfg=cfg_static)
@@ -123,13 +125,16 @@ class Demodulator(Block):
         cfg = self.cfg
         n = x.shape[-1]
         st = dict(state)
-        # (1) baseband transposition
+        # (1) baseband transposition — NCO phase in wrapped CYCLES (the
+        # per-block increment is reduced mod 1 in host float64; an
+        # unreduced float32 ramp loses ~0.1 rad by k ~ 1e6)
         if cfg.fi != 0.0:
             f = cfg.fi / cfg.fe
             k = jnp.arange(n, dtype=real_dtype)
-            lo = jnp.exp(-1j * (st["nco"] + 2 * jnp.pi * f * k))
-            x = x * lo.astype(complex_dtype)
-            st["nco"] = jnp.mod(st["nco"] + 2 * jnp.pi * f * n, 2 * jnp.pi)
+            cyc = st["nco"] + jnp.mod(jnp.asarray(f, real_dtype) * k, 1.0)
+            x = x * jnp.exp(-2j * jnp.pi * cyc).astype(complex_dtype)
+            st["nco"] = jnp.mod(st["nco"] + jnp.asarray((f * n) % 1.0,
+                                                        real_dtype), 1.0)
         # (2) FSK: quadrature discriminator -> real frequency signal
         if self.wf.info.is_fsk:
             d = quadrature_discriminator(x, st["prev"])
@@ -140,13 +145,19 @@ class Demodulator(Block):
         st["mf"], z = self.mf.step(st["mf"], x)
         # (4) clock recovery
         st["cr"], (syms, mask) = self.cr.step(st["cr"], z)
-        # (5) amplitude normalization (block AGC, parity: demod AGC stage)
+        # (5) amplitude normalization (block AGC, parity: demod AGC
+        # stage) — to the CONSTELLATION's RMS, not unit RMS: decisions
+        # compare against the unnormalized constellation (QAM16 rms
+        # sqrt(10)/3, 4-ASK sqrt(5)/3 — unit-RMS AGC would mis-scale
+        # every decision boundary)
         nvalid = jnp.maximum(jnp.sum(mask), 1)
         power = jnp.sum(jnp.where(mask, jnp.abs(syms) ** 2, 0.0)) / nvalid
-        syms = syms / jnp.sqrt(power + 1e-20)
-        # (6) carrier recovery (not needed for FSK)
+        rms_ref = jnp.sqrt(jnp.mean(jnp.abs(self.wf.symbols) ** 2))
+        syms = syms * (rms_ref / jnp.sqrt(power + 1e-20))
+        # (6) carrier recovery (not needed for FSK); the loop freezes on
+        # the zero-padded invalid slots of the clock-recovery output
         if not self.wf.info.is_fsk:
-            st["pll"], syms = self.pll.step(st["pll"], syms)
+            st["pll"], syms = self.pll.step(st["pll"], syms, valid=mask)
         # (7) decisions; rotating constellations carry the rotation parity
         # across blocks (detected once, then advanced by the number of
         # valid symbols emitted)
@@ -162,6 +173,6 @@ class Demodulator(Block):
         return st, (bits, syms, mask, bmask)
 
     def demodulate(self, x: jax.Array):
-        """One-shot: returns (bits, symbols, mask)."""
+        """One-shot: returns (bits, symbols, mask, bit_mask)."""
         _, (bits, syms, mask, bmask) = self.step(self.init(), x)
         return bits, syms, mask, bmask

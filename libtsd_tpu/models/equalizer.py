@@ -28,9 +28,10 @@ class LmsEqualizer(Block):
     directed) or CMA (constant modulus).  Operates at symbol rate (K=1) or
     fractionally (K>1 input samples per output).
 
-    Parity: EgaliseurRIF, egalisation.cc:29-178 — same update rules:
-      DEC: h += alpha * wnd * conj(e),  e = decision - out
-      CMA: h += alpha * (1-|out|^2) * wnd * conj(out)
+    Parity: EgaliseurRIF, egalisation.cc:29-178 — same update rules
+    (Wirtinger gradient for out = sum h*wnd, no conjugation on h):
+      DEC: h += alpha * e * conj(wnd),          e = decision - out
+      CMA: h += alpha * (1-|out|^2) * out * conj(wnd)
     """
 
     wf: Waveform
@@ -42,7 +43,13 @@ class LmsEqualizer(Block):
     N2: int = struct.field(pytree_node=False, default=11)
 
     def init(self):
-        h_fwd = jnp.zeros((self.N1,), complex_dtype).at[-1].set(1.0)
+        # unit spike at the CENTER: the equalizer then spans both
+        # precursor and postcursor ISI (a spike at the newest position
+        # has zero decision delay and no precursor reach — DD-LMS could
+        # never converge on a non-minimum-phase channel); zfe_design
+        # centers its delay for the same reason
+        h_fwd = jnp.zeros((self.N1,), complex_dtype).at[
+            self.N1 // 2].set(1.0)
         st = dict(h_fwd=h_fwd,
                   wnd=jnp.zeros((self.N1,), complex_dtype),
                   cnt=jnp.zeros((), jnp.int32))
@@ -75,7 +82,12 @@ class LmsEqualizer(Block):
                 h_fwd = st["h_fwd"] + alpha * e * out * jnp.conj(wnd)
                 err = jnp.abs(e)
                 if dfe:
-                    h_bwd = st["h_bwd"] + alpha * e * fb * jnp.conj(st["wnd_d"])
+                    # same Wirtinger gradient w.r.t. h_bwd: proportional
+                    # to the TOTAL output, not the partial feedback sum
+                    # (h_bwd starts at zero, so an fb-proportional update
+                    # could never bootstrap)
+                    h_bwd = st["h_bwd"] + alpha * e * out * jnp.conj(
+                        st["wnd_d"])
             else:
                 # LMS: h += alpha * e * conj(w), e = decision - out
                 ec = dec - out

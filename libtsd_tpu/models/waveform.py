@@ -284,7 +284,15 @@ class Waveform(struct.PyTreeNode):
         e = 10.0 ** (jnp.asarray(EbN0_db, real_dtype) / 10.0)
         M, k = self.info.M, self.info.k
         if self.info.is_fsk:
-            # coherent non-orthogonal detector (modulations.cc:735-744)
+            # coherent non-orthogonal detector (modulations.cc:735-744;
+            # the reference leaves the tone correlation rho at 0 with a
+            # "?" — here binary FSK uses the actual rho = sinc(2h) of the
+            # modulation index, which reduces to the reference's formula
+            # at h = 0.5 (orthogonal))
+            if k == 1:
+                h_idx = self.info.index
+                rho = float(np.sinc(2.0 * h_idx))
+                return 0.5 * erfc(jnp.sqrt(e * (1.0 - rho) / 2))
             return 0.5 * erfc(jnp.sqrt(e / 2))
         if self.info.is_ask:
             return ((M - 1.0) / M) * erfc(

@@ -279,9 +279,14 @@ def delay_signal(x: jax.Array, delay: float) -> jax.Array:
     Integer delay shifts with zero fill; fractional delay uses the
     frequency-domain phase ramp on a 2x zero-padded block (parity:
     tsd::fourier::délais, core/src/fourier/fourier.cc:608-707).
+
+    ``delay`` may also be a traced jax scalar (e.g. a randomized channel
+    delay under jit) — the phase-ramp path is then taken unconditionally.
     """
     n = x.shape[-1]
-    if float(delay) == int(delay):
+    if isinstance(delay, jax.Array) and not isinstance(delay, np.ndarray):
+        pass  # traced: fall through to the phase-ramp path
+    elif float(delay) == int(delay):
         d = int(delay)
         if d == 0:
             return x

@@ -65,6 +65,55 @@ def test_lms_cma():
     assert tail.std() < 0.15
 
 
+def test_lms_dfe_cma_converges():
+    """Regression: the CMA+DFE feedback-tap update used the partial
+    feedback sum (zero at init -> taps could never bootstrap); with the
+    correct Wirtinger gradient the combination converges."""
+    wf = WF.wf_qpsk()
+    bits = randbits(jax.random.PRNGKey(8), 2 * 6000)
+    s = wf.make_symbols(bits)
+    h = np.array([1.0, 0.4, 0.2])
+    x = fir_filter(h, s)
+    eq = LmsEqualizer(wf=wf, structure="dfe", errf="cma", alpha=0.003,
+                      N1=11, N2=5)
+    _, (y, err, act) = eq.step(eq.init(), x)
+    tail = np.abs(np.asarray(y)[-800:])
+    assert abs(tail.mean() - 1.0) < 0.12, tail.mean()
+    assert tail.std() < 0.2, tail.std()
+
+
+def test_lms_nonminimum_phase_channel():
+    """Regression: the FFE init spike now sits at the CENTER, giving the
+    equalizer precursor reach — a non-minimum-phase channel (strong
+    precursor) must converge under DD-LMS."""
+    wf = WF.wf_qpsk()
+    bits = randbits(jax.random.PRNGKey(9), 2 * 6000)
+    s = wf.make_symbols(bits)
+    h = np.array([0.35, 1.0])          # precursor-dominant
+    x = fir_filter(h, s)
+    eq = LmsEqualizer(wf=wf, structure="ffe", errf="dec", alpha=0.01,
+                      N1=15)
+    _, (y, err, act) = eq.step(eq.init(), x)
+    err = np.asarray(err)
+    assert err[-800:].mean() < 0.5 * err[:800].mean()
+    tail = np.asarray(y)[-800:]
+    d = np.abs(tail[:, None] - np.asarray(wf.symbols)[None, :]).min(axis=1)
+    assert d.mean() < 0.25, d.mean()
+
+
+def test_propagation_channel_random_delay_jits():
+    """Regression: clock_delay=-1 (randomized) crashed under jit with a
+    tracer concretization error."""
+    from libtsd_tpu.models.channel import ChannelConfig, propagation_channel
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(512)
+                    + 1j * np.random.default_rng(1).standard_normal(512),
+                    jnp.complex64)
+    cfg = ChannelConfig(Eb_N0=20.0, clock_delay=-1.0)
+    y = jax.jit(lambda k, v: propagation_channel(k, v, cfg))(
+        jax.random.PRNGKey(3), x)
+    assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+
+
 def test_lfsr_mls_properties():
     for reglen in [4, 5, 7]:
         m = (1 << reglen) - 1
