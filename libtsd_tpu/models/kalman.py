@@ -72,7 +72,8 @@ def kalman_filter(ssm: LinearSSM, ys: jax.Array, x0=None, P0=None):
     R = jnp.asarray(ssm.R, real_dtype)
     nx = ssm.nx
     x0 = jnp.zeros(nx, real_dtype) if x0 is None else jnp.asarray(x0, real_dtype)
-    P0 = 10.0 * jnp.eye(nx, dtype=real_dtype) if P0 is None else \
+    # reference default: identity (kalman.cc:470-473)
+    P0 = jnp.eye(nx, dtype=real_dtype) if P0 is None else \
         jnp.asarray(P0, real_dtype)
 
     def body(carry, y):
@@ -104,7 +105,8 @@ def ekf_filter(f: Callable, g: Callable, Q, R, ys: jax.Array,
     R = jnp.asarray(R, real_dtype)
     x0 = jnp.asarray(x0, real_dtype)
     nx = x0.shape[0]
-    P0 = 10.0 * jnp.eye(nx, dtype=real_dtype) if P0 is None else \
+    # reference default: identity (kalman.cc:470-473)
+    P0 = jnp.eye(nx, dtype=real_dtype) if P0 is None else \
         jnp.asarray(P0, real_dtype)
     Jf = jax.jacfwd(f)
     Jg = jax.jacfwd(g)

@@ -30,6 +30,8 @@ def levinson_real(r: np.ndarray) -> np.ndarray:
     n = len(r)
     a = np.zeros(n)
     a[0] = 1.0
+    if n == 1:          # order 0: trivial predictor
+        return a
     k = -r[1] / r[0]
     a[1] = k
     alpha = r[0] * (1 - k * k)

@@ -51,17 +51,22 @@ def xcorrb(x: jax.Array, y: Optional[jax.Array] = None,
     """
     if y is None:
         y = x
-    n = x.shape[-1]
+    # unequal lengths supported like the reference (pad_zeros to the
+    # common length before correlating, estimation-delais.cc)
+    n = max(x.shape[-1], y.shape[-1])
     if m is None:
         m = n
+    assert m <= n, f"lag range m={m} must be <= common length n={n}"
     # zero-pad both to n + 2m then circular-correlate
     L = n + 2 * m
-    x2 = jnp.zeros(x.shape[:-1] + (L,), complex_dtype).at[..., m:m + n].set(_asc(x))
-    y2 = jnp.zeros(y.shape[:-1] + (L,), complex_dtype).at[..., m:m + n].set(_asc(y))
+    x2 = jnp.zeros(x.shape[:-1] + (L,), complex_dtype
+                   ).at[..., m:m + x.shape[-1]].set(_asc(x))
+    y2 = jnp.zeros(y.shape[:-1] + (L,), complex_dtype
+                   ).at[..., m:m + y.shape[-1]].set(_asc(y))
     _, r = ccorr(x2, y2)
     r = r * L  # un-normalize ccorr's 1/m
     pos = r[..., :m]          # lags 0..m-1
-    neg = r[..., -(m - 1):]   # lags -(m-1)..-1
+    neg = r[..., L - (m - 1):] if m > 1 else r[..., :0]  # lags -(m-1)..-1
     c = jnp.concatenate([neg, pos], axis=-1) / n
     lags = jnp.arange(-(m - 1), m, dtype=real_dtype)
     return lags, c
@@ -71,11 +76,12 @@ def xcorr(x: jax.Array, y: Optional[jax.Array] = None,
           m: Optional[int] = None) -> Tuple[jax.Array, jax.Array]:
     """Unbiased linear cross-correlation (divides by overlap count).
     Parity: tsd::fourier::xcorr, fourier.cc:578-596."""
-    n = x.shape[-1]
+    n = max(x.shape[-1], (x if y is None else y).shape[-1])
     if m is None:
         m = n
+    assert m <= n, f"lag range m={m} must be <= signal length n={n}"
     lags, c = xcorrb(x, y, m)
-    overlap = (n - jnp.abs(lags)) / n
+    overlap = jnp.maximum(n - jnp.abs(lags), 1.0) / n
     return lags, c / overlap.astype(real_dtype)
 
 
@@ -94,16 +100,19 @@ def estimate_delay(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array]:
     correlation.  Parity: estimation_délais,
     core/src/fourier/estimation-delais.cc:21-168 (same parabolic refinement).
     """
-    n = x.shape[-1]
+    n = max(x.shape[-1], y.shape[-1])
     lags, c = xcorrb(x, y, n)
     a = jnp.abs(c)
     i = jnp.argmax(a)
-    # parabolic interpolation around the peak
+    # parabolic interpolation around the peak; skipped at the boundaries
+    # (the clamped neighbor would equal the peak and bias frac to +-0.5 —
+    # the reference also skips there, estimation-delais.cc)
     ym1 = a[jnp.maximum(i - 1, 0)]
     y0 = a[i]
     yp1 = a[jnp.minimum(i + 1, a.shape[0] - 1)]
     denom = ym1 - 2 * y0 + yp1
     frac = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (ym1 - yp1) / denom, 0.0)
+    frac = jnp.where((i == 0) | (i == a.shape[0] - 1), 0.0, frac)
     frac = jnp.clip(frac, -0.5, 0.5)
     delay = lags[i] + frac
     ex = jnp.sum(jnp.abs(x) ** 2)
@@ -119,6 +128,10 @@ def align_int(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Arr
     d, _ = estimate_delay(x, y)
     di = jnp.round(d).astype(jnp.int32)
     n = min(x.shape[-1], y.shape[-1])
-    # shift y back by di (dynamic roll, then truncate)
-    y2 = jnp.roll(y, -di)
-    return x[..., :n], y2[..., :n], di
+    # shift y back by di with ZERO fill (a circular roll would wrap
+    # |di| far-end samples into the aligned region; the reference trims,
+    # estimation-delais.cc)
+    idx = jnp.arange(n) + di
+    ok = (idx >= 0) & (idx < y.shape[-1])
+    y2 = jnp.where(ok, y[..., jnp.clip(idx, 0, y.shape[-1] - 1)], 0)
+    return x[..., :n], y2, di

@@ -200,7 +200,7 @@ def czt(x: jax.Array, m: Optional[int] = None,
     hc[L - (n - 1):] = h[1:n][::-1]
     Hc = jnp.asarray(np.fft.fft(hc), complex_dtype)
     G = jnp.fft.fft(g, n=L)
-    y = jnp.fft.ifft(G * Hc)[:m]
+    y = jnp.fft.ifft(G * Hc)[..., :m]
     return y * jnp.asarray(1.0 / h[:m], complex_dtype)
 
 
@@ -218,12 +218,11 @@ def goertzel(x: jax.Array, f: float) -> jax.Array:
     TPU-vectorizable) instead of a sequential scan.
     """
     n = x.shape[-1]
-    c = jnp.cos(2 * jnp.pi * f)
     k = jnp.arange(n, dtype=real_dtype)
     w = jnp.exp(-2j * jnp.pi * f * k)
     X = jnp.sum(x * w, axis=-1)  # unnormalized DFT bin
     en = jnp.sum(jnp.abs(x) ** 2, axis=-1)
-    return 2.0 * jnp.abs(X) ** 2 / (en * n)
+    return 2.0 * jnp.abs(X) ** 2 / (en * n + 1e-30)
 
 
 def goertzel_stream(x: jax.Array, f: float, R: int) -> jax.Array:

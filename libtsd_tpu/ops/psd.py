@@ -51,6 +51,12 @@ def psd_welch(x: jax.Array, N: int, fen: str = "hn") -> Tuple[jax.Array, jax.Arr
     segment periodograms; summing vs averaging differs by a constant dB
     offset, we sum for exact parity)."""
     n = x.shape[-1]
+    if n < N:
+        # degrade gracefully like the reference: zero-pad the short
+        # signal up to one full segment
+        from ..block import safe_pad
+        x = safe_pad(x, 0, N - n, axis=-1)
+        n = N
     w = jnp.asarray(_window(fen, N, sym=False), real_dtype)
     starts = np.arange(0, n - N, N // 2)
     if len(starts) == 0:
@@ -76,6 +82,10 @@ def spectrogram(x: jax.Array, N: int, overlap: float = 0.5,
                 fen: str = "hn") -> jax.Array:
     """Windowed, overlapping STFT power matrix (rows = time frames)."""
     n = x.shape[-1]
+    if n < N:
+        from ..block import safe_pad
+        x = safe_pad(x, 0, N - n, axis=-1)
+        n = N
     hop = max(1, int(N * (1 - overlap)))
     starts = np.arange(0, n - N + 1, hop)
     w = jnp.asarray(_window(fen, N, sym=False), real_dtype)

@@ -1,6 +1,7 @@
 """Correlation tests vs naive O(n^2) references — mirrors xcorr_ref in
 core/tests/test-fourier.cc:477-570."""
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from libtsd_tpu.ops import corr as C
@@ -98,3 +99,33 @@ def test_coherence(signals):
     x, _ = signals
     c = np.asarray(C.coherence(x, x))
     check_max_error(c, np.ones_like(c), 1e-4)
+
+
+def test_align_int_zero_fill_not_circular():
+    """Regression: align_int used a circular roll — |delay| wrapped
+    samples contaminated the aligned tail."""
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(1000).astype(np.float32)
+    d = 100
+    y = np.concatenate([np.zeros(d, np.float32), x[:-d]])
+    xa, ya, di = C.align_int(jnp.asarray(x), jnp.asarray(y))
+    assert int(di) == d
+    xa, ya = np.asarray(xa), np.asarray(ya)
+    # aligned region matches; the zero-filled tail must NOT contain
+    # wrapped leading samples of y
+    check_max_error(ya[: 1000 - d], xa[: 1000 - d], 1e-5)
+    assert np.all(ya[1000 - d:] == 0)
+
+
+def test_xcorr_edge_cases():
+    """m=1 single-lag result; unequal lengths (reference pads to common
+    length); boundary peak skips parabolic refinement."""
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal(64).astype(np.float32)
+    lags, c = C.xcorrb(jnp.asarray(x), jnp.asarray(x), m=1)
+    assert lags.shape == (1,) and c.shape[-1] == 1
+    assert abs(float(jnp.real(c[0])) - float(np.mean(x * x))) < 1e-4
+    # unequal lengths: y shorter than x
+    y = x[:50]
+    d, score = C.estimate_delay(jnp.asarray(x), jnp.asarray(y))
+    assert abs(float(d)) < 1.0  # same start, just truncated
