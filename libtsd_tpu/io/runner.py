@@ -57,7 +57,13 @@ class StreamRunner:
         def _body(blk, state, x):
             state, y = blk.step(state, x)
             if jax.numpy.iscomplexobj(y):
+                # record AT TRACE TIME that the output is re/im planes, so
+                # _emit re-assembles exactly (and only) converted outputs
+                # — a genuine real (2, N) output must NOT be fused into a
+                # bogus complex signal by shape guessing
+                self._y_is_planes = True
                 return state, to_ri(y)
+            self._y_is_planes = False
             return state, y
 
         def step(blk, state, x_planes):
@@ -78,6 +84,7 @@ class StreamRunner:
         self._state = None
         self._pending: deque = deque()
         self._out: list = []
+        self._y_is_planes = False   # set at trace time by _body
 
     # ------------------------------------------------------------- core
 
@@ -89,7 +96,7 @@ class StreamRunner:
 
     def _emit(self, y_dev):
         y = np.asarray(y_dev)            # sync point for THIS block only
-        if y.ndim >= 1 and y.shape[0] == 2 and np.isrealobj(y):
+        if self._y_is_planes:
             y = y[0] + 1j * y[1]
         if self.sink is not None:
             self.sink(y)
@@ -110,13 +117,26 @@ class StreamRunner:
     # -------------------------------------------------------------- API
 
     def push(self, x: np.ndarray) -> None:
-        """Feed arbitrary-length samples; full blocks are dispatched."""
-        self._rb.push(np.ascontiguousarray(x))
-        while True:
-            blk = self._rb.pop_block(self.block_len)
-            if blk is None:
-                break
-            self._submit(blk)
+        """Feed arbitrary-length samples; full blocks are dispatched.
+        Loops until every sample is accepted (dispatching frees ring
+        space) — oversize chunks are never silently truncated."""
+        x = np.ascontiguousarray(x)
+        off = 0
+        while off < len(x):
+            acc = self._rb.push(x[off:])
+            off += acc
+            progressed = False
+            while True:
+                blk = self._rb.pop_block(self.block_len)
+                if blk is None:
+                    break
+                progressed = True
+                self._submit(blk)
+            if acc == 0 and not progressed:
+                raise RuntimeError(
+                    f"StreamRunner stalled: {len(x) - off} samples don't "
+                    f"fit (ring capacity {self._rb.capacity}, "
+                    f"block_len {self.block_len})")
 
     def drain(self) -> None:
         """Wait for all in-flight device steps and emit their outputs."""

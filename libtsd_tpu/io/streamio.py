@@ -158,12 +158,25 @@ class Rebuffer:
         self.rb = RingBuffer(capacity or max(8 * N, 1 << 16), complex_iq)
 
     def push(self, x: np.ndarray):
-        self.rb.push(x)
-        while True:
-            blk = self.rb.pop_block(self.N)
-            if blk is None:
-                break
-            self.callback(blk)
+        # loop until every sample is accepted — pop_block frees space
+        # between partial pushes, so a chunk larger than the remaining
+        # ring space is NOT silently truncated
+        x = np.asarray(x)
+        off = 0
+        while off < len(x):
+            acc = self.rb.push(x[off:])
+            off += acc
+            drained = False
+            while True:
+                blk = self.rb.pop_block(self.N)
+                if blk is None:
+                    break
+                drained = True
+                self.callback(blk)
+            if acc == 0 and not drained:
+                raise RuntimeError(
+                    f"Rebuffer stalled: {len(x) - off} samples don't fit "
+                    f"(capacity {self.rb.capacity}, N={self.N})")
 
 
 def cs16_to_cf32(raw: np.ndarray) -> np.ndarray:
@@ -177,8 +190,7 @@ def cs16_to_cf32(raw: np.ndarray) -> np.ndarray:
                          out.ctypes.data_as(ctypes.c_void_p), n_iq)
         return out.view(np.complex64)
     f = raw[: 2 * n_iq].astype(np.float32) / 32768.0
-    return f.view(np.float32).reshape(-1, 2).view(np.complex64).ravel() \
-        if False else (f[0::2] + 1j * f[1::2]).astype(np.complex64)
+    return (f[0::2] + 1j * f[1::2]).astype(np.complex64)
 
 
 def cu8_to_cf32(raw: np.ndarray) -> np.ndarray:

@@ -202,7 +202,7 @@ def fir_design_equiripple(nc: int,
         D[ib:ih + 1] = s.atten
         W[ib:ih + 1] = s.poids + eps
         if i + 1 < len(spec):
-            ib2 = int(round(2 * spec[i + 1].fb * l))
+            ib2 = min(int(round(2 * spec[i + 1].fb * l)), l - 1)
             cnt = (ib2 - ih) + 1
             if cnt > 1:
                 D[ih:ih + cnt] = np.linspace(s.atten, spec[i + 1].atten, cnt)
@@ -376,10 +376,17 @@ def fir_differentiator(n: int, centered: bool = False) -> np.ndarray:
 # ------------------------------------------------------------ analysis
 
 def fir_type(h: np.ndarray) -> int:
-    """Linear-phase FIR type 1..4 (parity: riftype, rif-eq.cc:24-34)."""
+    """Linear-phase FIR type 1..4 (parity concept: riftype,
+    rif-eq.cc:24-34 — but classified on the WHOLE tap vector, not just the
+    endpoints: an antisymmetric filter whose end taps are ~0 (e.g. a
+    Hann-windowed Hilbert with zero endpoints) is indistinguishable from
+    symmetric at h[0] vs h[-1] alone)."""
+    h = np.asarray(h, float)
     n = len(h)
     even = n % 2 == 0
-    if np.isclose(h[0], h[-1]):
+    sym = np.linalg.norm(h - h[::-1])
+    asym = np.linalg.norm(h + h[::-1])
+    if sym <= asym:
         return 2 if even else 1
     return 4 if even else 3
 

@@ -274,6 +274,18 @@ def design_iir(n: int, typ: str, proto: str, fcut: float,
     key = next((v for k, v in _PROTOS.items() if proto.lower().startswith(k)), None)
     if key is None:
         raise ValueError(f"unknown prototype {proto!r}")
+    # strict (0, 0.5) for the prewarped bilinear transform: tan(pi*f)
+    # flips sign past Nyquist and the designed filter comes out UNSTABLE
+    # with no other symptom
+    if not (0.0 < fcut < 0.5):
+        raise ValueError(
+            f"design_iir: fcut={fcut} must be in (0, 0.5) "
+            f"(normalized cycles/sample, Nyquist excluded)")
+    if typ in ("bp", "sb"):
+        if not (fcut < fcut2 < 0.5):
+            raise ValueError(
+                f"design_iir: band edges need fcut < fcut2 < 0.5 "
+                f"(got {fcut}, {fcut2})")
     if key == "butt":
         ha = butterworth_analog(n)
     elif key == "cheb1":
@@ -441,7 +453,9 @@ def zpk_to_sos(h: ZPK) -> Tuple[np.ndarray, float]:
 
     ppairs = pair_up(p)
     zpairs = pair_up(z)
-    # sort pole pairs by closeness to unit circle (process last)
+    # pole pairs closest to the unit circle FIRST, so they get first pick
+    # of the nearest zero pair (best cancellation where conditioning is
+    # most critical)
     ppairs.sort(key=lambda pr: abs(1 - abs(pr[0])))
     # match each pole pair with nearest zero pair
     sos_rows = []
@@ -456,8 +470,7 @@ def zpk_to_sos(h: ZPK) -> Tuple[np.ndarray, float]:
             r1, r2 = pair
             if r2 is None:
                 return np.array([1.0, -np.real(r1), 0.0])
-            return np.real(np.poly([r1, r2])) if len(np.poly([r1, r2])) == 3 \
-                else np.array([1.0, -np.real(r1 + r2), np.real(r1 * r2)])
+            return np.array([1.0, -np.real(r1 + r2), np.real(r1 * r2)])
         brow = poly2(zp)
         arow = poly2(pp)
         sos_rows.append(np.concatenate([brow, arow]))

@@ -34,7 +34,13 @@ def halo_exchange_left(x: jax.Array, halo: int, axis_name: str = "time") -> jax.
     """Inside shard_map: return this shard's left halo — the last ``halo``
     samples (along the last axis) of the left neighbor's shard; zeros on the
     first shard."""
+    assert halo <= x.shape[-1], (
+        f"halo ({halo}) exceeds the local shard length ({x.shape[-1]}); "
+        f"use fewer/larger time shards")
     n_shards = lax.axis_size(axis_name)
+    if halo == 0:
+        # stateless block: x[..., -0:] would be the WHOLE shard
+        return x[..., :0]
     tail = x[..., -halo:]
     if n_shards == 1:
         return jnp.zeros_like(tail)
@@ -79,7 +85,9 @@ def sharded_chain(mesh: Mesh, blocks_and_state_lens, x: jax.Array) -> jax.Array:
             _, xs = block.step(halo, xs)
         return xs
 
+    # check_vma=False: same reason as sharded_fir — chain members may
+    # contain pallas_call (e.g. the Pallas OLA engine)
     fn = shard_map(local, mesh=mesh,
                    in_specs=P("chan", "time"),
-                   out_specs=P("chan", "time"))
+                   out_specs=P("chan", "time"), check_vma=False)
     return fn(x)

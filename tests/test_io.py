@@ -199,3 +199,35 @@ def test_stream_runner_complex_sink():
     assert y.dtype.kind == "c"
     ref = np.asarray(fir_filter(h, x))
     assert np.max(np.abs(y - ref[: len(y)])) < 1e-4
+
+
+def test_rebuffer_oversize_push_no_drop():
+    """Regression: a push larger than the remaining ring space used to be
+    silently truncated; now the push loops (draining frees space) and
+    every sample reaches the callback/residual."""
+    got = []
+    rb = Rebuffer(N=40, callback=got.append, complex_iq=False, capacity=100)
+    x = np.arange(150, dtype=np.float32)
+    rb.push(x)
+    total = np.concatenate(got) if got else np.zeros(0)
+    assert len(total) + rb.rb.available == 150
+    assert np.array_equal(total, x[: len(total)])
+
+
+def test_stream_runner_oversize_chunks(tmp_path):
+    """StreamRunner fed chunks larger than the ring keeps every sample."""
+    import jax.numpy as jnp
+    from libtsd_tpu.io.runner import StreamRunner
+    from libtsd_tpu.ops.filter_rt import Fir
+    h = np.zeros(5, np.float64); h[0] = 1.0       # identity FIR
+    blk = Fir.create(h)
+    runner = StreamRunner(blk, block_len=128, complex_in=False)
+    # tiny ring so chunks exceed capacity
+    runner._rb = RingBuffer(256, complex_iq=False)
+    x = np.random.default_rng(0).standard_normal(5000).astype(np.float32)
+    runner.push(x)
+    runner.drain()
+    out = np.concatenate(runner._out, axis=-1)
+    nfull = (5000 // 128) * 128
+    assert out.shape[-1] == nfull
+    assert np.allclose(out, x[:nfull], atol=1e-5)
