@@ -20,7 +20,7 @@ clock-rec.cc:186-310):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -189,8 +189,10 @@ class ClockRec(Block):
             return new_st, (sym, valid)
 
         state, (syms, valids) = jax.lax.scan(body, state, x)
-        # compact into a static-length buffer
-        nmax = x.shape[-1] // K1 + 2
+        # compact into a static-length buffer; headroom scales with the
+        # block (~1.6% + 2) so a realistic sample-rate offset cannot
+        # overflow it and silently drop trailing symbols
+        nmax = x.shape[-1] // K1 + 2 + x.shape[-1] // (64 * K1)
         pos = jnp.cumsum(valids.astype(jnp.int32)) - 1
         pos = jnp.where(valids, pos, nmax)  # invalid -> dumped past the end
         out = jnp.zeros((nmax + 1,), complex_dtype).at[pos].set(syms)

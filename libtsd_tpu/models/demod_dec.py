@@ -13,11 +13,8 @@ across channels via vmap.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import struct
 
 from ..block import Block
@@ -79,7 +76,10 @@ class DecisionDemod(Block):
         K = self.itrp.K
         lf = LoopFilter2(self.cfg.BL, self.cfg.eta)
         return dict(
-            mf=self.mf.init(),
+            # complex-typed MF state: step() carries complex input, and a
+            # real init state would change the carry dtype after one step
+            # (a lax.scan type mismatch under block.stream)
+            mf=self.mf.init_for(jnp.zeros((0,), complex_dtype)),
             lf=lf.init(),
             theta=jnp.zeros((), real_dtype),
             gain=jnp.ones((), real_dtype),
@@ -181,7 +181,8 @@ class DecisionDemod(Block):
         new_state, (yis, sidxs, valids) = jax.lax.scan(body, scan_state, z)
 
         # compaction (as in clock_rec)
-        nmax = x.shape[-1] // osf + 2
+        # headroom scales with the block (see clock_rec.py note)
+        nmax = x.shape[-1] // osf + 2 + x.shape[-1] // (64 * osf)
         pos = jnp.cumsum(valids.astype(jnp.int32)) - 1
         pos = jnp.where(valids, pos, nmax)
         syms = jnp.zeros((nmax + 1,), complex_dtype).at[pos].set(yis)[:nmax]

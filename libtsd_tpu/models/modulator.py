@@ -6,17 +6,15 @@ core/include/tsd/telecom.hpp:852-875.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import struct
 
 from ..block import Block
 from ..config import complex_dtype, real_dtype
-from ..ops.resample import fir_ups_delay
-from .waveform import PulseShape, Waveform
+from .waveform import Waveform
 
 __all__ = ["ModConfig", "Modulator"]
 
@@ -79,36 +77,55 @@ class Modulator(Block):
                 jnp.zeros((), real_dtype),   # NCO phase
                 jnp.zeros((), real_dtype))   # FSK integrated phase
 
-    def step(self, state, bits: jax.Array):
-        sh_state, ph, fsk_ph = state
+    def _post_shaper(self, y, ph, fsk_ph):
+        """FSK phase integration, IF upconversion, real output — shared by
+        step() and flush()."""
         cfg = self.config
-        osf = cfg.osf
-        symbs = self.wf.make_symbols(bits)
-        sh_state, y = self.shaper.step(sh_state, symbs)
         if self.wf.info.is_fsk:
-            om_max = jnp.pi * self.wf.info.index / osf
+            om_max = jnp.pi * self.wf.info.index / cfg.osf
             vr = jnp.real(y)
-            vf = vr * (om_max / (jnp.max(jnp.abs(vr)) + 1e-30))
+            # normalize by the STATIC constellation extreme, not the
+            # per-block data max: a block containing only inner levels
+            # would otherwise transmit them at inflated deviation, making
+            # the RF depend on the blocking
+            vmax = jnp.max(jnp.abs(jnp.real(self.wf.symbols)))
+            vf = vr * (om_max / jnp.maximum(vmax, 1e-30))
             phases = fsk_ph + jnp.cumsum(vf)
             y = jnp.exp(1j * phases).astype(complex_dtype)
             fsk_ph = jnp.mod(phases[-1], 2 * jnp.pi)
         if cfg.fi != 0.0:
+            # NCO phase in wrapped CYCLES (per-block increment reduced
+            # mod 1 in host float64 — an unreduced float32 radian ramp
+            # random-walks the carrier phase over long streams)
             n = y.shape[-1]
             f = cfg.fi / cfg.fe
             k = jnp.arange(n, dtype=real_dtype)
-            lo = jnp.exp(1j * (ph + 2 * jnp.pi * f * k)).astype(complex_dtype)
-            y = y * lo
-            ph = jnp.mod(ph + 2 * jnp.pi * f * n, 2 * jnp.pi)
+            cyc = ph + jnp.mod(jnp.asarray(f, real_dtype) * k, 1.0)
+            y = y * jnp.exp(2j * jnp.pi * cyc).astype(complex_dtype)
+            ph = jnp.mod(ph + jnp.asarray((f * n) % 1.0, real_dtype), 1.0)
         if cfg.real_output:
             y = jnp.sqrt(2.0) * jnp.real(y)
+        return y, ph, fsk_ph
+
+    def step(self, state, bits: jax.Array):
+        sh_state, ph, fsk_ph = state
+        symbs = self.wf.make_symbols(bits)
+        sh_state, y = self.shaper.step(sh_state, symbs)
+        y, ph, fsk_ph = self._post_shaper(y, ph, fsk_ph)
         return (sh_state, ph, fsk_ph), y
 
     def flush(self, state) -> Tuple[tuple, jax.Array]:
-        """Push zero symbols through to drain the filter delay (parity:
-        Modulateur flush, modulateur.cc / emetteur.cc:108)."""
+        """Push zero SYMBOLS through to drain the filter delay (parity:
+        Modulateur flush, modulateur.cc / emetteur.cc:108; matches
+        Waveform.gen_samples).  Zero bits would NOT work: they map to
+        constellation point 0 (e.g. -1 for BPSK) and would transmit
+        phantom full-power symbols that add ISI to the data tail."""
         nflush = (self.nc + self.config.osf - 1) // self.config.osf
-        zeros_bits = jnp.zeros(nflush * self.wf.info.k, jnp.int8)
-        return self.step(state, zeros_bits)
+        sh_state, ph, fsk_ph = state
+        zsym = jnp.zeros((nflush,), complex_dtype)
+        sh_state, y = self.shaper.step(sh_state, zsym)
+        y, ph, fsk_ph = self._post_shaper(y, ph, fsk_ph)
+        return (sh_state, ph, fsk_ph), y
 
     def modulate(self, bits: jax.Array) -> Tuple[jax.Array, float]:
         """One-shot: modulate + flush; returns (samples, delay)."""

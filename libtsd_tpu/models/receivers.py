@@ -15,8 +15,6 @@ parallel/).  Parity anchor: the reference's FM demod chain
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,7 +23,7 @@ from flax import struct
 from ..block import Block
 from ..config import complex_dtype, from_ri, real_dtype, to_ri
 from ..ops.filter_rt import Fir, FirDecim, Iir
-from ..ops.fir_design import fir_design_windowed, fir_lowpass
+from ..ops.fir_design import fir_design_windowed
 from ..ops.iir_design import design_lexp
 from .carrier_rec import Cpll, CpllConfig
 from .clock_rec import ClockRec, ClockRecConfig
@@ -93,12 +91,16 @@ class FmReceiver(Block):
     def step(self, state, x: jax.Array):
         cfg = self.cfg
         n = x.shape[-1]
-        # (1) channelize: mix the selected channel to baseband
+        # (1) channelize: mix the selected channel to baseband — NCO
+        # phase in wrapped CYCLES (per-block increment reduced mod 1 in
+        # host float64; unreduced float32 radian ramps random-walk)
+        f = cfg.channel_freq
         k = jnp.arange(n, dtype=real_dtype)
-        lo = jnp.exp(-1j * (state["nco"] + 2 * jnp.pi * cfg.channel_freq * k))
-        xb = x.astype(complex_dtype) * lo.astype(complex_dtype)
-        nco = jnp.mod(state["nco"] + 2 * jnp.pi * cfg.channel_freq * n,
-                      2 * jnp.pi)
+        cyc = state["nco"] + jnp.mod(jnp.asarray(f, real_dtype) * k, 1.0)
+        xb = x.astype(complex_dtype) * jnp.exp(
+            -2j * jnp.pi * cyc).astype(complex_dtype)
+        nco = jnp.mod(state["nco"] + jnp.asarray((f * n) % 1.0, real_dtype),
+                      1.0)
         # (2) channel-select lowpass + decimate (polyphase MXU kernel)
         cst, xd = self.chan_filt.step(state["chan"], xb)
         # (3) quadrature discriminator
@@ -122,6 +124,17 @@ def evm(symbols: jax.Array, wf: Waveform) -> jax.Array:
     e2 = jnp.min(d, axis=-1)
     p = jnp.mean(jnp.abs(s) ** 2)
     return jnp.sqrt(jnp.mean(e2, axis=-1) / p)
+
+
+def _tail_evm(syms: jax.Array, mask: jax.Array, wf: Waveform) -> jax.Array:
+    """EVM over the converged tail (second half of the valid symbols)."""
+    nmask = jnp.sum(mask)
+    tail = jnp.where(jnp.arange(syms.shape[0]) >= nmask // 2, mask, False)
+    s = wf.symbols
+    d2 = jnp.min(jnp.abs(syms[..., None] - s) ** 2, axis=-1)
+    p_ref = jnp.mean(jnp.abs(s) ** 2)
+    return jnp.sqrt(jnp.sum(jnp.where(tail, d2, 0.0))
+                    / (jnp.maximum(jnp.sum(tail), 1) * p_ref))
 
 
 class Qam16Modem(struct.PyTreeNode):
@@ -174,33 +187,20 @@ class Qam16Modem(struct.PyTreeNode):
         x = jax.lax.optimization_barrier(x)
         if self.rx_mode == "fused":
             _, (bits, syms, mask, bmask) = self.dd2.step(self.dd2.init(), x)
-            nmask = jnp.sum(mask)
-            tail = jnp.where(jnp.arange(syms.shape[0]) >= nmask // 2,
-                             mask, False)
-            s = self.wf.symbols
-            d2 = jnp.min(jnp.abs(syms[..., None] - s) ** 2, axis=-1)
-            p_ref = jnp.mean(jnp.abs(s) ** 2)
-            ev = jnp.sqrt(jnp.sum(jnp.where(tail, d2, 0.0))
-                          / (jnp.maximum(jnp.sum(tail), 1) * p_ref))
-            return bits, syms, mask, ev
+            return bits, syms, mask, _tail_evm(syms, mask, self.wf)
         _, z = self.mf.step(self.mf.init_for(x), x)
         _, (syms, mask) = self.cr.step(self.cr.init(), z)
-        # AGC
+        # AGC to the CONSTELLATION's RMS (the QAM-16 grid has
+        # E|s|^2 = 10/9 — unit-RMS normalization would park every symbol
+        # at ~0.949 of its grid point, a ~5% systematic EVM floor)
         nv = jnp.maximum(jnp.sum(mask), 1)
         p = jnp.sum(jnp.where(mask, jnp.abs(syms) ** 2, 0.0)) / nv
-        syms = syms / jnp.sqrt(p + 1e-20)
-        # carrier loop (decision directed on the QAM grid)
-        _, syms = self.pll.step(self.pll.init(), syms)
+        rms_ref = jnp.sqrt(jnp.mean(jnp.abs(self.wf.symbols) ** 2))
+        syms = syms * (rms_ref / jnp.sqrt(p + 1e-20))
+        # carrier loop (decision directed on the QAM grid); frozen on the
+        # zero-padded invalid slots
+        _, syms = self.pll.step(self.pll.init(), syms, valid=mask)
         from .waveform import symbol_indices_to_bits
         idx = self.wf.closest(syms)
         bits = symbol_indices_to_bits(idx, 4)
-        # EVM over the converged tail
-        nmask = jnp.sum(mask)
-        tail = jnp.where(jnp.arange(syms.shape[0]) >= nmask // 2,
-                         mask, False)
-        s = self.wf.symbols
-        d2 = jnp.min(jnp.abs(syms[..., None] - s) ** 2, axis=-1)
-        p_ref = jnp.mean(jnp.abs(s) ** 2)
-        ev = jnp.sqrt(jnp.sum(jnp.where(tail, d2, 0.0))
-                      / (jnp.maximum(jnp.sum(tail), 1) * p_ref))
-        return bits, syms, mask, ev
+        return bits, syms, mask, _tail_evm(syms, mask, self.wf)
