@@ -82,10 +82,19 @@ class Chain(Block):
 
     def init_for(self, x: jax.Array) -> State:
         # delegate so members that batch state by input shape/dtype
-        # (Fir, IirFrame, ...) get a correctly shaped state.  Sample-rate
-        # changes inside the chain don't matter here: init_for only uses
-        # batch shape / dtype, which rate changes preserve.
-        return tuple(b.init_for(x) for b in self.blocks)
+        # (Fir, IirFrame, ...) get a correctly shaped state — and
+        # propagate each member's OUTPUT shape/dtype to the next member's
+        # init (a dtype-changing stage, e.g. a discriminator, would
+        # otherwise hand its successor a wrongly typed state).  The
+        # propagation uses eval_shape: nothing runs.
+        states = []
+        xl = x
+        for b in self.blocks:
+            s = b.init_for(xl)
+            states.append(s)
+            out = jax.eval_shape(b.step, s, xl)[1]
+            xl = jnp.zeros(out.shape, out.dtype)
+        return tuple(states)
 
     def step(self, state: State, x: jax.Array):
         new_states = []
@@ -137,7 +146,10 @@ def stream(block: Block, x: jax.Array, block_size: int):
         state, yb = block.step(state, xb)
         return state, yb
 
-    state, ys = jax.lax.scan(body, block.init(), chunks)
+    # init_for, not init: blocks whose state depends on the input dtype
+    # or batch shape (Fir on complex input, ...) would otherwise change
+    # the scan carry type after one step
+    state, ys = jax.lax.scan(body, block.init_for(x[:block_size]), chunks)
     y = ys.reshape(-1, *ys.shape[2:])
     if n < x.shape[0]:
         state, yt = block.step(state, x[n:])

@@ -85,6 +85,7 @@ class StreamRunner:
         self._pending: deque = deque()
         self._out: list = []
         self._y_is_planes = False   # set at trace time by _body
+        self._nsub = 0              # blocks dispatched
 
     # ------------------------------------------------------------- core
 
@@ -104,12 +105,16 @@ class StreamRunner:
             self._out.append(y)
 
     def _submit(self, xb: np.ndarray):
+        # NOTE: dispatch is async — a per-block timer here would measure
+        # dispatch latency, not device compute.  Honest throughput is
+        # wall-clock over the whole stream: run() wraps the loop in the
+        # monitor; push()-driven callers can do the same.
         xd = self._host_to_planes(xb)
-        with self.monitor.scope(self.block_len):
-            if self._state is None:
-                self._state, y = self._init_step(self.block, xd)
-            else:
-                self._state, y = self._step(self.block, self._state, xd)
+        if self._state is None:
+            self._state, y = self._init_step(self.block, xd)
+        else:
+            self._state, y = self._step(self.block, self._state, xd)
+        self._nsub += 1
         self._pending.append(y)
         while len(self._pending) >= self.depth:
             self._emit(self._pending.popleft())
@@ -122,8 +127,11 @@ class StreamRunner:
         space) — oversize chunks are never silently truncated."""
         x = np.ascontiguousarray(x)
         off = 0
+        cap = self._rb.capacity
         while off < len(x):
-            acc = self._rb.push(x[off:])
+            # slice capped at ring capacity (push converts its whole
+            # argument before storing — see Rebuffer.push)
+            acc = self._rb.push(x[off: off + cap])
             off += acc
             progressed = False
             while True:
@@ -150,10 +158,15 @@ class StreamRunner:
 
     def run(self, source: Iterable[np.ndarray]) -> Optional[np.ndarray]:
         """Consume an iterable of sample arrays (e.g. an IqFileReader).
-        Returns the concatenated output when no sink was given."""
+        Returns the concatenated output when no sink was given.  The
+        monitor records wall-clock over the whole drained stream — the
+        honest throughput under async double buffering."""
+        n0 = self._nsub
+        self.monitor.start()
         for chunk in source:
             self.push(chunk)
         self.drain()
+        self.monitor.stop(samples=(self._nsub - n0) * self.block_len)
         if self.sink is None and self._out:
             out = np.concatenate(self._out, axis=-1)
             self._out = []

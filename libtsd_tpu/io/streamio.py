@@ -163,8 +163,12 @@ class Rebuffer:
         # ring space is NOT silently truncated
         x = np.asarray(x)
         off = 0
+        cap = self.rb.capacity
         while off < len(x):
-            acc = self.rb.push(x[off:])
+            # cap the slice at ring capacity: RingBuffer.push converts
+            # its whole argument before storing, so feeding the full
+            # remaining tail each iteration would be O(n^2/capacity)
+            acc = self.rb.push(x[off: off + cap])
             off += acc
             drained = False
             while True:

@@ -15,6 +15,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from flax import struct
+
 from ..block import Block
 from ..config import complex_dtype, real_dtype
 
@@ -69,7 +71,7 @@ def sigsquare(p: int, n: int) -> jax.Array:
 def sigsawtooth(p: int, n: int) -> jax.Array:
     """Sawtooth, period p, -1..1 (parity: sigscie, tsd.hpp:1208)."""
     k = jnp.arange(n)
-    ph = (k % p).astype(real_dtype) / (p - 1)
+    ph = (k % p).astype(real_dtype) / max(p - 1, 1)
     return 2.0 * ph - 1.0
 
 
@@ -93,7 +95,7 @@ def siggsin(f: float, n: int, a: float = 10.0) -> jax.Array:
 def sigchirp(f0: float, f1: float, n: int, mode: str = "l") -> jax.Array:
     """Linear ('l') or quadratic ('q') chirp: x_k = cos(2*pi*cumsum(f_k))
     (parity: tsd.hpp:1297, instantaneous frequency swept f0 -> f1)."""
-    k = _k(n) / (n - 1)
+    k = _k(n) / max(n - 1, 1)
     if mode == "l":
         f = f0 + (f1 - f0) * k
     elif mode == "q":
@@ -263,9 +265,12 @@ def sinc(x):
 
 
 def nco_phase(freq: jax.Array, n: int, phase0: jax.Array = 0.0) -> jax.Array:
-    """Phase ramp 2*pi*f*k + phase0, wrapped — building block for oscillators."""
+    """Phase ramp 2*pi*f*k + phase0, wrapped — building block for
+    oscillators.  The ramp is reduced in CYCLES before scaling to radians
+    (an unreduced float32 radian ramp loses ~0.1 rad by k ~ 1e6)."""
     k = jnp.arange(n, dtype=real_dtype)
-    return wrap_pm_pi(phase0 + 2 * jnp.pi * freq * k)
+    cyc = jnp.mod(jnp.asarray(freq, real_dtype) * k, 1.0)
+    return wrap_pm_pi(phase0 + 2 * jnp.pi * cyc)
 
 
 class NCO(Block):
@@ -280,24 +285,33 @@ class NCO(Block):
     dummy array; more usefully, use :meth:`gen` with a static n.
     """
 
-    freq: jax.Array  # normalized frequency, scalar
+    # STATIC frequency (host float64): the per-block phase increment
+    # (freq * n) mod 1 is then computed exactly at trace time — the
+    # actual no-drift guarantee.  (A traced float32 frequency cannot
+    # reduce freq*n mod 1 without ~1e-5-cycle/block systematic drift.)
+    freq: float = struct.field(pytree_node=False, default=0.0)
 
     @classmethod
     def create(cls, freq: float) -> "NCO":
-        return cls(freq=jnp.asarray(freq, real_dtype))
+        return cls(freq=float(freq))
 
     def init(self):
         return jnp.zeros((), real_dtype)  # current phase in radians
 
     def gen(self, state, n: int):
+        # in-block ramp reduced in CYCLES (mod 1) — an unreduced
+        # 2*pi*f*k float32 ramp drifts ~0.5 rad per 1e7 samples
         k = jnp.arange(n, dtype=real_dtype)
-        ph = state + 2 * jnp.pi * self.freq * k
-        new_state = wrap_pm_pi(state + 2 * jnp.pi * self.freq * n)
+        cyc = jnp.mod(jnp.asarray(self.freq, real_dtype) * k, 1.0)
+        ph = state + 2 * jnp.pi * cyc
+        new_state = wrap_pm_pi(
+            state + jnp.asarray(2 * jnp.pi * ((self.freq * n) % 1.0),
+                                real_dtype))
         return new_state, jnp.exp(1j * ph).astype(complex_dtype)
 
     def step(self, state, x):
         """Mix input with the oscillator (x * exp(i*phase)) — the typical
         downconversion use; produces same-length output."""
-        n = x.shape[-1] if x.ndim else 0
+        assert x.ndim >= 1, "NCO.step mixes a sample block, not a scalar"
         state, lo = self.gen(state, x.shape[-1])
         return state, x * lo

@@ -20,7 +20,16 @@ __all__ = ["save_state", "load_state", "state_bytes", "state_from_bytes"]
 
 def _flatten(state) -> dict:
     leaves, treedef = jax.tree.flatten(state)
-    out = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    out = {}
+    for i, l in enumerate(leaves):
+        if jax.numpy.iscomplexobj(l):
+            # move complex leaves as re/im PLANES: a raw complex
+            # device<->host transfer is UNIMPLEMENTED on some TPU
+            # runtimes (see config.to_ri)
+            from ..config import to_ri
+            out[f"leaf_{i}__ri"] = np.asarray(jax.jit(to_ri)(l))
+        else:
+            out[f"leaf_{i}"] = np.asarray(l)
     out["__treedef__"] = np.frombuffer(
         repr(treedef).encode(), dtype=np.uint8)
     return out
@@ -42,8 +51,24 @@ def load_state(path: str, like: Any) -> Any:
 
 def state_from_npz(data, like: Any) -> Any:
     leaves, treedef = jax.tree.flatten(like)
+    # structural check: a 'like' with coincidentally matching leaf shapes
+    # but different structure would otherwise silently mis-assign state
+    if "__treedef__" in data:
+        saved = bytes(data["__treedef__"]).decode()
+        if saved != repr(treedef):
+            raise ValueError(
+                "checkpoint tree structure does not match 'like':\n"
+                f"  saved: {saved}\n  like:  {treedef!r}")
     new_leaves = []
     for i, l in enumerate(leaves):
+        if f"leaf_{i}__ri" in data:
+            from ..config import from_ri
+            planes = jax.numpy.asarray(data[f"leaf_{i}__ri"])
+            arr = jax.jit(from_ri)(planes)
+            assert arr.shape == tuple(np.shape(l)), \
+                f"leaf {i}: shape {arr.shape} != expected {np.shape(l)}"
+            new_leaves.append(arr)
+            continue
         arr = data[f"leaf_{i}"]
         assert arr.shape == tuple(np.shape(l)), \
             f"leaf {i}: shape {arr.shape} != expected {np.shape(l)}"

@@ -55,15 +55,26 @@ class Monitor:
         self._t0 = None
 
     @contextlib.contextmanager
-    def scope(self, samples: int = 0, sync: Optional[jax.Array] = None):
-        """Context manager; pass a result array as ``sync`` to
-        block_until_ready before stopping (honest device timing)."""
+    def scope(self, samples: int = 0):
+        """Context manager yielding a holder: call ``holder.sync(y)`` on
+        the result produced INSIDE the scope to block_until_ready before
+        the timer stops (honest device timing — without it, JAX's async
+        dispatch returns immediately and the scope measures dispatch
+        latency, not compute)."""
+        class _Holder:
+            _y = None
+
+            def sync(self, y):
+                self._y = y
+                return y
+
+        h = _Holder()
         self.start()
         try:
-            yield
+            yield h
         finally:
-            if sync is not None:
-                jax.block_until_ready(sync)
+            if h._y is not None:
+                jax.block_until_ready(h._y)
             self.stop(samples)
 
 

@@ -177,7 +177,11 @@ def test_stream_runner_matches_oneshot_real():
     assert runner.residual == 1000 - 768
     ref = np.asarray(fir_filter(h, x[:768]))
     assert np.max(np.abs(out - ref)) < 1e-4
-    assert runner.monitor.stats.count == 3
+    # the monitor records one wall-clock interval per run() (per-block
+    # timers under async dispatch measured only dispatch latency);
+    # samples still counts the dispatched work
+    assert runner.monitor.stats.count == 1
+    assert runner.monitor.stats.samples == 768
     assert runner.monitor.stats.samples == 768
 
 
