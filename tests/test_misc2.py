@@ -107,6 +107,36 @@ def test_checkpoint_roundtrip(tmp_path):
     assert np.array_equal(np.asarray(y2a), np.asarray(y2b))
 
 
+def test_checkpoint_complex_state_as_planes(tmp_path):
+    """Complex leaves are saved/restored as re/im planes (raw complex
+    host<->device transfers are UNIMPLEMENTED on some TPU runtimes) and
+    a mismatched tree structure is rejected."""
+    import pytest
+    from libtsd_tpu.ops import filter_rt as FR
+    from libtsd_tpu.ops import fir_design as FD
+    h = FD.fir_lowpass(17, 0.2)
+    blk = FR.Fir.create(h)
+    rng = np.random.default_rng(3)
+    xc = jnp.asarray(rng.standard_normal(128)
+                     + 1j * rng.standard_normal(128), jnp.complex64)
+    st = blk.init_for(xc)
+    st, _ = blk.step(st, xc)
+    path = str(tmp_path / "cstate.npz")
+    CKPT.save_state(path, st)
+    # no raw complex array inside the file
+    raw = np.load(path)
+    assert all(not np.iscomplexobj(raw[k]) for k in raw.files)
+    st2 = CKPT.load_state(path, blk.init_for(xc))
+    x2 = jnp.asarray(rng.standard_normal(128), jnp.float32).astype(
+        jnp.complex64)
+    _, ya = blk.step(st, x2)
+    _, yb = blk.step(st2, x2)
+    assert np.allclose(np.asarray(ya), np.asarray(yb))
+    # structural mismatch detected
+    with pytest.raises(ValueError):
+        CKPT.load_state(path, (st,))
+
+
 def test_checkpoint_bytes_roundtrip():
     state = {"a": jnp.arange(5.0), "b": (jnp.zeros(3), jnp.ones((2, 2)))}
     b = CKPT.state_bytes(state)

@@ -121,6 +121,25 @@ def test_nco_continuity():
     check_max_error(got, full, 1e-3)
 
 
+def test_nco_no_drift_long_stream():
+    """Regression: the NCO accumulated unwrapped float32 radians (drift
+    ~0.5 rad per 1e7 samples); with the static frequency + wrapped-cycle
+    ramps the phase after thousands of blocks stays within float32 noise
+    of the exact value."""
+    f = 0.12345678
+    nco = S.NCO.create(f)
+    st = nco.init()
+    nblk, blk = 2000, 4096
+    for _ in range(nblk):
+        st, _ = nco.gen(st, blk)
+    # exact end phase (float64 host), wrapped to [-pi, pi)
+    exact = 2 * np.pi * ((f * nblk * blk) % 1.0)
+    exact = (exact + np.pi) % (2 * np.pi) - np.pi
+    err = abs(float(st) - exact)
+    err = min(err, 2 * np.pi - err)
+    assert err < 1e-2, err
+
+
 def test_freq_estim():
     n = 1024
     f0 = 0.12345
