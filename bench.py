@@ -127,5 +127,23 @@ def measure_cpu_baseline(h: np.ndarray) -> float:
     return N / best / 1e6
 
 
+def _device_reachable(timeout_s: float = 180.0) -> bool:
+    """Probe jax.devices() in a subprocess with a bounded timeout: a dead
+    remote-compile tunnel otherwise hangs indefinitely and would eat the
+    caller's whole time budget instead of failing fast."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 if __name__ == "__main__":
+    if not _device_reachable():
+        print("bench: device backend unreachable (remote tunnel down?) — "
+              "failing fast instead of hanging", file=sys.stderr)
+        sys.exit(3)
     main()
