@@ -1,9 +1,13 @@
 """Blind QAM-16 RX channel-scaling bench on real TPU.
 
-The single-scan pointer demod (models/demod_dec2.py) is bound by its
-sequential symbol-rate scan, not by per-channel VPU work — so aggregate
-Msamples/s should rise ~linearly with the channel count C until the VPU
-lanes saturate.  This measures that curve (TODO.md round-3 worklist).
+Round-2 result (NEGATIVE, recorded in TODO.md): the symbol-rate pointer
+demod (models/demod_dec2.py) is gather-bound when vmapped over channels
+— aggregate was FLAT at 14.7/15.7/16.5 Msamp/s for C=256/1024/4096.
+
+Round 3 adds the sub-block demod (models/demod_sb.py): ONE gather per S
+symbols + dense intra-block math + sub-block-rate loop updates.  This
+A/Bs both paths over the channel count (VERDICT round-3 item 1: done =
+aggregate grows >=3x from C=256 to C=4096 at matching EVM).
 
 Run: python benchmarks/tpu_qam_bench.py   (needs the axon TPU tunnel)
 """
@@ -21,6 +25,7 @@ import numpy as np
 from libtsd_tpu.models import waveform as WF
 from libtsd_tpu.models.demod_dec import DecDemodConfig
 from libtsd_tpu.models.demod_dec2 import DecisionDemod2
+from libtsd_tpu.models.demod_sb import DecisionDemodSB, SBDemodConfig
 from libtsd_tpu.models.modulator import ModConfig, Modulator
 from libtsd_tpu.models.bitstream import randbits
 
@@ -47,12 +52,15 @@ def make_signal(C: int) -> jax.Array:
     return gen()
 
 
-def bench(C: int, reps: int = 3) -> float:
-    wf = WF.wf_qam(16, WF.PulseShape.rcs(0.25))
-    dd = DecisionDemod2.create(wf, DecDemodConfig(osf=OSF))
+def bench(dd, C: int, reps: int = 3, batched: bool = False):
     x = make_signal(C)
-    step = jax.jit(jax.vmap(dd.step))
-    st = jax.jit(lambda: jax.vmap(lambda _: dd.init())(jnp.arange(C)))()
+    if batched:
+        # natively batched step: zero per-channel gathers (demod_sb.py)
+        step = jax.jit(dd.step)
+        st = jax.jit(dd.init_for)(x)
+    else:
+        step = jax.jit(jax.vmap(dd.step))
+        st = jax.jit(lambda: jax.vmap(lambda _: dd.init())(jnp.arange(C)))()
     st, out = step(st, x)
     jax.block_until_ready(out)
     best = float("inf")
@@ -61,15 +69,43 @@ def bench(C: int, reps: int = 3) -> float:
         _, out = step(st, x)
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
-    return C * N / best / 1e6
+    # EVM sanity on the run (tail symbols), computed fully inside jit
+    # (axon: no eager complex ops / transfers)
+    syms = out[1]
+
+    @jax.jit
+    def tail_evm(w, s):
+        sym = w.symbols
+        t = s[:, s.shape[1] // 2:]
+        d2 = jnp.min(jnp.abs(t[..., None] - sym) ** 2, axis=-1)
+        return jnp.sqrt(jnp.mean(d2) / jnp.mean(jnp.abs(sym) ** 2))
+
+    e = float(jax.device_get(tail_evm(dd.wf, syms)))
+    return C * N / best / 1e6, e
 
 
 def main():
+    wf = WF.wf_qam(16, WF.PulseShape.rcs(0.25))
     print("devices:", jax.devices())
-    for C in (256, 1024, 4096):
-        r = bench(C)
-        print(f"C={C:5d}: {r:10.1f} Msamp/s aggregate "
-              f"({r / 4:.1f} Msym/s, {r / C * 1e3:.1f} ksamp/s/chan)")
+    variants = [
+        ("dd2 (symbol-rate)", DecisionDemod2.create(
+            wf, DecDemodConfig(osf=OSF)), False),
+        ("sb S=16 vmap", DecisionDemodSB.create(
+            wf, SBDemodConfig(osf=OSF, S=16)), False),
+        ("sb S=16 batched", DecisionDemodSB.create(
+            wf, SBDemodConfig(osf=OSF, S=16)), True),
+        ("sb S=32 batched", DecisionDemodSB.create(
+            wf, SBDemodConfig(osf=OSF, S=32, tc=64.0, BL=0.0025)), True),
+    ]
+    want = sys.argv[1] if len(sys.argv) > 1 else ""
+    for name, dd, batched in variants:
+        if want and want not in name:
+            continue
+        for C in (256, 1024, 4096):
+            r, e = bench(dd, C, batched=batched)
+            print(f"{name:18s} C={C:5d}: {r:10.1f} Msamp/s aggregate "
+                  f"({r / C * 1e3:8.1f} ksamp/s/chan)  tail_evm={e:.4f}",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["cmp_bits", "cmp_bits_psk", "ber_count"]
+__all__ = ["cmp_bits", "cmp_bits_psk", "cmp_bits_rot", "ber_count"]
 
 
 def _align_bits(a: np.ndarray, b: np.ndarray, max_lag: int = 256):
@@ -73,4 +73,29 @@ def cmp_bits_psk(tx: jax.Array, rx: jax.Array, k: int,
         ber, errs, lag = cmp_bits(a, jnp.asarray(rb), max_lag)
         if ber < best[0]:
             best = (ber, errs, lag)
+    return best
+
+
+def cmp_bits_rot(tx: jax.Array, rx_syms: np.ndarray, wf,
+                 max_lag: int = 256,
+                 rotations: int = 4) -> Tuple[float, int, int]:
+    """Resolve the GEOMETRIC rotational ambiguity of a blind carrier
+    loop on an arbitrary constellation (e.g. Gray-mapped square QAM,
+    where a 90-degree lock is NOT an index rotation, so cmp_bits_psk
+    cannot undo it): rotate the received symbols by each multiple of
+    2*pi/rotations, re-decide on wf, and keep the best bit alignment.
+
+    rx_syms: converged received symbols (host array, already masked).
+    Returns (ber, nerrs, lag) of the best rotation."""
+    from .waveform import symbol_indices_to_bits
+    k = wf.info.k
+    s = np.asarray(rx_syms)
+    best = (1.0, 1 << 30, 0)
+    for r in range(rotations):
+        sr = jnp.asarray(s * np.exp(2j * np.pi * r / rotations))
+        idx = wf.closest(sr)
+        rb = symbol_indices_to_bits(idx, k)
+        out = cmp_bits(tx, rb, max_lag)
+        if out[0] < best[0]:
+            best = out
     return best

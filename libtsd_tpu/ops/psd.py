@@ -20,7 +20,7 @@ from .window import window as _window
 
 __all__ = [
     "psd_freqs", "psd", "psd_welch", "periodogram_dft", "spectrogram",
-    "freq_estim",
+    "freq_estim", "periodogram_cqt",
 ]
 
 
@@ -124,3 +124,27 @@ def freq_estim(x: jax.Array, method: str = "candan2") -> jax.Array:
         raise ValueError(f"unknown method {method!r}")
     # wrap to [-1/2, 1/2)
     return jnp.mod(f + 0.5, 1.0) - 0.5
+
+
+def periodogram_cqt(x: jax.Array, fs: float, fmin: float, fmax: float,
+                    gamma: float = 2 ** (1 / 12), ofs: float = 0.0):
+    """Constant-Q time/frequency matrix (parity: periodogramme_cqt,
+    core/src/fourier/cqt.cc:461-476, fourier.hpp:958-977): run the
+    streaming decimated CQT and resample its irregular per-bin outputs
+    onto a regular grid at output rate ``ofs`` (default fs/256).
+
+    Returns (t_seconds, freqs_hz, A[nframes, nbins])."""
+    from ..block import safe_pad
+    from .cqt import cqt_interpolate, cqt_stream, cqt_stream_kernel
+    if ofs <= 0:
+        ofs = fs / 256.0
+    K = cqt_stream_kernel(fmin / fs, fmax / fs, gamma)
+    hop = K.N // 2
+    n = x.shape[-1]
+    npad = (-n) % hop
+    if npad:
+        x = safe_pad(x, 0, npad, axis=-1)
+    times, mags, valid = cqt_stream(jnp.real(x), K)
+    hop_out = max(1, int(round(fs / ofs)))
+    grid, freqs, A = cqt_interpolate(times, mags, valid, K, hop_out)
+    return grid / fs, freqs * fs, A
