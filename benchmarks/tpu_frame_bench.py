@@ -1,0 +1,133 @@
+"""Frame receiver steady-state throughput on real TPU (VERDICT r3 item 2).
+
+Round-2 state: ~32 ms per 4096-sample block single-channel (~0.13 Msps).
+This measures the per-block step (jit-cached) at several block sizes and
+channel batchings, with a front/extract stage split, to find where the
+time goes and prove the >=10 Msamp/s/chip target.
+
+Run: python benchmarks/tpu_frame_bench.py   (needs the axon TPU tunnel)
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libtsd_tpu.models import waveform as WF
+from libtsd_tpu.models.bitstream import randbits
+from libtsd_tpu.models.detector import DetectorConfig
+from libtsd_tpu.models.frame import FrameFormat, Receiver, Transmitter
+from libtsd_tpu.models.modulator import ModConfig
+
+
+def make_setup():
+    wf = WF.wf_qpsk(WF.PulseShape.rcs(0.25))
+    mc = ModConfig(wf=wf, fe=4.0, fsymb=1.0)
+    hdr = np.asarray(randbits(jax.random.PRNGKey(42), 64))
+    fmt = FrameFormat(modulation=mc,
+                      header_bits=tuple(int(b) for b in hdr),
+                      payload_bits=256)
+    return fmt
+
+
+def make_stream(fmt, C: int, n: int):
+    """(C, n) stream with one frame per ~1024 samples + noise, built on
+    device inside one jit (axon: no eager ops / complex transfers)."""
+    tx = Transmitter.create(fmt)
+
+    @jax.jit
+    def gen(t):
+        payload = randbits(jax.random.PRNGKey(1), 256)
+        frame = t.transmit(payload)
+        x = 0.02 * (jax.random.normal(jax.random.PRNGKey(2), (C, n))
+                    + 1j * jax.random.normal(jax.random.PRNGKey(3), (C, n))
+                    ).astype(jnp.complex64)
+        L = frame.shape[0]
+        for pos in range(100, n - L - 64, 1024):
+            x = x.at[:, pos:pos + L].add(frame[None, :])
+        return x
+
+    return gen(tx)
+
+
+def bench(C: int, n: int, reps: int = 3):
+    fmt = make_setup()
+    rx = Receiver.create(fmt, DetectorConfig(threshold=0.5))
+    n = max(rx.det.Ne, (n // rx.det.Ne) * rx.det.Ne)  # OLA granularity
+    x = make_stream(fmt, C, n)
+
+    # axon: eager ops are UNIMPLEMENTED — init under jit, rx as pytree arg
+    if C == 1:
+        step = jax.jit(lambda r, s, xx: Receiver.step(r, s, xx))
+        st = jax.jit(type(rx).init)(rx)
+        xx = x[0]
+    else:
+        step = jax.jit(jax.vmap(Receiver.step, in_axes=(None, 0, 0)),
+                       static_argnums=())
+        st = jax.jit(lambda r: jax.vmap(
+            lambda _: r.init())(jnp.arange(C)))(rx)
+        xx = x
+    st2, frames = step(rx, st, xx)
+    jax.block_until_ready(frames.bits)
+    # STREAMING throughput: chain K state-dependent steps, sync once.
+    # (A single synchronous call measures the axon tunnel round-trip
+    # latency ~25 ms, not device occupancy: 8 async steps complete in
+    # the same 25 ms.  Serving pipelines blocks, so pipelined time/step
+    # is the honest metric.)
+    K = 16
+    best = float("inf")
+    for _ in range(reps):
+        s = st
+        t0 = time.perf_counter()
+        for _ in range(K):
+            s, frames = step(rx, s, xx)
+        jax.block_until_ready(frames.bits)
+        best = min(best, (time.perf_counter() - t0) / K)
+    nval = int(np.asarray(jnp.sum(frames.valid)))
+    return C * n / best / 1e6, best, nval
+
+
+def bench_stages(n: int, reps: int = 3):
+    """Single-channel stage split: detector front end vs frame extract."""
+    fmt = make_setup()
+    rx = Receiver.create(fmt, DetectorConfig(threshold=0.5))
+    n = max(rx.det.Ne, (n // rx.det.Ne) * rx.det.Ne)
+    x = make_stream(fmt, 1, n)[0]
+    front = jax.jit(lambda r, s, xx: Receiver._front(r, s, xx))
+    extract = jax.jit(lambda r, b, d: Receiver._extract_all(r, b, d))
+    st = jax.jit(type(rx).init)(rx)
+    st2, dets, buf = front(rx, st, x)
+    frames = extract(rx, buf, dets)
+    jax.block_until_ready(frames.bits)
+    tf = te = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _, dets, buf = front(rx, st, x)
+        jax.block_until_ready(dets.position)
+        tf = min(tf, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        frames = extract(rx, buf, dets)
+        jax.block_until_ready(frames.bits)
+        te = min(te, time.perf_counter() - t0)
+    return tf, te
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    tf, te = bench_stages(4096)
+    print(f"stage split @4096 x1: front={tf * 1e3:.2f} ms "
+          f"extract={te * 1e3:.2f} ms")
+    for C, n in ((1, 4096), (1, 16384), (16, 4096), (64, 4096),
+                 (64, 16384), (256, 16384)):
+        r, t, nval = bench(C, n)
+        print(f"C={C:4d} n={n:6d}: {r:9.1f} Msamp/s  "
+              f"({t * 1e3:7.2f} ms/step, {nval} frames)")
+
+
+if __name__ == "__main__":
+    main()

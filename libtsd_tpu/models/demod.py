@@ -68,6 +68,10 @@ class DemodConfig:
     ncoefs_mf: int = 0
     clock_rec: ClockRecConfig = None
     carrier: CpllConfig = None
+    # False = skip the carrier PLL (parity: bench_recepteur's
+    # carrier_rec_bl=0, test-telecom.cc:768 — TX/RX phase-aligned
+    # simulations measure matched-filter + clock-recovery loss only)
+    carrier_active: bool = True
     architecture: str = "ndec"   # 'ndec' | 'dec'
 
     @property
@@ -156,7 +160,7 @@ class Demodulator(Block):
         syms = syms * (rms_ref / jnp.sqrt(power + 1e-20))
         # (6) carrier recovery (not needed for FSK); the loop freezes on
         # the zero-padded invalid slots of the clock-recovery output
-        if not self.wf.info.is_fsk:
+        if not self.wf.info.is_fsk and cfg.carrier_active:
             st["pll"], syms = self.pll.step(st["pll"], syms, valid=mask)
         # (7) decisions; rotating constellations carry the rotation parity
         # across blocks (detected once, then advanced by the number of

@@ -32,7 +32,7 @@ from .modulator import ModConfig, Modulator
 from .waveform import Waveform, symbol_indices_to_bits
 
 __all__ = ["FrameFormat", "Transmitter", "Receiver", "FrameRx",
-           "MonitoredReceiver"]
+           "MonitoredReceiver", "StreamReceiver"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -324,6 +324,62 @@ class Receiver(Block):
 # module-level jit of Receiver.step with the receiver as a pytree argument
 # (closure capture would embed device constants — see Receiver.create note)
 _STEP_JIT = jax.jit(lambda rx, state, x: Receiver.step(rx, state, x))
+
+
+class StreamReceiver:
+    """Any-push-size streaming front around :class:`Receiver` (parity:
+    the reference receiver's internal re-blocking, recepteur.cc:404-650
+    via tampon_création, tsd.cc:303-386).
+
+    The jitted per-block step needs static block shapes and the
+    detector's OLA granularity (a multiple of ``det.Ne``); this wrapper
+    owns that constraint so callers can ``push()`` chunks of ANY size.
+    Internally a native ring buffer re-blocks to ``block_len`` and each
+    full block runs through the jit-cached ``Receiver.step_jit``.
+
+    Frames are delivered to the callback (host pytrees, one per valid
+    slot) and counted; ``flush()`` pads the residue with zeros to emit
+    trailing detections."""
+
+    def __init__(self, rx: Receiver, block_len: int = 0, callback=None):
+        from ..io.streamio import Rebuffer
+        ne = rx.det.Ne
+        if block_len <= 0:
+            block_len = max(4096, rx.frame_len + 2 * rx.itp.K + ne)
+        # round up to detector granularity AND the receiver's minimum
+        nmin = rx.frame_len + 2 * rx.itp.K
+        block_len = max(block_len, nmin)
+        block_len = ((block_len + ne - 1) // ne) * ne
+        self.rx = rx
+        self.block_len = block_len
+        self.callback = callback
+        self.state = rx.init()
+        self.frames = []
+        self.nframes = 0
+        self._rb = Rebuffer(block_len, self._on_block, complex_iq=True)
+
+    def _on_block(self, blk):
+        self.state, frames = self.rx.step_jit(self.state,
+                                              jnp.asarray(blk))
+        valid = np.asarray(frames.valid)
+        for i in np.nonzero(valid)[0]:
+            fr = jax.tree_util.tree_map(lambda a, i=i: a[i], frames)
+            self.nframes += 1
+            if self.callback is not None:
+                self.callback(fr)
+            else:
+                self.frames.append(fr)
+
+    def push(self, x):
+        """Accept any number of samples; runs zero or more jitted block
+        steps."""
+        self._rb.push(np.asarray(x))
+
+    def flush(self):
+        """Zero-pad so any frame still inside the buffered residue (or
+        deferred at a block edge) is extracted."""
+        pad = self.block_len + self.rx.frame_len + 2 * self.rx.itp.K
+        self._rb.push(np.zeros(pad, np.complex64))
 
 
 class MonitoredReceiver:

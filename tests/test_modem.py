@@ -548,3 +548,34 @@ def test_detection_callback_surface():
                          DetectorConfig(threshold=0.6))
     assert [d["position"] for d in seen] == [400, 1900]
     assert all(d["score"] > 0.6 for d in seen)
+
+
+def test_stream_receiver_any_push_size(frame_setup):
+    """StreamReceiver (parity: the reference receiver's internal
+    re-blocking via tampon_création, tsd.cc:303-386): arbitrary push
+    sizes, multiple frames, zero-error decodes, flush() emits trailing
+    frames."""
+    from libtsd_tpu.models.frame import StreamReceiver
+    wf, fmt = frame_setup
+    tx = Transmitter.create(fmt)
+    payload = randbits(jax.random.PRNGKey(1), 256)
+    frame = np.asarray(tx.transmit(payload))
+    rng = np.random.default_rng(0)
+    stream = (0.01 * (rng.standard_normal(20000)
+                      + 1j * rng.standard_normal(20000))).astype(np.complex64)
+    for pos in (900, 5000, 13000):
+        stream[pos:pos + len(frame)] += frame
+    rx = Receiver.create(fmt, DetectorConfig(threshold=0.5))
+    sr = StreamReceiver(rx)
+    i = 0
+    for sz in (700, 1333, 4096, 2048, 977, 5000, 6000):
+        sr.push(stream[i:i + sz])
+        i += sz
+    sr.push(stream[i:])
+    sr.flush()
+    assert sr.nframes >= 3
+    clean = 0
+    for fr in sr.frames:
+        _, errs, _ = BER.cmp_bits(payload, jnp.asarray(fr.bits), 4)
+        clean += (errs == 0)
+    assert clean >= 3
