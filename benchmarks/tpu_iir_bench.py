@@ -35,6 +35,7 @@ def bench(step, state, x, reps: int = 5, K: int = 8) -> float:
 
 
 def main():
+    from libtsd_tpu.ops.pallas.iir import IirCascadePallas
     print("devices:", jax.devices())
     zpk = design_iir(2, "lp", "butterworth", 0.1)
     b, a = zpk.to_ba()
@@ -45,16 +46,33 @@ def main():
     frame = IirFrame.create(b, a)
     r_scan = bench(scan.step, scan.init_for(x), x)
     r_frame = bench(frame.step, frame.init_for(x), x)
+    casc = IirCascadePallas([(np.asarray(b), np.asarray(a))])
+    for tb in (32, 64, 128):
+        r_pl = bench(lambda s, xx, tb=tb: casc(xx, s, tb=tb)[::-1],
+                     casc.init(C), x)
+        print(f"  Pallas fused (tb={tb:3d}): {r_pl:10.1f} Msamp/s")
+    # 4th-order cascade (2 sections) through ONE kernel
+    from libtsd_tpu.ops.iir_design import zpk_to_sos
+    zpk4 = design_iir(4, "lp", "butterworth", 0.1)
+    sos, kk = zpk_to_sos(zpk4)
+    secs = [((sos[s, :3] * (kk if s == 0 else 1.0)), sos[s, 3:])
+            for s in range(sos.shape[0])]
+    casc4 = IirCascadePallas(secs)
+    r_c4 = bench(lambda s, xx: casc4(xx, s, tb=64)[::-1],
+                 casc4.init(C), x)
     print(f"order-2 Butterworth, C={C}, N={N}:")
     print(f"  Iir (per-sample scan):  {r_scan:10.1f} Msamp/s")
     print(f"  IirFrame (block SS):    {r_frame:10.1f} Msamp/s"
           f"   ({r_frame / r_scan:.1f}x)")
+    print(f"  Pallas 2-section (order 4) cascade: {r_c4:10.1f} Msamp/s")
 
-    # accuracy cross-check
+    # accuracy cross-check (incl. the Pallas kernel)
     s1, y1 = jax.jit(scan.step)(scan.init_for(x), x)
     s2, y2 = jax.jit(frame.step)(frame.init_for(x), x)
+    y3, _ = casc(x, None, tb=64)
     err = float(jnp.max(jnp.abs(y1 - y2)) / jnp.max(jnp.abs(y1)))
-    print(f"  max rel diff scan vs frame: {err:.2e}")
+    err3 = float(jnp.max(jnp.abs(y1 - y3)) / jnp.max(jnp.abs(y1)))
+    print(f"  max rel diff scan vs frame: {err:.2e}, vs pallas: {err3:.2e}")
 
 
 if __name__ == "__main__":
