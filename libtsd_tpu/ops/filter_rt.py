@@ -9,8 +9,9 @@ TPU design (not a port):
 * **FIR = banded Toeplitz matmul on the MXU.**  Frame the signal into rows of
   L=128 samples; then ``Y[r] = sum_d X[r-d] @ G_d`` where ``G_d[m, i] =
   h[d*L + i - m]`` are precomputed L x L tap matrices (D = ceil(K/L)+1 of
-  them).  All FLOPs land on the 128x128 systolic array; throughput is
-  HBM-bound, which is the roofline.  The reference's per-sample sliding
+  them).  All FLOPs land on the 128x128 systolic array and HBM traffic is
+  one pass over the signal (for the measured roofline analysis of the
+  fused form see docs/ROOFLINE.md).  The reference's per-sample sliding
   window loop (filtre-rt.cc:67-110) has no TPU equivalent worth keeping.
 * **Streaming state is explicit**: a FIR block carries the last K-1 input
   samples; an OLA block carries the overlap tail; IIR carries canonical
@@ -756,6 +757,10 @@ class OlaFft(Block):
         return cls(H_ri=to_ri(H), Ne=Ne, Nf=Nf, M=M, engine=engine,
                    complex_taps=bool(np.iscomplexobj(h)),
                    precision=precision)
+
+    @property
+    def uses_pallas(self) -> bool:
+        return self.engine == "pallas"
 
     def init(self):
         if self.engine == "pallas":

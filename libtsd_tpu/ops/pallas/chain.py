@@ -14,8 +14,13 @@ Per grid step (channel c, chunk f):
   3. |X|^2 accumulated into a per-channel (32,128) accumulator that stays
      resident in VMEM across chunks (output revisiting).
 
-HBM traffic: one read of x + one tiny write of spectra — the chain's
-roofline.
+HBM traffic: one read of x + one tiny write of spectra — the floor.  Note
+that minimal HBM traffic does NOT make the kernel HBM-bound: measured on
+v5e it runs at ~6-13% of the HBM roofline and ~40% of its MXU-issue
+roofline across precision tiers, bound by Mosaic's in-order MXU<->VPU
+dependency chain (the units' costs add instead of overlapping).  See
+docs/ROOFLINE.md for the full measured analysis, the marginal-cost model,
+and the three negative restructuring experiments.
 """
 from __future__ import annotations
 

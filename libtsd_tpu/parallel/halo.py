@@ -66,11 +66,13 @@ def sharded_fir(mesh: Mesh, block: Block, x: jax.Array,
         _, y = block.step(halo, xs)
         return y
 
-    # check_vma=False: blocks may contain pallas_call, which does not yet
-    # declare varying-mesh-axes metadata for shard_map's vma checker
+    # check_vma is disabled ONLY for Pallas-containing blocks (pallas_call
+    # does not yet declare varying-mesh-axes metadata); pure-XLA blocks keep
+    # shard_map's full sharding checker.
     fn = shard_map(local, mesh=mesh,
                    in_specs=P("chan", "time"),
-                   out_specs=P("chan", "time"), check_vma=False)
+                   out_specs=P("chan", "time"),
+                   check_vma=not block.uses_pallas)
     return fn(x)
 
 
@@ -85,9 +87,10 @@ def sharded_chain(mesh: Mesh, blocks_and_state_lens, x: jax.Array) -> jax.Array:
             _, xs = block.step(halo, xs)
         return xs
 
-    # check_vma=False: same reason as sharded_fir — chain members may
-    # contain pallas_call (e.g. the Pallas OLA engine)
+    # check_vma is disabled only when a chain member contains pallas_call
+    # (e.g. the Pallas OLA engine); all-XLA chains keep the checker.
+    any_pallas = any(b.uses_pallas for b, _ in blocks_and_state_lens)
     fn = shard_map(local, mesh=mesh,
                    in_specs=P("chan", "time"),
-                   out_specs=P("chan", "time"), check_vma=False)
+                   out_specs=P("chan", "time"), check_vma=not any_pallas)
     return fn(x)
