@@ -56,15 +56,18 @@ class StreamRunner:
 
         def _body(blk, state, x):
             state, y = blk.step(state, x)
-            if jax.numpy.iscomplexobj(y):
-                # record AT TRACE TIME that the output is re/im planes, so
-                # _emit re-assembles exactly (and only) converted outputs
-                # — a genuine real (2, N) output must NOT be fused into a
-                # bogus complex signal by shape guessing
-                self._y_is_planes = True
-                return state, to_ri(y)
-            self._y_is_planes = False
-            return state, y
+            # the output may be a single signal array OR a pytree (e.g. a
+            # frame Receiver emits a FrameRx of bits/symbols/detections).
+            # Record AT TRACE TIME which leaves are complex, so _emit
+            # re-assembles exactly (and only) converted leaves — a genuine
+            # real (2, N) output must NOT be fused into a bogus complex
+            # signal by shape guessing.  Complex leaves cross the device
+            # boundary as re/im planes (config.to_ri).
+            leaves, tdef = jax.tree.flatten(y)
+            flags = tuple(bool(jax.numpy.iscomplexobj(l)) for l in leaves)
+            self._y_tree = (tdef, flags)
+            return state, tuple(to_ri(l) if f else l
+                                for l, f in zip(leaves, flags))
 
         def step(blk, state, x_planes):
             x = from_ri(x_planes) if self.complex_in else x_planes
@@ -84,7 +87,7 @@ class StreamRunner:
         self._state = None
         self._pending: deque = deque()
         self._out: list = []
-        self._y_is_planes = False   # set at trace time by _body
+        self._y_tree = None         # (treedef, complex flags), set at trace
         self._nsub = 0              # blocks dispatched
 
     # ------------------------------------------------------------- core
@@ -96,9 +99,11 @@ class StreamRunner:
         return jax.device_put(np.asarray(xb, np.float32))
 
     def _emit(self, y_dev):
-        y = np.asarray(y_dev)            # sync point for THIS block only
-        if self._y_is_planes:
-            y = y[0] + 1j * y[1]
+        tdef, flags = self._y_tree
+        leaves = [np.asarray(l) for l in y_dev]  # sync THIS block only
+        leaves = [(l[0] + 1j * l[1]) if f else l
+                  for l, f in zip(leaves, flags)]
+        y = jax.tree.unflatten(tdef, leaves)
         if self.sink is not None:
             self.sink(y)
         else:
@@ -156,6 +161,74 @@ class StreamRunner:
         """Samples held back (< block_len) awaiting the next push."""
         return self._rb.available
 
+    # ------------------------------------------------- checkpoint/resume
+
+    def _state_like(self):
+        """Structure/shape template of the device state, without running
+        anything (eval_shape) — lets restore() validate a checkpoint on a
+        fresh runner that has not dispatched a block yet."""
+        shp = (2, self.block_len) if self.complex_in else (self.block_len,)
+        xs = jax.ShapeDtypeStruct(shp, np.float32)
+
+        def one(blk, xp):
+            x = from_ri(xp) if self.complex_in else xp
+            s, _ = blk.step(blk.init_for(x), x)
+            return s
+
+        return jax.eval_shape(one, self.block, xs)
+
+    def checkpoint(self, path: str) -> None:
+        """Serialize the FULL mid-stream serving state to ``path`` (.npz):
+        the block's device state pytree (complex leaves as re/im planes)
+        plus the host ring residue and the dispatch counter.  Pending
+        async steps are drained first, so the checkpoint is a consistent
+        cut: everything before it has been emitted, nothing after it has
+        been consumed.  Resuming via :meth:`restore` continues
+        bit-identically to the uninterrupted run (SURVEY §5.4; the
+        reference cannot do this — its filter state is hidden inside C++
+        objects, recepteur.cc)."""
+        import os
+        from ..utils.checkpoint import _flatten
+        self.drain()
+        if self._state is None:
+            raise RuntimeError("nothing dispatched yet — push first or "
+                               "checkpoint after restore+push")
+        d = _flatten(self._state)
+        res = self._rb.snapshot()
+        if self.complex_in:
+            d["__residue_ri__"] = np.stack([res.real.astype(np.float32),
+                                            res.imag.astype(np.float32)])
+        else:
+            d["__residue__"] = np.asarray(res, np.float32)
+        d["__nsub__"] = np.int64(self._nsub)
+        dirn = os.path.dirname(os.path.abspath(path))
+        os.makedirs(dirn, exist_ok=True)
+        np.savez(path, **d)
+
+    def restore(self, path: str) -> None:
+        """Load a :meth:`checkpoint` into this runner (same block +
+        block_len).  The device state is validated against the block's
+        state structure (treedef + leaf shapes) and re-assembled on device
+        (complex leaves from planes, inside jit — no complex host
+        transfer); the ring residue is re-queued."""
+        from ..utils.checkpoint import state_from_npz
+        data = np.load(path if path.endswith(".npz") else path + ".npz",
+                       allow_pickle=False)
+        like = self._state if self._state is not None else self._state_like()
+        self._state = state_from_npz(data, like)
+        self._rb = RingBuffer(max(8 * self.block_len, 1 << 16),
+                              complex_iq=self.complex_in)
+        if self.complex_in:
+            r = data["__residue_ri__"]
+            if r.shape[-1]:
+                self._rb.push((r[0] + 1j * r[1]).astype(np.complex64))
+        else:
+            r = data["__residue__"]
+            if r.shape[-1]:
+                self._rb.push(r)
+        self._nsub = int(data["__nsub__"])
+        self._pending.clear()
+
     def run(self, source: Iterable[np.ndarray]) -> Optional[np.ndarray]:
         """Consume an iterable of sample arrays (e.g. an IqFileReader).
         Returns the concatenated output when no sink was given.  The
@@ -168,7 +241,9 @@ class StreamRunner:
         self.drain()
         self.monitor.stop(samples=(self._nsub - n0) * self.block_len)
         if self.sink is None and self._out:
-            out = np.concatenate(self._out, axis=-1)
+            out = self._out
             self._out = []
-            return out
+            if all(isinstance(o, np.ndarray) for o in out):
+                return np.concatenate(out, axis=-1)
+            return out          # pytree outputs (e.g. FrameRx per block)
         return None

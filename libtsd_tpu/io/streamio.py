@@ -129,6 +129,19 @@ class RingBuffer:
         self._buf = np.concatenate([self._buf, acc])
         return len(acc)
 
+    def snapshot(self) -> np.ndarray:
+        """Non-destructively read the buffered residue in order (complex64
+        when complex_iq, else float32) — used by mid-stream checkpointing
+        (the samples are popped and immediately pushed back)."""
+        n = self.available
+        if n == 0:
+            return np.zeros(
+                0, np.complex64 if self.channels == 2 else np.float32)
+        out = self.pop_block(n)
+        acc = self.push(out)
+        assert acc == n, (acc, n)
+        return out
+
     def pop_block(self, n: int) -> Optional[np.ndarray]:
         """Pop exactly n samples or None (parity: tampon fixed-N blocks)."""
         if self._lib is not None:
@@ -182,11 +195,17 @@ class Rebuffer:
                     f"Rebuffer stalled: {len(x) - off} samples don't fit "
                     f"(capacity {self.rb.capacity}, N={self.N})")
 
+    def snapshot(self) -> np.ndarray:
+        """The < N samples awaiting the next full block (non-destructive)."""
+        return self.rb.snapshot()
+
 
 def cs16_to_cf32(raw: np.ndarray) -> np.ndarray:
-    """Interleaved int16 I/Q -> complex64 in [-1,1)."""
-    raw = np.ascontiguousarray(raw, np.int16)
-    n_iq = len(raw) // 2
+    """Interleaved int16 I/Q -> complex64 in [-1,1).  Accepts a flat
+    interleaved array or the (n_iq, 2) blocks IqFileReader emits (C-order
+    flattening of either IS the interleaved stream)."""
+    raw = np.ascontiguousarray(raw, np.int16).reshape(-1)
+    n_iq = raw.size // 2
     lib = _load()
     if lib is not None:
         out = np.empty(2 * n_iq, np.float32)
@@ -198,9 +217,10 @@ def cs16_to_cf32(raw: np.ndarray) -> np.ndarray:
 
 
 def cu8_to_cf32(raw: np.ndarray) -> np.ndarray:
-    """Interleaved uint8 (RTL-SDR) I/Q -> complex64."""
-    raw = np.ascontiguousarray(raw, np.uint8)
-    n_iq = len(raw) // 2
+    """Interleaved uint8 (RTL-SDR) I/Q -> complex64.  Accepts a flat
+    interleaved array or (n_iq, 2) IqFileReader blocks."""
+    raw = np.ascontiguousarray(raw, np.uint8).reshape(-1)
+    n_iq = raw.size // 2
     lib = _load()
     if lib is not None:
         out = np.empty(2 * n_iq, np.float32)

@@ -204,6 +204,14 @@ class Detector(Block):
             es2 = jnp.concatenate([es2, jnp.zeros(z, es2.dtype)])
         order = jnp.argsort(-masked)[:P]
         val = masked[order] > 0
+        # emit the selected peaks in TIME order (the reference reports
+        # detections in occurrence order; score order would scramble
+        # multi-frame blocks for serving consumers) — invalid slots sort
+        # to the end
+        tkey = jnp.where(val, epe[order], jnp.iinfo(jnp.int32).max)
+        reorder = jnp.argsort(tkey)
+        order = order[reorder]
+        val = val[reorder]
         c1o, s0o = ec1[order], es0[order]
         s1o, s2o = es1[order], es2[order]
 

@@ -341,7 +341,8 @@ class StreamReceiver:
     slot) and counted; ``flush()`` pads the residue with zeros to emit
     trailing detections."""
 
-    def __init__(self, rx: Receiver, block_len: int = 0, callback=None):
+    def __init__(self, rx: Receiver, block_len: int = 0, callback=None,
+                 monitor: bool = False):
         from ..io.streamio import Rebuffer
         ne = rx.det.Ne
         if block_len <= 0:
@@ -356,11 +357,27 @@ class StreamReceiver:
         self.state = rx.init()
         self.frames = []
         self.nframes = 0
+        # monitor=True steps through a MonitoredReceiver: the detection
+        # front end and the frame extraction run as separate jitted calls
+        # with per-stage wall-clock scopes (parity: RécepteurImpl
+        # moniteurs(), recepteur.cc:83-110) — slightly slower than the
+        # fused step_jit, so off by default
+        self._driver = MonitoredReceiver(rx) if monitor else None
         self._rb = Rebuffer(block_len, self._on_block, complex_iq=True)
 
+    def moniteurs(self):
+        """Per-stage monitor stats (requires monitor=True)."""
+        if self._driver is None:
+            return {}
+        return self._driver.moniteurs()
+
     def _on_block(self, blk):
-        self.state, frames = self.rx.step_jit(self.state,
-                                              jnp.asarray(blk))
+        if self._driver is not None:
+            self.state, frames = self._driver.step(self.state,
+                                                   jnp.asarray(blk))
+        else:
+            self.state, frames = self.rx.step_jit(self.state,
+                                                  jnp.asarray(blk))
         valid = np.asarray(frames.valid)
         for i in np.nonzero(valid)[0]:
             fr = jax.tree_util.tree_map(lambda a, i=i: a[i], frames)
@@ -380,6 +397,45 @@ class StreamReceiver:
         deferred at a block edge) is extracted."""
         pad = self.block_len + self.rx.frame_len + 2 * self.rx.itp.K
         self._rb.push(np.zeros(pad, np.complex64))
+
+    # ------------------------------------------------- checkpoint/resume
+    def checkpoint(self, path: str) -> None:
+        """Serialize the FULL mid-stream frame-RX serving state to
+        ``path`` (.npz): the receiver's device state pytree (detector OLA
+        tail, deferred block-edge detections, extraction history buffer,
+        complex leaves as re/im planes), the host ring residue, and the
+        frame counter.  Resuming with :meth:`restore` continues
+        bit-identically to the uninterrupted run (tests/test_serving.py)
+        — the reference cannot checkpoint at all: its receiver state is
+        hidden inside C++ objects (recepteur.cc; SURVEY §5.4)."""
+        import os
+        from ..utils.checkpoint import _flatten
+        d = _flatten(self.state)
+        res = self._rb.snapshot()
+        d["__residue_ri__"] = np.stack([res.real.astype(np.float32),
+                                        res.imag.astype(np.float32)])
+        d["__nframes__"] = np.int64(self.nframes)
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        np.savez(path, **d)
+
+    def restore(self, path: str) -> None:
+        """Load a :meth:`checkpoint` into this StreamReceiver (same
+        Receiver config + block_len).  The state is validated against the
+        receiver's state structure (treedef + leaf shapes) and complex
+        leaves are re-assembled on device inside jit; the ring residue is
+        re-queued so the next push continues exactly where the
+        checkpointed stream stopped."""
+        from ..io.streamio import Rebuffer
+        from ..utils.checkpoint import state_from_npz
+        data = np.load(path if path.endswith(".npz") else path + ".npz",
+                       allow_pickle=False)
+        self.state = state_from_npz(data, self.state)
+        self._rb = Rebuffer(self.block_len, self._on_block, complex_iq=True)
+        r = data["__residue_ri__"]
+        if r.shape[-1]:
+            self._rb.push((r[0] + 1j * r[1]).astype(np.complex64))
+        self.nframes = int(data["__nframes__"])
+        self.frames = []
 
 
 class MonitoredReceiver:
