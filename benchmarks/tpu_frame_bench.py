@@ -35,9 +35,10 @@ def make_setup():
     return fmt
 
 
-def make_stream(fmt, C: int, n: int):
-    """(C, n) stream with one frame per ~1024 samples + noise, built on
-    device inside one jit (axon: no eager ops / complex transfers)."""
+def make_stream(fmt, C: int, n: int, spacing: int = 8192):
+    """(C, n) stream with one frame per ``spacing`` samples + noise, built
+    on device inside one jit (axon: no eager ops / complex transfers).
+    Returns (x, frames_per_channel)."""
     tx = Transmitter.create(fmt)
 
     @jax.jit
@@ -48,18 +49,26 @@ def make_stream(fmt, C: int, n: int):
                     + 1j * jax.random.normal(jax.random.PRNGKey(3), (C, n))
                     ).astype(jnp.complex64)
         L = frame.shape[0]
-        for pos in range(100, n - L - 64, 1024):
+        cnt = 0
+        for pos in range(100, n - L - 64, spacing):
             x = x.at[:, pos:pos + L].add(frame[None, :])
-        return x
+            cnt += 1
+        return x, cnt
 
-    return gen(tx)
+    x, cnt = gen(tx)
+    return x, int(cnt)
 
 
-def bench(C: int, n: int, reps: int = 3):
+def bench(C: int, n: int, spacing: int = 8192, reps: int = 3):
+    """HONEST throughput: max_peaks is sized to the frame density so the
+    receiver must catch EVERY frame present (an earlier revision placed a
+    frame per 1024 samples against max_peaks=4, silently dropping most
+    frames at large n — the throughput then excluded extraction work)."""
     fmt = make_setup()
-    rx = Receiver.create(fmt, DetectorConfig(threshold=0.5))
+    mp = max(4, n // spacing + 1)
+    rx = Receiver.create(fmt, DetectorConfig(threshold=0.5, max_peaks=mp))
     n = max(rx.det.Ne, (n // rx.det.Ne) * rx.det.Ne)  # OLA granularity
-    x = make_stream(fmt, C, n)
+    x, nper = make_stream(fmt, C, n, spacing)
 
     # axon: eager ops are UNIMPLEMENTED — init under jit, rx as pytree arg
     if C == 1:
@@ -89,7 +98,7 @@ def bench(C: int, n: int, reps: int = 3):
         jax.block_until_ready(frames.bits)
         best = min(best, (time.perf_counter() - t0) / K)
     nval = int(np.asarray(jnp.sum(frames.valid)))
-    return C * n / best / 1e6, best, nval
+    return C * n / best / 1e6, best, nval, nper * C, mp
 
 
 def bench_stages(n: int, reps: int = 3):
@@ -97,7 +106,8 @@ def bench_stages(n: int, reps: int = 3):
     fmt = make_setup()
     rx = Receiver.create(fmt, DetectorConfig(threshold=0.5))
     n = max(rx.det.Ne, (n // rx.det.Ne) * rx.det.Ne)
-    x = make_stream(fmt, 1, n)[0]
+    x, _ = make_stream(fmt, 1, n)
+    x = x[0]
     front = jax.jit(lambda r, s, xx: Receiver._front(r, s, xx))
     extract = jax.jit(lambda r, b, d: Receiver._extract_all(r, b, d))
     st = jax.jit(type(rx).init)(rx)
@@ -122,11 +132,12 @@ def main():
     tf, te = bench_stages(4096)
     print(f"stage split @4096 x1: front={tf * 1e3:.2f} ms "
           f"extract={te * 1e3:.2f} ms")
-    for C, n in ((1, 4096), (1, 16384), (16, 4096), (64, 4096),
-                 (64, 16384), (256, 16384)):
-        r, t, nval = bench(C, n)
-        print(f"C={C:4d} n={n:6d}: {r:9.1f} Msamp/s  "
-              f"({t * 1e3:7.2f} ms/step, {nval} frames)")
+    for C, n in ((1, 4096), (1, 16384), (1, 65536), (1, 131072),
+                 (16, 65536), (64, 65536), (256, 65536)):
+        r, t, nval, npres, mp = bench(C, n)
+        flag = "" if nval == npres else "  <-- MISSED FRAMES"
+        print(f"C={C:4d} n={n:6d} mp={mp:3d}: {r:9.1f} Msamp/s  "
+              f"({t * 1e3:7.2f} ms/step, {nval}/{npres} frames){flag}")
 
 
 if __name__ == "__main__":
