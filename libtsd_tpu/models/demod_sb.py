@@ -226,6 +226,12 @@ class DecisionDemodSB(Block):
         # u = o + j*osf)
         fs0 = T - ML - (K - 1) - h
         assert fs0 >= 0, (T, ML, K, h)
+        # frame t covers zp[..., fs0 + t*S*osf : ... + F].  The frames are
+        # materialized up front (~2.2x the signal) and streamed as scan
+        # xs: measured FASTER than a dynamic_slice from zp inside the
+        # body (605 vs 1111 Msamp/s at C=4096 — scan xs streaming
+        # double-buffers; a traced-start slice from a big HBM array does
+        # not).
         frames = jnp.stack(
             [jax.lax.slice_in_dim(zp, fs0 + t * S * osf,
                                   fs0 + t * S * osf + F, axis=-1)
@@ -253,6 +259,13 @@ class DecisionDemodSB(Block):
             hot = (u_sel[None, None, :]
                    == (o[:, None, None] + k_sel[None, :, None]))
             v = jnp.sum(taps[:, :, None] * hot, axis=1)  # (C, Fv)
+            # slab[c, j, u] = frame[c, j*osf + u] via a static index-array
+            # take.  NEGATIVE results (measured on v5e, don't retry):
+            # (a) S static strided slices + stack, (b) fusing the 4
+            # einsums into 2 via a zero-padded (mid, sym) tap stack —
+            # both land at 595-605 vs 1111 Msamp/s at C=4096: XLA fuses
+            # this take+einsum pattern well, the "optimizations" defeat
+            # its layout choices.
             slab = frame[:, slab_idx]                    # (C, S, Fv+h)
             sr, si = jnp.real(slab), jnp.imag(slab)
             ymid_r = jnp.einsum("cju,cu->cj", sr[:, :, :Fv], v)
