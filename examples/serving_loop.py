@@ -33,6 +33,7 @@ sys.path.insert(0, "/root/repo")
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 if os.environ.get("LIBTSD_EXAMPLE_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
@@ -55,9 +56,19 @@ def synthesize_capture(fmt, path):
     carrier phase, light AWGN — written as an interleaved cs16 capture."""
     tx = Transmitter.create(fmt)
     rng = np.random.default_rng(11)
-    payloads = [randbits(jax.random.PRNGKey(500 + i), PAYLOAD)
-                for i in range(NFRAMES)]
-    frames = [np.asarray(tx.transmit(p)) for p in payloads]
+
+    # synthesize ON DEVICE under one jit (axon: no eager ops), moving the
+    # complex frames out as re/im planes (no complex64 transfers)
+    @jax.jit
+    def gen(t):
+        ps = jnp.stack([randbits(jax.random.PRNGKey(500 + i), PAYLOAD)
+                        for i in range(NFRAMES)])
+        fr = jax.vmap(t.transmit)(ps)
+        return ps, jnp.stack([jnp.real(fr), jnp.imag(fr)])
+
+    ps, fr_ri = jax.device_get(gen(tx))
+    payloads = list(ps)
+    frames = list(fr_ri[0] + 1j * fr_ri[1])
     flen = frames[0].shape[0]
     gaps = rng.integers(900, 2600, NFRAMES)
     n = int(np.sum(gaps) + NFRAMES * flen + 4000)
@@ -144,13 +155,31 @@ def main():
           f"uninterrupted run ✓")
 
     # ---- 3. per-stage monitors (recepteur.cc moniteurs parity) --------
-    srx = StreamReceiver(rx, monitor=True)
-    srx.push(x)
-    srx.flush()
-    print(f"per-stage monitors ({srx.nframes} frames):")
-    for name, s in sorted(srx.moniteurs().items()):
-        print(f"  {name:<18} {s.count:>4} calls  {s.total_s:8.4f} s  "
-              f"{s.samples_per_s / 1e6:8.2f} Msamp/s")
+    # StreamReceiver moves complex host arrays directly — fine on CPU/GPU
+    # and standard TPU runtimes; the axon remote runtime cannot transfer
+    # complex64 (probe the capability — it reports itself as plain
+    # 'tpu'), so there use StreamRunner (planes transfers) as above.
+    def _complex_transfer_ok():
+        try:
+            jax.device_put(np.zeros(32, np.complex64)).block_until_ready()
+            return True
+        except Exception:
+            return False
+
+    if _complex_transfer_ok():
+        srx = StreamReceiver(rx, monitor=True)
+        srx.push(x)
+        srx.flush()
+        print(f"per-stage monitors ({srx.nframes} frames):")
+        for name, s in sorted(srx.moniteurs().items()):
+            print(f"  {name:<18} {s.count:>4} calls  {s.total_s:8.4f} s  "
+                  f"{s.samples_per_s / 1e6:8.2f} Msamp/s")
+    else:
+        # per-stage split on axon: StreamRunner monitor covers the whole
+        # chain; the MonitoredReceiver stage split is shown in
+        # benchmarks/tpu_frame_bench.py (bench_stages)
+        print("per-stage monitored wrapper skipped on the axon runtime "
+              "(no complex64 host transfers)")
 
 
 if __name__ == "__main__":
