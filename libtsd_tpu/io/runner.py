@@ -178,56 +178,42 @@ class StreamRunner:
         return jax.eval_shape(one, self.block, xs)
 
     def checkpoint(self, path: str) -> None:
-        """Serialize the FULL mid-stream serving state to ``path`` (.npz):
-        the block's device state pytree (complex leaves as re/im planes)
-        plus the host ring residue and the dispatch counter.  Pending
-        async steps are drained first, so the checkpoint is a consistent
-        cut: everything before it has been emitted, nothing after it has
-        been consumed.  Resuming via :meth:`restore` continues
-        bit-identically to the uninterrupted run (SURVEY §5.4; the
-        reference cannot do this — its filter state is hidden inside C++
-        objects, recepteur.cc)."""
-        import os
-        from ..utils.checkpoint import _flatten
+        """Serialize the FULL mid-stream serving state to ``path`` (.npz,
+        shared protocol: utils.checkpoint.save_stream_state): the block's
+        device state pytree plus the host ring residue and the dispatch
+        counter.  Pending async steps are drained first, so the
+        checkpoint is a consistent cut: everything before it has been
+        emitted, nothing after it has been consumed.  Resuming via
+        :meth:`restore` continues bit-identically to the uninterrupted
+        run (SURVEY §5.4; the reference cannot do this — its filter state
+        is hidden inside C++ objects, recepteur.cc)."""
+        from ..utils.checkpoint import save_stream_state
         self.drain()
         if self._state is None:
             raise RuntimeError("nothing dispatched yet — push first or "
                                "checkpoint after restore+push")
-        d = _flatten(self._state)
-        res = self._rb.snapshot()
-        if self.complex_in:
-            d["__residue_ri__"] = np.stack([res.real.astype(np.float32),
-                                            res.imag.astype(np.float32)])
-        else:
-            d["__residue__"] = np.asarray(res, np.float32)
-        d["__nsub__"] = np.int64(self._nsub)
-        dirn = os.path.dirname(os.path.abspath(path))
-        os.makedirs(dirn, exist_ok=True)
-        np.savez(path, **d)
+        save_stream_state(path, self._state, self._rb.snapshot(),
+                          {"nsub": self._nsub})
 
     def restore(self, path: str) -> None:
         """Load a :meth:`checkpoint` into this runner (same block +
         block_len).  The device state is validated against the block's
-        state structure (treedef + leaf shapes) and re-assembled on device
-        (complex leaves from planes, inside jit — no complex host
-        transfer); the ring residue is re-queued."""
-        from ..utils.checkpoint import state_from_npz
-        data = np.load(path if path.endswith(".npz") else path + ".npz",
-                       allow_pickle=False)
+        state structure (treedef + leaf shapes) and re-assembled on
+        device; the ring residue is re-queued.  Any stream this runner
+        was previously carrying is ABANDONED: in-flight outputs are
+        discarded (not emitted) and collected outputs are cleared, so a
+        subsequent run()/drain() yields only the resumed stream."""
+        from ..utils.checkpoint import load_stream_state
         like = self._state if self._state is not None else self._state_like()
-        self._state = state_from_npz(data, like)
+        state, residue, ctr = load_stream_state(path, like)
+        self._state = state
         self._rb = RingBuffer(max(8 * self.block_len, 1 << 16),
                               complex_iq=self.complex_in)
-        if self.complex_in:
-            r = data["__residue_ri__"]
-            if r.shape[-1]:
-                self._rb.push((r[0] + 1j * r[1]).astype(np.complex64))
-        else:
-            r = data["__residue__"]
-            if r.shape[-1]:
-                self._rb.push(r)
-        self._nsub = int(data["__nsub__"])
+        if len(residue):
+            self._rb.push(residue)
+        self._nsub = ctr["nsub"]
         self._pending.clear()
+        self._out.clear()
 
     def run(self, source: Iterable[np.ndarray]) -> Optional[np.ndarray]:
         """Consume an iterable of sample arrays (e.g. an IqFileReader).

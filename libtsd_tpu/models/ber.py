@@ -90,12 +90,15 @@ def cmp_bits_rot(tx: jax.Array, rx_syms: np.ndarray, wf,
     from .waveform import symbol_indices_to_bits
     k = wf.info.k
     s = np.asarray(rx_syms)
-    best = (1.0, 1 << 30, 0)
+    best = None
     for r in range(rotations):
         sr = jnp.asarray(s * np.exp(2j * np.pi * r / rotations))
         idx = wf.closest(sr)
         rb = symbol_indices_to_bits(idx, k)
         out = cmp_bits(tx, rb, max_lag)
-        if out[0] < best[0]:
+        # <= so the first rotation always replaces the placeholder — a
+        # strict < with a sentinel returned a bogus nerrs=2^30 when every
+        # rotation measured BER exactly 1.0
+        if best is None or out[0] < best[0]:
             best = out
     return best

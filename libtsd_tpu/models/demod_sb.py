@@ -72,6 +72,13 @@ class SBDemodConfig(DecDemodConfig):
     # per-update gain in the stable region
     tc: float = 32.0
     BL: float = 0.005
+    # matched-filter matmul tier (ops/filter_rt.Fir precision).  NEGATIVE
+    # result (v5e, C=4096, don't retry): "split" measured SLOWER in the
+    # full batched step (998 vs 1120 Msamp/s) — the MF matmuls overlap
+    # the scan under "highest", and the hi/lo bf16 decomposition adds
+    # VPU conversion passes on the critical path.  The loops' EVM floor
+    # (~0.08) would tolerate any tier; speed, not accuracy, sets this.
+    mf_precision: str = "highest"
 
 
 def _cspline_taps(tau: jax.Array, nph: int) -> jax.Array:
@@ -132,8 +139,9 @@ class DecisionDemodSB(Block):
             raise ValueError("DecisionDemodSB requires even osf (the "
                              "Gardner midpoint must share the symbols' "
                              "fractional phase); use DecisionDemod2")
-        return cls(itrp=make_interpolator(cfg.itrp),
-                   mf=wf.shaping.matched_filter(0, cfg.osf), wf=wf, cfg=cfg)
+        mf = wf.shaping.matched_filter(0, cfg.osf)
+        mf = mf.replace(precision=cfg.mf_precision)
+        return cls(itrp=make_interpolator(cfg.itrp), mf=mf, wf=wf, cfg=cfg)
 
     @property
     def _timing_gain(self) -> float:
@@ -184,7 +192,19 @@ class DecisionDemodSB(Block):
         )
 
     def step(self, state, x: jax.Array):
-        if x.ndim >= 2:
+        if x.ndim > 2:
+            # honor the documented (..., n) contract: flatten the leading
+            # batch dims to one channel axis, run batched, unflatten
+            b = x.shape[:-1]
+            C = int(np.prod(b))
+            nb = len(b)
+            sf = jax.tree_util.tree_map(
+                lambda a: a.reshape((C,) + a.shape[nb:]), state)
+            sf, out = self._step_batched(sf, x.reshape(C, x.shape[-1]))
+            unflat = lambda a: a.reshape(b + a.shape[1:])
+            return (jax.tree_util.tree_map(unflat, sf),
+                    jax.tree_util.tree_map(unflat, out))
+        if x.ndim == 2:
             return self._step_batched(state, x)
         return self._step_1d(state, x)
 
@@ -301,15 +321,21 @@ class DecisionDemodSB(Block):
                 gain = (1 - aga) * gain + aga * jnp.mean(
                     1.0 / jnp.maximum(eg, 1e-9), axis=1)
             upd = ready & inrange
+            ptr_adv = p + S * osf - (dec * inrange if cfg.clock_active
+                                     else 0.0)
+            # recovery: a pointer outside the frame margins can never
+            # re-enter on its own (o_raw is invariant under the nominal
+            # advance, so the channel would stay invalid FOREVER);
+            # re-anchor it to the next sub-block's nominal center so the
+            # loops re-acquire, like a cold start
+            ptr_adv = jnp.where(inrange, ptr_adv,
+                                nom + S * osf + osf / 2.0)
             new = dict(
                 lf=jax.tree_util.tree_map(
                     lambda a, b: jnp.where(upd, a, b), lf_state, st["lf"]),
                 theta=jnp.where(upd, theta, st["theta"]),
                 gain=jnp.where(upd, gain, st["gain"]),
-                ptr=jnp.where(
-                    ready,
-                    p + S * osf - (dec * inrange if cfg.clock_active
-                                   else 0.0), p),
+                ptr=jnp.where(ready, ptr_adv, p),
                 yprev_ri=jnp.where(
                     upd[:, None],
                     jnp.stack([jnp.real(y[:, -1]), jnp.imag(y[:, -1])],

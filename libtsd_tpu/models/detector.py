@@ -91,6 +91,11 @@ class Detector(Block):
         """Streaming block granularity (1 in RIF mode)."""
         return self.corr.Ne if isinstance(self.corr, OlaFft) else 1
 
+    @property
+    def uses_pallas(self) -> bool:
+        # the correlation engine may be the Pallas OLA kernel
+        return self.corr.uses_pallas
+
     def init(self):
         return dict(
             corr=self.corr.init(),

@@ -162,6 +162,11 @@ class Receiver(Block):
                    hist_len=hist_len,
                    mod_delay=mod.delay, dt_mod=dt_mod)
 
+    @property
+    def uses_pallas(self) -> bool:
+        # the detection front end may run the Pallas OLA engine
+        return self.det.uses_pallas
+
     def _empty_dets(self) -> Detection:
         P = self.det.cfg.max_peaks
         z = jnp.zeros((P,), real_dtype)
@@ -401,22 +406,17 @@ class StreamReceiver:
     # ------------------------------------------------- checkpoint/resume
     def checkpoint(self, path: str) -> None:
         """Serialize the FULL mid-stream frame-RX serving state to
-        ``path`` (.npz): the receiver's device state pytree (detector OLA
-        tail, deferred block-edge detections, extraction history buffer,
-        complex leaves as re/im planes), the host ring residue, and the
-        frame counter.  Resuming with :meth:`restore` continues
-        bit-identically to the uninterrupted run (tests/test_serving.py)
-        — the reference cannot checkpoint at all: its receiver state is
-        hidden inside C++ objects (recepteur.cc; SURVEY §5.4)."""
-        import os
-        from ..utils.checkpoint import _flatten
-        d = _flatten(self.state)
-        res = self._rb.snapshot()
-        d["__residue_ri__"] = np.stack([res.real.astype(np.float32),
-                                        res.imag.astype(np.float32)])
-        d["__nframes__"] = np.int64(self.nframes)
-        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-        np.savez(path, **d)
+        ``path`` (.npz, shared protocol:
+        utils.checkpoint.save_stream_state): the receiver's device state
+        pytree (detector OLA tail, deferred block-edge detections,
+        extraction history buffer), the host ring residue, and the frame
+        counter.  Resuming with :meth:`restore` continues bit-identically
+        to the uninterrupted run (tests/test_serving.py) — the reference
+        cannot checkpoint at all: its receiver state is hidden inside C++
+        objects (recepteur.cc; SURVEY §5.4)."""
+        from ..utils.checkpoint import save_stream_state
+        save_stream_state(path, self.state, self._rb.snapshot(),
+                          {"nframes": self.nframes})
 
     def restore(self, path: str) -> None:
         """Load a :meth:`checkpoint` into this StreamReceiver (same
@@ -426,15 +426,13 @@ class StreamReceiver:
         re-queued so the next push continues exactly where the
         checkpointed stream stopped."""
         from ..io.streamio import Rebuffer
-        from ..utils.checkpoint import state_from_npz
-        data = np.load(path if path.endswith(".npz") else path + ".npz",
-                       allow_pickle=False)
-        self.state = state_from_npz(data, self.state)
+        from ..utils.checkpoint import load_stream_state
+        state, residue, ctr = load_stream_state(path, self.state)
+        self.state = state
         self._rb = Rebuffer(self.block_len, self._on_block, complex_iq=True)
-        r = data["__residue_ri__"]
-        if r.shape[-1]:
-            self._rb.push((r[0] + 1j * r[1]).astype(np.complex64))
-        self.nframes = int(data["__nframes__"])
+        if len(residue):
+            self._rb.push(residue)
+        self.nframes = ctr["nframes"]
         self.frames = []
 
 

@@ -72,33 +72,59 @@ def fir_toeplitz_mats(h: np.ndarray, L: int = _L) -> np.ndarray:
     return G
 
 
-def _fir_frames(xf: jax.Array, G: jax.Array) -> jax.Array:
+def _mm_prec(a: jax.Array, b: jax.Array, prec: str) -> jax.Array:
+    """Real matmul at a precision tier: "highest" (6-pass fp32 emulation,
+    ~1e-7), "split" (3-pass bf16 hi/lo decomposition, ~1e-5 relative —
+    the chain kernel's tier, ops/pallas/chain.py), "bf16" (single pass,
+    ~2.5e-3)."""
+    if prec == "highest":
+        return jnp.matmul(a, b, preferred_element_type=real_dtype,
+                          precision=jax.lax.Precision.HIGHEST)
+    mm = functools.partial(jnp.matmul, preferred_element_type=real_dtype)
+    if prec == "bf16":
+        return mm(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
+    assert prec == "split", prec
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(real_dtype)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(real_dtype)).astype(jnp.bfloat16)
+    return mm(ah, bh) + mm(al, bh) + mm(ah, bl)
+
+
+def _fir_frames(xf: jax.Array, G: jax.Array,
+                prec: str = "highest") -> jax.Array:
     """Apply the Toeplitz matmul to framed input.
 
     xf: (..., nf + D - 1, L) — includes D-1 history frames in front.
     G:  (D, L, L).
     Returns (..., nf, L).
+
+    A complex xf with REAL taps runs as ONE batched real matmul over
+    stacked re/im planes — half the MXU passes of the naive
+    cast-to-complex route (whose imag-factor matmuls multiply by zero).
     """
+    if jnp.iscomplexobj(xf) and not jnp.iscomplexobj(G):
+        planes = jnp.stack([jnp.real(xf), jnp.imag(xf)])
+        out = _fir_frames(planes, G, prec)
+        return (out[0] + 1j * out[1]).astype(complex_dtype)
     D = G.shape[0]
     nf = xf.shape[-2] - (D - 1)
     out = None
     for d in range(D):
         seg = jax.lax.slice_in_dim(xf, D - 1 - d, D - 1 - d + nf, axis=-2)
         if jnp.iscomplexobj(seg) or jnp.iscomplexobj(G):
-            term = _cmatmul(seg, G[d])
+            term = _cmatmul(seg, G[d], prec)
         else:
-            term = jnp.matmul(seg, G[d], preferred_element_type=real_dtype,
-                              precision=jax.lax.Precision.HIGHEST)
+            term = _mm_prec(seg, G[d], prec)
         out = term if out is None else out + term
     return out
 
 
-def _cmatmul(a: jax.Array, b: jax.Array) -> jax.Array:
+def _cmatmul(a: jax.Array, b: jax.Array, prec: str = "highest") -> jax.Array:
     """Complex matmul via 4 real matmuls (MXU has no complex support)."""
     ar, ai = jnp.real(a), jnp.imag(a)
     br, bi = jnp.real(b), jnp.imag(b)
-    mm = functools.partial(jnp.matmul, preferred_element_type=real_dtype,
-                           precision=jax.lax.Precision.HIGHEST)
+    mm = functools.partial(_mm_prec, prec=prec)
     rr = mm(ar, br) - mm(ai, bi)
     ri = mm(ar, bi) + mm(ai, br)
     return (rr + 1j * ri).astype(complex_dtype)
@@ -139,18 +165,22 @@ class Fir(Block):
     G_: jax.Array         # (D, L, L) real taps, or (2, D, L, L) re/im planes
     K: int = struct.field(pytree_node=False)
     complex_taps: bool = struct.field(pytree_node=False, default=False)
+    # matmul tier: "highest" (default, ~1e-7), "split" (3-pass bf16
+    # hi/lo, ~1e-5 — ample for any loop whose EVM floor is >1e-3),
+    # "bf16" (single pass, ~2.5e-3)
+    precision: str = struct.field(pytree_node=False, default="highest")
 
     @property
     def G(self) -> jax.Array:
         return from_ri(self.G_) if self.complex_taps else self.G_
 
     @classmethod
-    def create(cls, h) -> "Fir":
+    def create(cls, h, precision: str = "highest") -> "Fir":
         h = np.asarray(h)
         cplx = bool(np.iscomplexobj(h))
         G = fir_toeplitz_mats(h.astype(np.complex128 if cplx else np.float64))
         return cls(G_=to_ri(G) if cplx else jnp.asarray(G, real_dtype),
-                   K=len(h), complex_taps=cplx)
+                   K=len(h), complex_taps=cplx, precision=precision)
 
     def init(self):
         dt = complex_dtype if self.complex_taps else real_dtype
@@ -181,9 +211,12 @@ class Fir(Block):
         xx = safe_pad(xx, pad_front, pad_back, axis=-1)
         xf = xx.reshape(*xx.shape[:-1], -1, _L)
         G = self.G
-        if jnp.iscomplexobj(x) and not self.complex_taps:
-            G = G.astype(complex_dtype)
-        yf = _fir_frames(xf.astype(G.dtype) if jnp.iscomplexobj(G) else xf, G)
+        if jnp.iscomplexobj(G):
+            xf = xf.astype(complex_dtype)
+        # complex x with real taps stays MIXED: _fir_frames runs the re/im
+        # planes through ONE batched real matmul (half the passes of
+        # casting G to complex)
+        yf = _fir_frames(xf, G, self.precision)
         y = yf.reshape(*x.shape[:-1], -1)[..., :n]
         new_state = jnp.concatenate([state, x], axis=-1)[..., -(self.K - 1):]
         return new_state, y

@@ -138,6 +138,13 @@ def periodogram_cqt(x: jax.Array, fs: float, fmin: float, fmax: float,
     from .cqt import cqt_interpolate, cqt_stream, cqt_stream_kernel
     if ofs <= 0:
         ofs = fs / 256.0
+    if jnp.iscomplexobj(x):
+        # the CQT bank is real-analysis (audio-style, parity
+        # fourier.hpp:708-978); silently taking the real plane of IQ
+        # data would return wrong magnitudes with no warning
+        raise ValueError(
+            "periodogram_cqt expects a real signal; for complex IQ use "
+            "ops.psd.psd/spectrogram or run the planes separately")
     K = cqt_stream_kernel(fmin / fs, fmax / fs, gamma)
     hop = K.N // 2
     n = x.shape[-1]

@@ -15,7 +15,8 @@ from typing import Any
 import jax
 import numpy as np
 
-__all__ = ["save_state", "load_state", "state_bytes", "state_from_bytes"]
+__all__ = ["save_state", "load_state", "state_bytes", "state_from_bytes",
+           "save_stream_state", "load_stream_state"]
 
 
 def _flatten(state) -> dict:
@@ -74,6 +75,43 @@ def state_from_npz(data, like: Any) -> Any:
             f"leaf {i}: shape {arr.shape} != expected {np.shape(l)}"
         new_leaves.append(jax.numpy.asarray(arr))
     return jax.tree.unflatten(treedef, new_leaves)
+
+
+def save_stream_state(path: str, state: Any, residue: np.ndarray,
+                      counters: dict):
+    """Shared mid-stream serving-checkpoint protocol (StreamRunner and
+    StreamReceiver write the SAME format through here): the device state
+    pytree (complex leaves as re/im planes), the host ring residue
+    (complex64 or float32 samples awaiting the next full block), and
+    integer counters — one .npz."""
+    d = _flatten(state)
+    if np.iscomplexobj(residue):
+        d["__residue_ri__"] = np.stack([residue.real.astype(np.float32),
+                                        residue.imag.astype(np.float32)])
+    else:
+        d["__residue__"] = np.asarray(residue, np.float32)
+    for k, v in counters.items():
+        d[f"__ctr_{k}__"] = np.int64(v)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **d)
+
+
+def load_stream_state(path: str, like: Any):
+    """Inverse of :func:`save_stream_state`; ``like`` provides the state
+    tree structure for validation.  Returns (state, residue, counters);
+    complex state leaves are re-assembled ON DEVICE inside jit (no
+    complex host transfers)."""
+    data = np.load(path if path.endswith(".npz") else path + ".npz",
+                   allow_pickle=False)
+    state = state_from_npz(data, like)
+    if "__residue_ri__" in data:
+        r = data["__residue_ri__"]
+        residue = (r[0] + 1j * r[1]).astype(np.complex64)
+    else:
+        residue = np.asarray(data["__residue__"], np.float32)
+    counters = {k[6:-2]: int(data[k]) for k in data.files
+                if k.startswith("__ctr_")}
+    return state, residue, counters
 
 
 def state_bytes(state: Any) -> bytes:

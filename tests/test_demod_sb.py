@@ -103,3 +103,39 @@ def test_subblock_odd_osf_rejected():
     wf = WF.wf_qpsk(WF.PulseShape.rcs(0.25))
     with pytest.raises(ValueError):
         DecisionDemodSB.create(wf, SBDemodConfig(osf=3, S=16))
+
+
+def test_subblock_pointer_lockout_recovers():
+    """A pointer driven outside the frame margins must re-anchor to the
+    nominal grid and re-acquire — without the recovery, o_raw is
+    invariant under the nominal advance and the channel stays invalid
+    FOREVER (review finding, round 3)."""
+    wf, bits, x = _qpsk_signal(nsym=2000)
+    xb = x[None]
+    dd = DecisionDemodSB.create(wf, SBDemodConfig(osf=4, S=16))
+    st = dd.init_for(xb)
+    # corrupt the pointer far past the forward margin (MH = 2*osf)
+    st = dict(st, ptr=st["ptr"] + 40.0)
+    st, (rb, syms, mask, bmask) = dd.step(st, xb)
+    m = np.asarray(mask)[0]
+    assert m.any(), "channel never recovered from an out-of-range pointer"
+    # the tail must be converged symbols again (not just marked valid)
+    tail = np.asarray(syms)[0][m]
+    tail = tail[-400:]
+    d2 = np.min(np.abs(tail[:, None] - np.asarray(wf.symbols)) ** 2, axis=1)
+    evm = np.sqrt(d2.mean() / np.mean(np.abs(np.asarray(wf.symbols))**2))
+    assert evm < 0.25, evm
+
+
+def test_subblock_ndim3_batch():
+    """The documented (..., n) contract: a (B, C, n) input runs through
+    the batched path via leading-dim flattening."""
+    wf, bits, x = _qpsk_signal(nsym=800)
+    xb = jnp.stack([x, delay_signal(x, 0.9)]).reshape(2, 1, -1)
+    dd = DecisionDemodSB.create(wf, SBDemodConfig(osf=4, S=16))
+    st, (rb, syms, mask, bmask) = dd.step(dd.init_for(xb), xb)
+    assert syms.shape[:2] == (2, 1)
+    _, (r1, s1, m1, _) = dd.step(dd.init_for(x[None]), x[None])
+    both = np.asarray(mask)[0, 0] & np.asarray(m1)[0]
+    d = np.abs(np.asarray(syms)[0, 0][both] - np.asarray(s1)[0][both])
+    assert d.max() < 1e-5

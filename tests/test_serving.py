@@ -228,3 +228,59 @@ def test_stream_receiver_checkpoint_and_monitors(serving_setup, tmp_path):
     assert "recepteur/ola" in stats and "recepteur/demod" in stats
     assert stats["recepteur/ola"].samples > 0
     assert stats["recepteur/demod"].samples > 0
+
+
+def test_uses_pallas_propagates_through_composites():
+    """shard_map's vma-checker scoping keys off Block.uses_pallas: it
+    must propagate through composite blocks that EMBED a Pallas-engine
+    OLA (Detector -> Receiver), not only through Chain."""
+    wf = WF.wf_qpsk(WF.PulseShape.rcs(0.25))
+    mc = ModConfig(wf=wf, fe=4.0, fsymb=1.0)
+    hdr = np.asarray(randbits(jax.random.PRNGKey(42), 64))
+    fmt = FrameFormat(modulation=mc,
+                      header_bits=tuple(int(b) for b in hdr),
+                      payload_bits=64)
+    rx_xla = Receiver.create(fmt, DetectorConfig(threshold=0.5))
+    assert not rx_xla.uses_pallas and not rx_xla.det.uses_pallas
+    rx_pal = Receiver.create(fmt, DetectorConfig(threshold=0.5,
+                                                 engine="pallas"))
+    assert rx_pal.uses_pallas and rx_pal.det.uses_pallas
+
+
+def test_restore_abandons_previous_stream(serving_setup, tmp_path):
+    """restore() into a runner that already streamed must clear collected
+    and in-flight outputs of the abandoned stream."""
+    path, rx, payloads, n = serving_setup
+    bl = _block_len_for(rx)
+    raw = np.fromfile(path, np.int16).reshape(-1, 2)
+    x = cs16_to_cf32(raw)
+    r1 = StreamRunner(rx, block_len=bl)          # sink=None: collects
+    r1.push(x[:3 * bl])
+    ck = str(tmp_path / "ck.npz")
+    r1.checkpoint(ck)
+    # reuse the SAME runner for an unrelated stream, then abandon it
+    r1.push(x[:2 * bl])
+    r1.restore(ck)
+    r1.push(x[3 * bl:])
+    r1.push(np.zeros(2 * bl, np.complex64))
+    r1.drain()
+    got = r1._out
+    res = _valid_frames(got)
+    # reference: fresh runner, same cut
+    r2 = StreamRunner(rx, block_len=bl)
+    r2.restore(ck)
+    r2.push(x[3 * bl:])
+    r2.push(np.zeros(2 * bl, np.complex64))
+    r2.drain()
+    ref = _valid_frames(r2._out)
+    assert len(res) == len(ref)
+    for a, b in zip(ref, res):
+        for la, lb in zip(jax.tree.flatten(a)[0], jax.tree.flatten(b)[0]):
+            assert np.array_equal(la, lb)
+
+
+def test_periodogram_cqt_rejects_complex():
+    from libtsd_tpu.ops import psd as PSD
+    x = jnp.ones(4096, jnp.complex64)
+    with pytest.raises(ValueError):
+        PSD.periodogram_cqt(x, fs=8000.0, fmin=100.0, fmax=2000.0)
