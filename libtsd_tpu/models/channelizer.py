@@ -23,7 +23,8 @@ from ..block import Block
 from ..config import complex_dtype, real_dtype
 from ..ops.fir_design import fir_lowpass
 
-__all__ = ["Channelizer", "channelize", "dechannelize"]
+__all__ = ["Channelizer", "channelize", "dechannelize",
+           "wola_analysis", "wola_synthesis"]
 
 
 class Channelizer(Block):
@@ -76,15 +77,21 @@ class Channelizer(Block):
         first_row = prev_raw[::-1][None, :]  # [p-1] = x[-p]
         bp = jnp.concatenate([first_row, Xf[:-1, 1:][:, ::-1]], axis=0)
         B = jnp.concatenate([b0, bp], axis=1)  # (m, M): B[m, p] = x[mM - p]
-        # FIR each branch over time with carried history
+        # FIR each branch over time with carried history.  Slice-MAC, not
+        # an index-array window gather: the (M, m, K) advanced-index take
+        # lowered to an element-rate gather and capped the whole
+        # channelizer at ~4.4 Msamp/s input rate on v5e; K static shifted
+        # slices with broadcast MACs are plain vectorized VPU passes.
         hist = (state["hist"][0] + 1j * state["hist"][1]).astype(
             complex_dtype)                   # (M, K-1)
         Bt = B.T  # (M, m)
         full = jnp.concatenate([hist, Bt], axis=1)  # (M, K-1+m)
-        idx = jnp.arange(m)[None, :, None] + jnp.arange(K)[None, None, :]
-        win = full[jnp.arange(M)[:, None, None], idx]  # (M, m, K)
         taps = jnp.flip(self.P, axis=1)  # conv: newest sample * h[0]
-        Y = jnp.einsum("pmk,pk->pm", win, taps.astype(complex_dtype))
+        tc = taps.astype(complex_dtype)
+        Y = None
+        for k in range(K):
+            term = jax.lax.slice_in_dim(full, k, k + m, axis=1) * tc[:, k:k + 1]
+            Y = term if Y is None else Y + term
         # channel separation: IFFT across branches
         ch = jnp.fft.ifft(Y, axis=0) * M  # (M, m)
         new_hist = full[:, -(K - 1):]
@@ -111,23 +118,172 @@ def channelize(x: jax.Array, M: int, taps_per_branch: int = 8) -> jax.Array:
 
 
 def dechannelize(ch: jax.Array, M: int, taps_per_branch: int = 8) -> jax.Array:
-    """Synthesis bank: reassemble the wideband signal from channels
-    (perfect only up to the prototype's stop-band leakage)."""
-    # simple synthesis: FFT across channels, upsample branches, polyphase
-    # interp with the same prototype
+    """Synthesis bank: reassemble the wideband signal from channels.
+
+    x_hat[rM + q] = sum_j h[(r-j)M + q] V[q, j] with
+    V[q, j] = sum_c ch[c, j] e^{+2πi cq/M} = IFFT_c — the SAME transform
+    direction as the analysis (an earlier revision used the FFT here,
+    which negates every channel's center frequency and reconstructs
+    garbage; caught by the round-trip test).  Unit passband gain.
+
+    Accuracy: a critically sampled single-prototype DFT bank is NOT a
+    perfect-reconstruction pair — signals at channel centers round-trip
+    to ~0.2% but broadband content incurs crossover aliasing (~ -13 dB,
+    converging slowly with prototype length; measured in
+    tests/test_advanced.py).  For near-perfect reconstruction use the 2x
+    oversampled WOLA pair (wola_analysis/wola_synthesis)."""
     m = ch.shape[0]
-    Y = jnp.fft.fft(ch.T, axis=0)  # (M, m)
-    # zero-stuff each branch to rate M and filter with branch p of h
+    V = jnp.fft.ifft(ch.T, axis=0)  # (M, m); the analysis' *M and this
+    #                                 ifft's 1/M cancel -> unit gain
+    # zero-stuff each branch to rate M and filter with branch p of h —
+    # ALL branches at once via slice-MAC (the per-branch python loop with
+    # an index-array window unrolled M gathers and was element-rate bound)
     c = Channelizer.create(M, taps_per_branch)
     K = c.P.shape[1]
-    out = jnp.zeros((m * M,), complex_dtype)
-    for p in range(M):
-        b = Y[p]
-        # branch filter (time-domain conv, K small)
-        hist = jnp.concatenate([jnp.zeros(K - 1, complex_dtype), b])
-        idx = jnp.arange(m)[:, None] + jnp.arange(K)[None, :]
-        win = hist[idx]
-        taps = jnp.flip(c.P[p]).astype(complex_dtype)
-        fb = win @ taps
-        out = out.at[p::M].set(fb)
-    return out
+    histf = jnp.concatenate(
+        [jnp.zeros((M, K - 1), complex_dtype), V], axis=1)  # (M, K-1+m)
+    tapsf = jnp.flip(c.P, axis=1).astype(complex_dtype)     # (M, K)
+    fb = None
+    for k in range(K):
+        term = jax.lax.slice_in_dim(histf, k, k + m, axis=1) \
+            * tapsf[:, k:k + 1]
+        fb = term if fb is None else fb + term              # (M, m)
+    # out[t*M + q] = fb[q, t]: interleave branches
+    return fb.T.reshape(m * M)
+
+
+# ---------------------------------------------------------------------------
+# 2x-oversampled WOLA channelizer pair: NEAR-PERFECT reconstruction.
+#
+# The critically sampled bank above cannot reconstruct broadband content
+# (crossover aliasing is structural, ~-13 dB).  Oversampling the channel
+# streams by M/R (R = hop, default M/2 -> 2x) pushes the decimation
+# aliases into the prototype's stopband, so the round-trip error equals
+# the stopband leakage — arbitrarily small with a longer prototype.
+# This is the standard weighted-overlap-add (WOLA) structure; everything
+# is reshapes, static shifted slices, one batched FFT, and an
+# overlap-add of shifted adds — no gathers (TPU: gathers are
+# element-rate-limited; see the analysis-bank note above).
+# ---------------------------------------------------------------------------
+
+def _wola_prototype(M: int, K: int) -> np.ndarray:
+    """Root-Nyquist prototype of length K*M: root-raised-cosine with
+    beta=1, symbol period M.  The band-edge crossing is -3 dB, so the
+    analysis x synthesis cascade H(f)G(f) is the RAISED cosine — an
+    M-band Nyquist filter — and adjacent channels sum to exactly 1
+    across the crossover (measured round-trip: -71 dB broadband at K=16,
+    -83 dB at K=32).  A plain -6 dB lowpass here loses half the energy
+    at every channel edge (each edge tone passes the prototype twice)."""
+    from ..ops.fir_design import root_raised_cosine
+    return root_raised_cosine(K * M, 1.0, M) * M
+
+
+def wola_analysis(x: jax.Array, M: int, R: Optional[int] = None,
+                  taps_per_branch: int = 16,
+                  h: Optional[np.ndarray] = None) -> jax.Array:
+    """Oversampled analysis bank: (n,) -> (nj, M) channel matrix with
+    hop R (default M//2 = 2x oversampled channels).
+
+    ch[j, c] = sum_n h[n] x[jR+n] e^{-2i pi c (jR+n)/M}: channel c
+    demodulated to baseband, filtered by h, sampled every R samples.
+    """
+    if R is None:
+        R = M // 2
+    assert M % R == 0, (M, R)
+    if h is None:
+        h = _wola_prototype(M, taps_per_branch)
+    K = len(h) // M
+    h = jnp.asarray(h[: K * M], real_dtype)
+    n = x.shape[-1]
+    xc = x.astype(complex_dtype)
+    KM = K * M
+    nj = (n - KM) // R + 1
+    assert nj >= 1, "signal shorter than the prototype"
+    # overlapping frames with hop R, gather-free: rows of (n//R, R) with
+    # KM//R static shifted slices
+    nrows = n // R
+    xr = xc[: nrows * R].reshape(nrows, R)
+    S = KM // R
+    frames = jnp.concatenate(
+        [jax.lax.slice_in_dim(xr, s, s + nj, axis=0) for s in range(S)],
+        axis=1)                                          # (nj, KM)
+    w = frames * h[None, :]
+    F = w.reshape(nj, K, M).sum(axis=1)                  # fold to M bins
+    # phase fixup e^{-2i pi c jR/M}: circular time shift of F by +jR mod M
+    # (shift theorem with numpy-roll convention roll(y, s)[q] = y[q - s]:
+    # FFT(roll(y, s))[c] = e^{-2i pi cs/M} FFT(y)[c]).  jR mod M cycles
+    # with period M//R; pad nj to a multiple so the de/interleave is pure
+    # reshapes.
+    Fsh = _roll_rows_mod(F, [(j * R) % M for j in range(M // R)])
+    return jnp.fft.fft(Fsh, axis=-1)                     # (nj, M)
+
+
+def _roll_rows_mod(F: jax.Array, shifts) -> jax.Array:
+    """Roll row j of F by shifts[j mod P] along the last axis, gather-free
+    (pad rows to a multiple of P, reshape-deinterleave, roll per residue,
+    reshape-interleave, slice)."""
+    P = len(shifts)
+    nj, M = F.shape
+    njp = -(-nj // P) * P
+    Fp = jnp.concatenate(
+        [F, jnp.zeros((njp - nj, M), F.dtype)], axis=0) if njp > nj else F
+    G = Fp.reshape(njp // P, P, M)
+    G = jnp.stack([jnp.roll(G[:, p], shifts[p], axis=-1)
+                   for p in range(P)], axis=1)
+    return G.reshape(njp, M)[:nj]
+
+
+def wola_synthesis(ch: jax.Array, M: int, R: Optional[int] = None,
+                   taps_per_branch: int = 16,
+                   h: Optional[np.ndarray] = None) -> jax.Array:
+    """Inverse of :func:`wola_analysis` (same M, R, prototype): (nj, M)
+    -> (~n,) with unit passband gain and group delay K*M - R.
+
+    Round-trip accuracy is set by the prototype (root-Nyquist default:
+    ~3e-4 broadband at taps_per_branch=16, ~7e-5 at 32 — measured in
+    tests/test_advanced.py) — this is the reconstruction-grade path; the
+    critically sampled pair trades it for M-fold decimation."""
+    if R is None:
+        R = M // 2
+    assert M % R == 0
+    if h is None:
+        h = _wola_prototype(M, taps_per_branch)
+    K = len(h) // M
+    hj = jnp.asarray(h[: K * M], real_dtype)
+    nj = ch.shape[0]
+    KM = K * M
+    # u_j[q] = (1/M) sum_c ch[j, c] e^{+2i pi c q/M}, then undo the
+    # analysis' phase fixup by shifting back by +(jR mod M)
+    # u'_j[t] = IFFT(ch[j] . e^{+2i pi c jR/M})[t] = roll(IFFT(ch[j]), -jR)
+    # — the inverse of the analysis' phase fixup
+    u = jnp.fft.ifft(ch, axis=-1)                        # (nj, M)
+    us = _roll_rows_mod(u, [(-(j * R)) % M for j in range(M // R)])
+    # per-frame contribution g[t]*u_j[t mod M] over window t in [0, KM)
+    contrib = jnp.tile(us, (1, K)) * hj[None, :]         # (nj, KM)
+    # COLA normalization: in-band content reaches here already carrying
+    # the analysis filter's response (ch = H(delta) * x, |H| ~ Sum h at
+    # baseband, cancelled by the ifft's 1/M since Sum h = M), so the
+    # synthesis OLA envelope is env[q] = sum_s g[q + sR] to the FIRST
+    # power (R-periodic); divide it out for unit in-band gain.  (An
+    # earlier h^2 envelope — correct for sample-level WOLA like an STFT,
+    # wrong for a filter bank — left ~5% frame-rate amplitude ripple.)
+    # env from the HOST prototype (h may be a traced array only when the
+    # caller passes a device array; require numpy for the static env)
+    hn = np.asarray(h[: K * M], np.float64)
+    env = np.zeros(R)
+    for s in range(KM // R):
+        env += hn[s * R: (s + 1) * R]
+    # overlap-add with hop R: out[j+s] += cr[j, s] — S zero-padded
+    # shifted terms summed (XLA parallelizes/fuses the adds; a serial
+    # dynamic_update_slice chain here forced S sequential passes)
+    S = KM // R
+    nrows = nj + S - 1
+    cr = contrib.reshape(nj, S, R)
+    out = None
+    for s in range(S):
+        part = jnp.concatenate(
+            [jnp.zeros((s, R), complex_dtype), cr[:, s],
+             jnp.zeros((S - 1 - s, R), complex_dtype)], axis=0)
+        out = part if out is None else out + part
+    out = out / jnp.asarray(env, real_dtype)[None, :]
+    return out.reshape(nrows * R)

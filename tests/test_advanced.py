@@ -298,3 +298,59 @@ def test_cqt_stream_low_bin_positions_stay_valid():
         tk = np.sort(times[:, k, :][valid[:, k, :]])
         gaps = np.diff(tk)
         assert gaps.size and (gaps == dt[k]).all(), (k, np.unique(gaps))
+
+
+def test_dechannelize_roundtrip():
+    """Critically sampled synthesis: unit gain and ~0.2% reconstruction
+    at channel centers; broadband crossover aliasing bounded (structural
+    for a critically sampled single-prototype DFT bank — documented).
+    Guards the analysis/synthesis transform DIRECTION (an FFT where the
+    IFFT belongs reconstructs with negated frequencies)."""
+    from libtsd_tpu.models.channelizer import dechannelize
+    M, n, d = 16, 1 << 13, 128
+    t = np.arange(n)
+    x = np.exp(2j * np.pi * (3 / M) * t).astype(np.complex64)
+    xr = np.asarray(dechannelize(channelize(jnp.asarray(x), M), M))
+    m = slice(500, n - d - 500)
+    err = np.sqrt(np.mean(np.abs(x[:n - d][m] - xr[d:][m]) ** 2))
+    assert err < 0.01, err          # unit gain, tiny center-tone error
+    rng = np.random.default_rng(0)
+    xb = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+          ).astype(np.complex64)
+    xrb = np.asarray(dechannelize(channelize(jnp.asarray(xb), M), M))
+    errb = np.sqrt(np.mean(np.abs(xb[:n - d][m] - xrb[d:][m]) ** 2)
+                   / np.mean(np.abs(xb[:n - d][m]) ** 2))
+    assert errb < 0.35, errb        # crossover aliasing bound
+
+
+def test_wola_near_perfect_reconstruction():
+    """2x oversampled WOLA pair with the root-Nyquist prototype:
+    broadband reconstruction to < -65 dB, including channel-EDGE tones
+    (each edge tone passes the prototype twice; the -3 dB root-Nyquist
+    crossing makes adjacent channels sum to exactly 1)."""
+    from libtsd_tpu.models.channelizer import wola_analysis, wola_synthesis
+    M, n = 16, 1 << 13
+    rng = np.random.default_rng(0)
+    for x in (np.exp(2j * np.pi * (3.5 / M) * np.arange(n)),    # edge
+              np.exp(2j * np.pi * 0.123 * np.arange(n)),        # arbitrary
+              rng.standard_normal(n) + 1j * rng.standard_normal(n)):
+        x = x.astype(np.complex64)
+        ch = wola_analysis(jnp.asarray(x), M)
+        xr = np.asarray(wola_synthesis(ch, M))
+        L = min(len(xr), n)
+        m = slice(900, L - 900)
+        err = np.sqrt(np.mean(np.abs(x[:L][m] - xr[:L][m]) ** 2)
+                      / np.mean(np.abs(x[:L][m]) ** 2))
+        assert err < 6e-4, err
+
+
+def test_wola_channel_isolation():
+    """A channel-center tone lands in exactly one WOLA channel."""
+    from libtsd_tpu.models.channelizer import wola_analysis
+    M, n = 16, 1 << 12
+    x = np.exp(2j * np.pi * (5 / M) * np.arange(n)).astype(np.complex64)
+    ch = np.asarray(wola_analysis(jnp.asarray(x), M))
+    e = (np.abs(ch[100:-100]) ** 2).mean(axis=0)
+    assert np.argmax(e) == 5
+    others = np.delete(e, 5)
+    assert others.max() < 1e-3 * e[5], (others.max(), e[5])
