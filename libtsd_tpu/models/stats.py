@@ -114,8 +114,10 @@ def covmtx(x: jax.Array, m: int) -> jax.Array:
     x = jnp.asarray(x)
     n = x.shape[-1]
     nw = n - m + 1
-    idx = jnp.arange(nw)[:, None] + jnp.arange(m)[None, :]
-    W = x[idx]  # (nw, m)
+    # hop-1 sliding windows as m static shifted slices (an index-array
+    # take here lowers to an element-rate gather on TPU)
+    W = jnp.stack([jax.lax.slice_in_dim(x, k, k + nw, axis=-1)
+                   for k in range(m)], axis=-1)  # (nw, m)
     # R = E[w w^H]: R[a,b] = E[x[i+a] conj(x[i+b])] — a tone at +f then has
     # eigenvector exp(+2 pi i f k), matching the MUSIC steering convention
     return (W.T @ jnp.conj(W)) / nw

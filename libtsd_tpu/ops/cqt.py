@@ -71,9 +71,9 @@ def cqt(x: jax.Array, kernel: CqtKernel, hop: int = 256) -> jax.Array:
     Nmax = kernel.Nmax
     xp = jnp.pad(x.astype(real_dtype) if not jnp.iscomplexobj(x)
                  else x, [(0, 0)] * (x.ndim - 1) + [(Nmax // 2, Nmax)])
-    starts = np.arange(0, n, hop)
-    idx = jnp.asarray(starts)[:, None] + jnp.arange(Nmax)[None, :]
-    F = xp[..., idx]  # (nframes, Nmax)
+    nframes = len(np.arange(0, n, hop))
+    from .signal import sliding_frames
+    F = sliding_frames(xp, Nmax, hop, nframes)  # (nframes, Nmax)
     Br = jnp.asarray(kernel.bank_re, real_dtype)
     Bi = jnp.asarray(kernel.bank_im, real_dtype)
     hp = jax.lax.Precision.HIGHEST

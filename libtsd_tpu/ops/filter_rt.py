@@ -260,9 +260,12 @@ class Decimator(Block):
     def step(self, state, x):
         n = x.shape[-1]
         assert n % self.R == 0, "block length must be a multiple of R"
-        idx = state + self.R * jnp.arange(n // self.R)
-        y = jnp.take_along_axis(
-            x, jnp.broadcast_to(idx, x.shape[:-1] + idx.shape), axis=-1)
+        # select column `state` of the (n//R, R) reshape via a one-hot
+        # masked reduction — a take_along_axis with a traced phase lowers
+        # to an element-rate gather on TPU
+        xf = x.reshape(*x.shape[:-1], n // self.R, self.R)
+        oh = jnp.arange(self.R) == state
+        y = jnp.sum(jnp.where(oh, xf, 0), axis=-1)
         new_phase = (state + 0) % self.R  # phase unchanged when R | n
         return new_phase, y
 

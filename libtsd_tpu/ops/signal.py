@@ -29,7 +29,7 @@ __all__ = [
     "wrap_2pi", "wrap_pm_pi",
     "downsample", "upsample", "zero_pad", "rotate_vec",
     "find", "find_first", "length_match",
-    "sinc", "NCO", "nco_phase",
+    "sinc", "NCO", "nco_phase", "sliding_frames",
 ]
 
 
@@ -315,3 +315,26 @@ class NCO(Block):
         assert x.ndim >= 1, "NCO.step mixes a sample block, not a scalar"
         state, lo = self.gen(state, x.shape[-1])
         return state, x * lo
+
+
+def sliding_frames(x: jax.Array, width: int, hop: int,
+                   nframes: int) -> jax.Array:
+    """Overlapping frames, gather-free: (..., nframes, width) where frame
+    j = x[..., j*hop : j*hop + width].
+
+    TPU: an index-array window take lowers to an element-rate gather
+    (~35 M elem/s measured on v5e — it capped the channelizer at 4.4
+    Msamp/s); this builds the frames from ceil(width/hop) static shifted
+    slices of the hop-column reshape instead (vectorized copies).
+    Zero-pads x internally as needed; callers must not rely on values
+    past ``(nframes-1)*hop + width``."""
+    from ..block import safe_pad
+    S = -(-width // hop)
+    total = (nframes + S - 1) * hop
+    n = x.shape[-1]
+    if total > n:
+        x = safe_pad(x, 0, total - n, axis=-1)
+    xr = x[..., :total].reshape(*x.shape[:-1], nframes + S - 1, hop)
+    return jnp.concatenate(
+        [jax.lax.slice_in_dim(xr, s, s + nframes, axis=-2)
+         for s in range(S)], axis=-1)[..., :width]
