@@ -65,13 +65,14 @@ def roundtrip_err(M: int, n: int = 1 << 16):
     return float(jax.device_get(rt(jax.random.PRNGKey(1))))
 
 
-def bench_wola(M: int, n: int, reps: int = 3, K: int = 8):
+def bench_wola(M: int, n: int, C: int = 1, reps: int = 3, K: int = 8):
     from libtsd_tpu.models.channelizer import wola_analysis, wola_synthesis
 
     @jax.jit
     def gen(key):
-        return (jax.random.normal(key, (n,))
-                + 1j * jax.random.normal(key, (n,))).astype(jnp.complex64)
+        shape = (C, n) if C > 1 else (n,)
+        return (jax.random.normal(key, shape)
+                + 1j * jax.random.normal(key, shape)).astype(jnp.complex64)
 
     x = gen(jax.random.PRNGKey(0))
 
@@ -82,17 +83,17 @@ def bench_wola(M: int, n: int, reps: int = 3, K: int = 8):
     @jax.jit
     def chain(z):
         def body(_, zz):
-            return wola_synthesis(wola_analysis(zz, M), M)[:n]
+            return wola_synthesis(wola_analysis(zz, M), M)[..., :n]
         z = jax.lax.fori_loop(0, K, body, z)
-        return jnp.stack([jnp.real(z[:64]).sum(), jnp.imag(z[:64]).sum()]
-                         ).repeat(16)
+        return jnp.stack([jnp.real(z[..., :64]).sum(),
+                          jnp.imag(z[..., :64]).sum()]).repeat(16)
     r = np.asarray(chain(x))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         r = np.asarray(chain(x))
         best = min(best, (time.perf_counter() - t0) / K)
-    return n / best / 1e6, best
+    return C * n / best / 1e6, best
 
 
 def main():
@@ -102,10 +103,11 @@ def main():
             r, t = bench(M, n)
             print(f"M={M:4d} n={n:8d}: {r:9.1f} Msamp/s input rate "
                   f"({t * 1e3:7.2f} ms/step)", flush=True)
-    for M in (16, 64):
-        r, t = bench_wola(M, 1 << 21)
-        print(f"WOLA analysis+synthesis M={M:4d}: {r:9.1f} Msamp/s "
-              f"round-trip ({t * 1e3:7.2f} ms)", flush=True)
+    for C, M, n in ((1, 16, 1 << 21), (64, 16, 1 << 16),
+                    (64, 256, 1 << 16), (256, 16, 1 << 14)):
+        r, t = bench_wola(M, n, C=C)
+        print(f"WOLA round-trip C={C:4d} M={M:4d}: {r:9.1f} Msamp/s "
+              f"aggregate ({t * 1e3:7.2f} ms)", flush=True)
 
 
 if __name__ == "__main__":

@@ -155,31 +155,17 @@ def main():
           f"uninterrupted run ✓")
 
     # ---- 3. per-stage monitors (recepteur.cc moniteurs parity) --------
-    # StreamReceiver moves complex host arrays directly — fine on CPU/GPU
-    # and standard TPU runtimes; the axon remote runtime cannot transfer
-    # complex64 (probe the capability — it reports itself as plain
-    # 'tpu'), so there use StreamRunner (planes transfers) as above.
-    def _complex_transfer_ok():
-        try:
-            jax.device_put(np.zeros(32, np.complex64)).block_until_ready()
-            return True
-        except Exception:
-            return False
-
-    if _complex_transfer_ok():
-        srx = StreamReceiver(rx, monitor=True)
-        srx.push(x)
-        srx.flush()
-        print(f"per-stage monitors ({srx.nframes} frames):")
-        for name, s in sorted(srx.moniteurs().items()):
-            print(f"  {name:<18} {s.count:>4} calls  {s.total_s:8.4f} s  "
-                  f"{s.samples_per_s / 1e6:8.2f} Msamp/s")
-    else:
-        # per-stage split on axon: StreamRunner monitor covers the whole
-        # chain; the MonitoredReceiver stage split is shown in
-        # benchmarks/tpu_frame_bench.py (bench_stages)
-        print("per-stage monitored wrapper skipped on the axon runtime "
-              "(no complex64 host transfers)")
+    # StreamReceiver crosses the device boundary as re/im planes and
+    # pulls each block's FrameRx in one packed f32 transfer, so it runs
+    # on every runtime including the remote one (no complex64 or small
+    # transfers).
+    srx = StreamReceiver(rx, monitor=True)
+    srx.push(x)
+    srx.flush()
+    print(f"per-stage monitors ({srx.nframes} frames):")
+    for name, s in sorted(srx.moniteurs().items()):
+        print(f"  {name:<18} {s.count:>4} calls  {s.total_s:8.4f} s  "
+              f"{s.samples_per_s / 1e6:8.2f} Msamp/s")
 
 
 if __name__ == "__main__":

@@ -181,8 +181,10 @@ def _wola_prototype(M: int, K: int) -> np.ndarray:
 def wola_analysis(x: jax.Array, M: int, R: Optional[int] = None,
                   taps_per_branch: int = 16,
                   h: Optional[np.ndarray] = None) -> jax.Array:
-    """Oversampled analysis bank: (n,) -> (nj, M) channel matrix with
-    hop R (default M//2 = 2x oversampled channels).
+    """Oversampled analysis bank: (..., n) -> (..., nj, M) channel matrix
+    with hop R (default M//2 = 2x oversampled channels).  Leading axes
+    are independent streams — batch them to fill the TPU's lanes (one
+    stream at small M under-uses the vector unit R-fold).
 
     ch[j, c] = sum_n h[n] x[jR+n] e^{-2i pi c (jR+n)/M}: channel c
     demodulated to baseband, filtered by h, sampled every R samples.
@@ -199,45 +201,41 @@ def wola_analysis(x: jax.Array, M: int, R: Optional[int] = None,
     KM = K * M
     nj = (n - KM) // R + 1
     assert nj >= 1, "signal shorter than the prototype"
-    # overlapping frames with hop R, gather-free: rows of (n//R, R) with
-    # KM//R static shifted slices
-    nrows = n // R
-    xr = xc[: nrows * R].reshape(nrows, R)
-    S = KM // R
-    frames = jnp.concatenate(
-        [jax.lax.slice_in_dim(xr, s, s + nj, axis=0) for s in range(S)],
-        axis=1)                                          # (nj, KM)
+    from ..ops.signal import sliding_frames
+    frames = sliding_frames(xc, KM, R, nj)           # (..., nj, KM)
     w = frames * h[None, :]
-    F = w.reshape(nj, K, M).sum(axis=1)                  # fold to M bins
+    F = w.reshape(*w.shape[:-1], K, M).sum(axis=-2)  # fold to M bins
     # phase fixup e^{-2i pi c jR/M}: circular time shift of F by +jR mod M
     # (shift theorem with numpy-roll convention roll(y, s)[q] = y[q - s]:
     # FFT(roll(y, s))[c] = e^{-2i pi cs/M} FFT(y)[c]).  jR mod M cycles
     # with period M//R; pad nj to a multiple so the de/interleave is pure
     # reshapes.
     Fsh = _roll_rows_mod(F, [(j * R) % M for j in range(M // R)])
-    return jnp.fft.fft(Fsh, axis=-1)                     # (nj, M)
+    return jnp.fft.fft(Fsh, axis=-1)                 # (..., nj, M)
 
 
 def _roll_rows_mod(F: jax.Array, shifts) -> jax.Array:
-    """Roll row j of F by shifts[j mod P] along the last axis, gather-free
-    (pad rows to a multiple of P, reshape-deinterleave, roll per residue,
-    reshape-interleave, slice)."""
+    """Roll row j (axis -2) of F by shifts[j mod P] along the last axis,
+    gather-free (pad rows to a multiple of P, reshape-deinterleave, roll
+    per residue, reshape-interleave, slice).  Batch axes lead."""
     P = len(shifts)
-    nj, M = F.shape
+    nj, M = F.shape[-2:]
     njp = -(-nj // P) * P
-    Fp = jnp.concatenate(
-        [F, jnp.zeros((njp - nj, M), F.dtype)], axis=0) if njp > nj else F
-    G = Fp.reshape(njp // P, P, M)
-    G = jnp.stack([jnp.roll(G[:, p], shifts[p], axis=-1)
-                   for p in range(P)], axis=1)
-    return G.reshape(njp, M)[:nj]
+    if njp > nj:
+        z = jnp.zeros(F.shape[:-2] + (njp - nj, M), F.dtype)
+        F = jnp.concatenate([F, z], axis=-2)
+    G = F.reshape(*F.shape[:-2], njp // P, P, M)
+    G = jnp.stack([jnp.roll(G[..., p, :], shifts[p], axis=-1)
+                   for p in range(P)], axis=-2)
+    return G.reshape(*G.shape[:-3], njp, M)[..., :nj, :]
 
 
 def wola_synthesis(ch: jax.Array, M: int, R: Optional[int] = None,
                    taps_per_branch: int = 16,
                    h: Optional[np.ndarray] = None) -> jax.Array:
-    """Inverse of :func:`wola_analysis` (same M, R, prototype): (nj, M)
-    -> (~n,) with unit passband gain and group delay K*M - R.
+    """Inverse of :func:`wola_analysis` (same M, R, prototype):
+    (..., nj, M) -> (..., ~n) with unit passband gain and group delay
+    K*M - R.  Leading axes are independent streams.
 
     Round-trip accuracy is set by the prototype (root-Nyquist default:
     ~3e-4 broadband at taps_per_branch=16, ~7e-5 at 32 — measured in
@@ -250,16 +248,17 @@ def wola_synthesis(ch: jax.Array, M: int, R: Optional[int] = None,
         h = _wola_prototype(M, taps_per_branch)
     K = len(h) // M
     hj = jnp.asarray(h[: K * M], real_dtype)
-    nj = ch.shape[0]
+    nj = ch.shape[-2]
     KM = K * M
     # u_j[q] = (1/M) sum_c ch[j, c] e^{+2i pi c q/M}, then undo the
     # analysis' phase fixup by shifting back by +(jR mod M)
     # u'_j[t] = IFFT(ch[j] . e^{+2i pi c jR/M})[t] = roll(IFFT(ch[j]), -jR)
     # — the inverse of the analysis' phase fixup
-    u = jnp.fft.ifft(ch, axis=-1)                        # (nj, M)
+    u = jnp.fft.ifft(ch, axis=-1)                        # (..., nj, M)
     us = _roll_rows_mod(u, [(-(j * R)) % M for j in range(M // R)])
     # per-frame contribution g[t]*u_j[t mod M] over window t in [0, KM)
-    contrib = jnp.tile(us, (1, K)) * hj[None, :]         # (nj, KM)
+    contrib = (jnp.concatenate([us] * K, axis=-1)
+               * hj[None, :])                            # (..., nj, KM)
     # COLA normalization: in-band content reaches here already carrying
     # the analysis filter's response (ch = H(delta) * x, |H| ~ Sum h at
     # baseband, cancelled by the ifft's 1/M since Sum h = M), so the
@@ -278,12 +277,13 @@ def wola_synthesis(ch: jax.Array, M: int, R: Optional[int] = None,
     # dynamic_update_slice chain here forced S sequential passes)
     S = KM // R
     nrows = nj + S - 1
-    cr = contrib.reshape(nj, S, R)
+    b = contrib.shape[:-2]
+    cr = contrib.reshape(*b, nj, S, R)
     out = None
     for s in range(S):
         part = jnp.concatenate(
-            [jnp.zeros((s, R), complex_dtype), cr[:, s],
-             jnp.zeros((S - 1 - s, R), complex_dtype)], axis=0)
+            [jnp.zeros(b + (s, R), complex_dtype), cr[..., s, :],
+             jnp.zeros(b + (S - 1 - s, R), complex_dtype)], axis=-2)
         out = part if out is None else out + part
     out = out / jnp.asarray(env, real_dtype)[None, :]
-    return out.reshape(nrows * R)
+    return out.reshape(*b, nrows * R)

@@ -329,6 +329,38 @@ class Receiver(Block):
 # module-level jit of Receiver.step with the receiver as a pytree argument
 # (closure capture would embed device constants — see Receiver.create note)
 _STEP_JIT = jax.jit(lambda rx, state, x: Receiver.step(rx, state, x))
+_INIT_JIT = jax.jit(lambda rx: Receiver.init(rx))
+# plane <-> complex converters at the device boundary (complex64 host
+# transfers are UNIMPLEMENTED on some TPU runtimes)
+_PLANES_IN = jax.jit(lambda p: (p[0] + 1j * p[1]).astype(jnp.complex64))
+# pack a whole pytree into ONE f32 vector for the device->host hop:
+# complex leaves as re/im planes, everything else cast to f32 (exact for
+# int8 bits / int32 positions / bools) — small per-leaf transfers (<~16
+# elements) also fail on those runtimes
+_PACK = jax.jit(lambda ls: jnp.concatenate(
+    [(jnp.stack([jnp.real(l), jnp.imag(l)]).reshape(-1).astype(jnp.float32)
+      if jnp.iscomplexobj(l) else
+      l.astype(jnp.float32).reshape(-1)) for l in ls]))
+
+
+def _pull_tree(tree):
+    """Move a device pytree to host numpy with one packed f32 transfer,
+    restoring leaf shapes/dtypes."""
+    leaves, tdef = jax.tree_util.tree_flatten(tree)
+    buf = np.asarray(_PACK(tuple(leaves)))
+    host, off = [], 0
+    for l in leaves:
+        shp = tuple(l.shape)
+        sz = int(np.prod(shp, dtype=np.int64)) if shp else 1
+        if jnp.iscomplexobj(l):
+            p = buf[off: off + 2 * sz].reshape((2,) + shp)
+            host.append((p[0] + 1j * p[1]).astype(np.complex64))
+            off += 2 * sz
+        else:
+            host.append(buf[off: off + sz].reshape(shp)
+                        .astype(np.dtype(l.dtype)))
+            off += sz
+    return jax.tree_util.tree_unflatten(tdef, host)
 
 
 class StreamReceiver:
@@ -359,7 +391,8 @@ class StreamReceiver:
         self.rx = rx
         self.block_len = block_len
         self.callback = callback
-        self.state = rx.init()
+        # init under jit: eager ops are unimplemented on some runtimes
+        self.state = _INIT_JIT(rx)
         self.frames = []
         self.nframes = 0
         # monitor=True steps through a MonitoredReceiver: the detection
@@ -377,15 +410,22 @@ class StreamReceiver:
         return self._driver.moniteurs()
 
     def _on_block(self, blk):
+        # all device crossings as re/im planes: some TPU runtimes (axon)
+        # cannot transfer complex64 in either direction, and eager
+        # per-slot slicing of device arrays would dispatch eager ops
+        xd = _PLANES_IN(jnp.asarray(
+            np.stack([blk.real.astype(np.float32),
+                      blk.imag.astype(np.float32)])))
         if self._driver is not None:
-            self.state, frames = self._driver.step(self.state,
-                                                   jnp.asarray(blk))
+            self.state, frames = self._driver.step(self.state, xd)
         else:
-            self.state, frames = self.rx.step_jit(self.state,
-                                                  jnp.asarray(blk))
-        valid = np.asarray(frames.valid)
+            self.state, frames = self.rx.step_jit(self.state, xd)
+        # pull the whole FrameRx to host in ONE packed transfer, then
+        # slice per valid slot in numpy
+        frames_h = _pull_tree(frames)
+        valid = frames_h.valid
         for i in np.nonzero(valid)[0]:
-            fr = jax.tree_util.tree_map(lambda a, i=i: a[i], frames)
+            fr = jax.tree_util.tree_map(lambda a, i=i: a[i], frames_h)
             self.nframes += 1
             if self.callback is not None:
                 self.callback(fr)
