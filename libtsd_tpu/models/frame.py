@@ -133,8 +133,16 @@ class Receiver(Block):
             return jnp.stack([jnp.real(w), jnp.imag(w)])
         planes = np.asarray(jax.jit(_hdr)(mod, hdr_bits))
         hdr_wave = planes[0] + 1j * planes[1]
-        nsym_header = len(fmt.header_bits) // wf.info.k
-        nsym_payload = fmt.payload_bits // wf.info.k
+        k = wf.info.k
+        if len(fmt.header_bits) % k or fmt.payload_bits % k:
+            raise ValueError(
+                f"header ({len(fmt.header_bits)}) and payload "
+                f"({fmt.payload_bits}) bit counts must be multiples of "
+                f"k={k} bits/symbol for this waveform — a partial symbol "
+                f"would silently shift every following symbol (pad the "
+                f"sync word: e.g. 66 header bits for 8-PSK)")
+        nsym_header = len(fmt.header_bits) // k
+        nsym_payload = fmt.payload_bits // k
         d = int(round(mod.delay))
         # non-integer modulator latency: the pattern starts dt_mod samples
         # AFTER the first symbol center (δt_modulateur, recepteur.cc:95,249)

@@ -129,3 +129,31 @@ def test_xcorr_edge_cases():
     y = x[:50]
     d, score = C.estimate_delay(jnp.asarray(x), jnp.asarray(y))
     assert abs(float(d)) < 1.0  # same start, just truncated
+
+
+def _gauss_pulse(n):
+    """Gaussian-windowed pulse (parity: test_signal, test-fourier.cc)."""
+    t = np.arange(n, dtype=np.float64)
+    c = n / 2.0
+    env = np.exp(-((t - c) / (n / 8.0)) ** 2)
+    return (env * np.cos(2 * np.pi * 0.05 * t)).astype(np.complex64)
+
+
+@pytest.mark.parametrize("n", [32, 1024, 15 * 1024])
+def test_estimate_delay_sweep(n):
+    """Parity sweep of estimation_delais (test-fourier.cc:409-528,
+    705-729): integer and fractional delays across signal lengths, with
+    the reference's tolerances (0.02 position, 0.1 at N=32; score within
+    0.4 of 1), and its scale-invariance check (x0*=7, x1*=4)."""
+    from libtsd_tpu.ops.fft import delay_signal
+    delays = [0.0, 1.0, 10.0, 1.1] if n == 32 else \
+        [0.0, 1.0, 10.0, 20.0, 40.0, -50.0, 11.0, 1.1]
+    x0 = _gauss_pulse(n)
+    tol = 0.1 if n == 32 else 0.02
+    for d in delays:
+        x1 = np.asarray(delay_signal(jnp.asarray(x0), d))
+        dd, score = C.estimate_delay(jnp.asarray(7 * x0),
+                                     jnp.asarray(4 * x1))
+        err = abs(float(dd) - d)
+        assert err < tol, (n, d, float(dd), err)
+        assert abs(float(score) - 1.0) < 0.4, (n, d, float(score))

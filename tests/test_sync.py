@@ -231,3 +231,16 @@ def test_ted_family_converges(ted):
     tail = tail / np.sqrt(np.mean(np.abs(tail) ** 2))
     d = np.abs(tail[:, None] - np.asarray(wf.symbols)[None, :]).min(axis=1)
     assert np.mean(d) < 0.15, (ted, np.mean(d))
+
+
+def test_loop_filter1_time_constant():
+    """Parity: test_filtre_boucle_ordre_1 (test-telecom.cc:5-29) — the
+    order-1 loop driven by e = 1 - y must reach 63.2% at tau steps."""
+    from libtsd_tpu.models.carrier_rec import LoopFilter1
+    lf = LoopFilter1(tau=5.0)
+    st = lf.init()
+    y = [0.0]
+    for _ in range(1, 20):
+        st, th = lf.step(st, 1.0 - y[-1])
+        y.append(float(th))
+    assert abs(y[5] - 0.632) < 1e-3, y[5]
