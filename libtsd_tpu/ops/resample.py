@@ -452,16 +452,31 @@ class RationalResampler(Block):
         p, q = fr.numerator, fr.denominator
         K = itrp.K
         # one-cycle matrix: output r of a cycle reads window samples
-        # ip_r+1+i (i < K) of the (q+K)-wide frame with taps(tau_r)
-        lut = np.asarray(itrp.lut)
-        nph = lut.shape[0] - 1
-        A = np.zeros((p, q + K), np.float64)
-        for r in range(p):
+        # ip_r+1+i (i < K) of the (q+K)-wide frame with taps(tau_r).
+        # Guarded: an irrational ratio pushed through a large max_den can
+        # make p*(q+K) enormous (pi/2 at 1<<16 -> 52174 x 33230 = 6.9 GB)
+        # — those configs keep the gather fallback; better, pass a small
+        # max_den (the Resampler cascade uses 256: ratio error <1e-5)
+        if p * (q + K) <= (1 << 23):
+            # all index math on HOST ints (p, q are static); the only
+            # device op is one take at creation — keeps create() usable
+            # at trace time (resample() inside jit)
+            nph = itrp.lut.shape[0] - 1
+            r = np.arange(p)
             ip = (r * q) // p
             tau = ((r * q) % p) / p
-            ph = min(nph, int(round(tau * nph)))
-            A[r, ip + 1: ip + 1 + K] = lut[ph]
-        return cls(itrp=itrp, A=jnp.asarray(A, real_dtype), p=p, q=q)
+            ph = np.minimum(np.round(tau * nph).astype(np.int64), nph)
+            taps = itrp.lut[jnp.asarray(ph)]                 # (p, K)
+            cols = np.arange(q + K)[None, :] - (ip[:, None] + 1)
+            valid = (cols >= 0) & (cols < K)
+            gcols = np.clip(cols, 0, K - 1)
+            A = jnp.where(jnp.asarray(valid),
+                          jnp.take_along_axis(
+                              taps, jnp.asarray(gcols), axis=1),
+                          0.0).astype(real_dtype)
+        else:
+            A = jnp.zeros((1, 1), real_dtype)   # fallback marker
+        return cls(itrp=itrp, A=A, p=p, q=q)
 
     @property
     def ratio(self):
@@ -484,7 +499,7 @@ class RationalResampler(Block):
         assert (n * p) % q == 0, "block length * p must be a multiple of q"
         nout = n * p // q
         xx = jnp.concatenate([state, x], axis=-1)  # (..., n + K)
-        if n % q == 0:
+        if n % q == 0 and self.A.shape == (p, q + K):
             # MXU path: frames with hop q (gather-free: S static slices
             # of the q-column reshape) x the one-cycle matrix A
             ncyc = n // q
@@ -547,7 +562,14 @@ class Resampler(Block):
             stages.append(FirUps.create(h, 2))
             post /= 2
         if abs(post - 1.0) > 1e-9:
-            stages.append(RationalResampler.create(post))
+            # small denominator for the residual stage: the achieved
+            # ratio differs by ~1e-6 relative (ppm rate error), while
+            # huge p/q fractions for irrational ratios would force
+            # gigantic block-length constraints (pad-to-multiple-of-q
+            # zero tails) and an unbuildable cycle matrix — pi at the old
+            # 1<<16 default meant q=33215 and a -20 dB spur floor from
+            # the padding
+            stages.append(RationalResampler.create(post, max_den=1024))
         return cls(stages=tuple(stages))
 
     @property

@@ -305,3 +305,29 @@ def test_interp_irregular_integer_y():
     from scipy.interpolate import CubicSpline
     ref = CubicSpline(x, y.astype(float), bc_type="natural")(x2)
     assert np.max(np.abs(got - ref)) < 1e-4
+
+
+@pytest.mark.parametrize("ratio", [1.5, 0.5, 2.0, 1.2, float(np.pi),
+                                   float(1 / np.pi)])
+def test_resample_ratio_sweep_purity(ratio):
+    """Parity: test_ra_unit (test-ra.cc:57-166) — a resampled tone must
+    stay spectrally pure: max spur < -50 dB (reference gate) at every
+    ratio, including irrational ones (whose residual stage approximates
+    to ~ppm with a bounded fraction — the old 1<<16 denominator cap made
+    pi's cycle constraints enormous and the spur floor -20 dB)."""
+    from libtsd_tpu.ops.resample import Resampler, resample
+    f, n = 0.043, 1 << 14
+    x = np.cos(2 * np.pi * f * np.arange(n)).astype(np.float32)
+    r = Resampler.create(float(ratio))
+    assert abs(r.ratio - ratio) / ratio < 2e-5
+    y = np.asarray(resample(jnp.asarray(x), float(ratio)))
+    ny = len(y)
+    seg = y[ny // 4: 3 * ny // 4]
+    seg = seg * np.hanning(len(seg))
+    Y = np.abs(np.fft.rfft(seg))
+    pk = int(np.argmax(Y))
+    m = np.ones(len(Y), bool)
+    m[max(0, pk - 6):pk + 7] = False
+    m[:4] = False
+    spur_db = 20 * np.log10(Y[m].max() / Y[pk])
+    assert spur_db < -50.0, (ratio, spur_db)

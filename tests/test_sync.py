@@ -244,3 +244,39 @@ def test_loop_filter1_time_constant():
         st, th = lf.step(st, 1.0 - y[-1])
         y.append(float(th))
     assert abs(y[5] - 0.632) < 1e-3, y[5]
+
+
+@pytest.mark.parametrize("ped_name", ["ploop", "tloop", "costas"])
+def test_ped_detects_rotation(ped_name):
+    """Parity: test_ped (test-crec.cc:5-25) — each phase-error detector,
+    fed a tone rotating at f=0.02 cycles/sample, must report a mean
+    per-sample phase advance of 2*pi*f within 10% relative error."""
+    from libtsd_tpu.models.carrier_rec import (ped_costas, ped_ploop,
+                                               ped_tloop)
+    ped = {"ploop": ped_ploop(2), "tloop": ped_tloop(2),
+           "costas": ped_costas(2)}[ped_name]
+    N, f = 512, 0.02
+    x = np.exp(2j * np.pi * f * np.ones(N)).astype(np.complex64)
+    phi = np.asarray(jax.vmap(ped)(jnp.asarray(x)))
+    f_det = float(phi.mean()) / (2 * np.pi)
+    assert abs(f_det - f) / f < 0.10, (ped_name, f_det)
+
+
+def test_cpll_bpsk_noise_phase_doppler():
+    """Parity: test_crec (test-crec.cc:81-139) — BPSK symbols with AWGN,
+    a pi/4 static phase AND a 0.01 cyc/sample Doppler ramp; after the
+    CPLL the mean residual phase (arg of the squared symbols / 2) must be
+    below 10 degrees."""
+    from libtsd_tpu.models.carrier_rec import Cpll, CpllConfig
+    rng = np.random.default_rng(5)
+    n = 1000
+    sym = np.sign(rng.standard_normal(n)).astype(np.complex64)
+    y = sym + 0.1 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    df = 0.01
+    y = (y * np.exp(1j * (np.pi / 4 + 2 * np.pi * df * np.arange(n)))
+         ).astype(np.complex64)
+    pll = Cpll(cfg=CpllConfig(ped="tloop", M=2, order=2, BL=0.02))
+    _, yc = pll.step(pll.init(), jnp.asarray(y))
+    tail = np.asarray(yc)[n // 2:]
+    am = np.degrees(np.angle(tail ** 2).mean() / 2)
+    assert abs(am) < 10.0, am
