@@ -306,7 +306,13 @@ def gaussian_fir(n: int, sigma: float, dt: float = 0.0) -> np.ndarray:
 def gaussian_fir_telecom(n: int, BT: float, osf: int) -> np.ndarray:
     """GFSK pulse-shaping filter: Gaussian (sigma from BT, scaled by osf,
     pre-shifted) convolved with an osf-long moving average (parity:
-    design_rif_gaussien_telecom, rif-cs.cc:110-151)."""
+    design_rif_gaussien_telecom, rif-cs.cc:110-151; verified against the
+    reference binary in tests/test_golden_ref2.py).
+
+    The reference's ``convol`` is causal same-length (filtrage.hpp:1673-1680
+    — as many outputs as inputs, zeros prepended), so the result keeps n
+    taps and the moving average's half-tail is truncated before the final
+    renormalization."""
     dec_nrz = (osf - 1.0) / 2
     sigma = bt_to_sigma(BT)
     h1 = gaussian_fir(n, sigma * osf, dec_nrz)
@@ -314,7 +320,7 @@ def gaussian_fir_telecom(n: int, BT: float, osf: int) -> np.ndarray:
         h1 = np.zeros(n)
         h1[n // 2] = 1
     h0 = np.ones(osf) / osf
-    h2 = np.convolve(h0, h1)
+    h2 = np.convolve(h0, h1)[:n]
     return h2 / h2.sum()
 
 
