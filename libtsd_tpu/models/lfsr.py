@@ -15,13 +15,13 @@ __all__ = ["primitive_poly", "lfsr_bits", "mls_code", "barker_code",
            "prbs_check"]
 
 # maximal-period tap masks for the Fibonacci right-shift recurrence
-# reg' = (reg >> 1) | (parity(reg & mask) << (n-1)) — brute-force verified
-# to give period 2^n - 1 (the reference derives equivalent masks from its
-# primitive-polynomial table, prbs.cc:polynome_primitif_binaire, which
-# includes the x^0 term)
+# reg' = (reg >> 1) | (parity(reg & mask) << (n-1)) — these are the
+# REFERENCE's masks (prbs.cc:pols_prim | 1, the implicit x^n term), so
+# code_mls output is bit-identical (tests/test_golden_ref3.py); all
+# brute-force verified to give period 2^n - 1
 _PRIMITIVE = {
-    2: 3, 3: 3, 4: 3, 5: 5, 6: 3, 7: 3, 8: 29, 9: 17, 10: 9, 11: 5,
-    12: 83, 13: 27, 14: 43, 15: 3, 16: 45,
+    2: 3, 3: 5, 4: 9, 5: 9, 6: 33, 7: 65, 8: 113, 9: 33, 10: 129,
+    11: 513, 12: 801, 13: 5633, 14: 43, 15: 16385, 16: 45,
 }
 
 _BARKER = {
