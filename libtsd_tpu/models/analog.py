@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import complex_dtype, real_dtype
+from ..ops.signal import cycles
 from ..ops.filter_rt import Fir, fir_filter
 from ..ops.fir_design import fir_hilbert, fir_lowpass
 from ..ops.iir_design import design_lexp
@@ -71,21 +72,36 @@ class AMConfig:
 
 
 def am_modulate(audio: jax.Array, cfg: AMConfig) -> jax.Array:
-    """AM modulation (parity: ModulateurAM, analogique.cc:78-200)."""
+    """AM modulation (parity: ModulateurAM, analogique.cc:78-200).
+
+    The carrier phase is reduced mod 1 cycle in float64 (signal.cycles)
+    before the float32 trig — matching the reference's double-precision
+    recursive oscillator (OHC, tsd.cc:583-600) to ~1e-6.  The frequency is
+    first quantized to float32 like the reference's OHConfig.freq field
+    (its NCO runs double accumulation of a float32-valued frequency)."""
     n = audio.shape[-1]
-    k = jnp.arange(n, dtype=real_dtype)
+    cyc = cycles(float(np.float32(cfg.f_rf)), n)
     if cfg.mode == "dsb":
         mx = jnp.max(jnp.abs(audio)) + 1e-30
         env = 1 + cfg.index * audio / mx
-        return env * jnp.cos(2 * jnp.pi * jnp.mod(cfg.f_rf * k, 1.0))
+        return env * jnp.cos(2 * jnp.pi * cyc)
     if cfg.mode in ("dsb-sc", "dsb_suppressed_carrier"):
-        return audio * jnp.cos(2 * jnp.pi * jnp.mod(cfg.f_rf * k, 1.0))
+        return audio * jnp.cos(2 * jnp.pi * cyc)
     if cfg.mode in ("usb", "lsb"):
         z = hilbert_analytic(audio)
-        lo = jnp.exp(2j * jnp.pi * jnp.mod(cfg.f_rf * k, 1.0)
-                     ).astype(complex_dtype)
-        if cfg.mode == "lsb":
-            z = jnp.conj(z)
+        lo = jnp.exp(2j * jnp.pi * cyc).astype(complex_dtype)
+        # Reference formula (analogique.cc:121-126): y = re(z)*re(lo) +
+        # signe*im(z)*im(lo) with signe=+1 for USB — i.e. Re(z*conj(lo))
+        # for "USB" and Re(z*lo) for "LSB".  NOTE: with the standard
+        # positive-frequency analytic signal z = x + i*H[x] (which the
+        # reference's own hilbert_transformeur builds, hilbert.cc:27-50),
+        # Re(z*conj(lo)) spectrally lands the audio BELOW the carrier —
+        # the reference's mode labels are swapped relative to the actual
+        # sideband produced.  We reproduce the binary's behavior
+        # (golden-diffed in tests/test_golden_ref3.py) and keep its
+        # labels.
+        if cfg.mode == "usb":
+            lo = jnp.conj(lo)
         return jnp.real(z * lo)
     raise ValueError(f"unknown AM mode {cfg.mode!r}")
 
@@ -95,7 +111,7 @@ def am_demodulate(x: jax.Array, cfg: AMConfig,
     """AM demodulation: envelope (dsb) or coherent product detection,
     with audio lowpass (parity: DemodulateurAM, analogique.cc:200-379)."""
     n = x.shape[-1]
-    k = jnp.arange(n, dtype=real_dtype)
+    cyc = cycles(float(np.float32(cfg.f_rf)), n)
     h = fir_lowpass(63, audio_cut)
     if cfg.mode == "dsb":
         # envelope detector via analytic signal magnitude
@@ -104,11 +120,10 @@ def am_demodulate(x: jax.Array, cfg: AMConfig,
         y = env - jnp.mean(env)
         return fir_filter(h, y)
     if cfg.mode in ("dsb-sc", "dsb_suppressed_carrier"):
-        y = x * 2 * jnp.cos(2 * jnp.pi * jnp.mod(cfg.f_rf * k, 1.0))
+        y = x * 2 * jnp.cos(2 * jnp.pi * cyc)
         return fir_filter(h, y)
     if cfg.mode in ("usb", "lsb"):
-        lo = jnp.exp(-2j * jnp.pi * jnp.mod(cfg.f_rf * k, 1.0)
-                     ).astype(complex_dtype)
+        lo = jnp.exp(-2j * jnp.pi * cyc).astype(complex_dtype)
         z = hilbert_analytic(x) * lo
         # real() is insensitive to conjugation — one expression serves
         # both sidebands (the sideband choice happened at modulation)

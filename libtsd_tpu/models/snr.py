@@ -40,7 +40,15 @@ def snr_bpsk_abs(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
 class MatznerTracker:
     """Streaming Matzner estimator with forget factor gamma — returns
     per-sample S and N tracks (parity: Matzner::step's exponential
-    averaging), computed in log-depth with an associative scan."""
+    averaging, snr.cc:9-43), computed in log-depth with an associative
+    scan.
+
+    Reference-parity warm-up behavior: while the moment trackers warm up
+    from zero, 2*e2^2 - e4 is NEGATIVE (first sample: gamma*e2i^2*(2*gamma
+    - 1) < 0 for gamma < 0.5) and the reference's sqrt returns NaN; we
+    emit NaN at exactly the same samples (golden-diffed against the
+    binary in tests/test_golden_ref3.py).  Downstream users wanting a
+    clamped estimate should use the block ``snr_matzner``."""
 
     def __init__(self, gamma: float = 0.1):
         self.gamma = gamma
@@ -52,7 +60,7 @@ class MatznerTracker:
         e4i = e2i * e2i
         e2 = _first_order_scan(1 - g, g * e2i, e2_0)
         e4 = _first_order_scan(1 - g, g * e4i, e4_0)
-        S = jnp.sqrt(jnp.maximum(2 * e2 * e2 - e4, 0.0))
+        S = jnp.sqrt(2 * e2 * e2 - e4)  # NaN during warm-up, like the ref
         N = e2 - S
         return (e2[..., -1], e4[..., -1]), (S, N)
 

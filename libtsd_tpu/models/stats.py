@@ -18,7 +18,7 @@ from ..config import complex_dtype, real_dtype
 
 __all__ = [
     "levinson_real", "levinson", "lpc", "wiener_fir", "r2R", "covmtx",
-    "subspace_spectrum", "psd_subspace",
+    "mdl_criterion", "mdl_source_count", "subspace_spectrum", "psd_subspace",
 ]
 
 
@@ -109,31 +109,118 @@ def r2R(r) -> jax.Array:
 
 
 def covmtx(x: jax.Array, m: int) -> jax.Array:
-    """Sample covariance matrix of sliding windows of length m (parity:
-    tsd::stats::covmtx)."""
-    x = jnp.asarray(x)
-    n = x.shape[-1]
-    nw = n - m + 1
-    # hop-1 sliding windows as m static shifted slices (an index-array
-    # take here lowers to an element-rate gather on TPU)
-    W = jnp.stack([jax.lax.slice_in_dim(x, k, k + nw, axis=-1)
-                   for k in range(m)], axis=-1)  # (nw, m)
-    # R = E[w w^H]: R[a,b] = E[x[i+a] conj(x[i+b])] — a tone at +f then has
-    # eigenvector exp(+2 pi i f k), matching the MUSIC steering convention
-    return (W.T @ jnp.conj(W)) / nw
+    """Autocorrelation (Toeplitz) covariance matrix, built exactly as the
+    reference does: unbiased xcorr positive lags -> Hermitian Toeplitz
+    (parity: tsd::stats::covmtx, stats.hpp:146-156 = r_vers_R(xcorr(x,x,m)
+    .tail(m))).
+
+    NOTE a reference code-vs-doc mismatch we reproduce on purpose: the
+    reference docstring claims R_ij = E[x_{.+i} x*_{.+j}], but its xcorr
+    computes c(tau) = sum_k x(k) conj(x(k+tau)) (frequency-reversed
+    product, fourier.cc:491-502), so the matrix actually built is the
+    CONJUGATE, R_ij = E[x*_{.+i} x_{.+j}].  Consequence: a tone at +f has
+    signal-subspace eigenvector exp(-2 pi i f k), so the MUSIC spectrum
+    from this matrix peaks at the MIRRORED frequency -f — exactly like the
+    reference binary (golden-diffed in tests/test_golden_ref3.py)."""
+    from ..ops.corr import xcorr
+    _, c = xcorr(jnp.asarray(x), None, m)   # unbiased, lags -(m-1)..m-1
+    return r2R(c[..., m - 1:])              # lags 0..m-1
+
+
+def mdl_criterion(R) -> Tuple[np.ndarray, int]:
+    """MDL source-count criterion over a covariance matrix, EXACTLY as the
+    reference computes it (parity: subspace_spectrum Ns==-1 branch,
+    stats.cc:148-187, after Williams, "Detection: Determining the Number
+    of Sources", DSP Handbook).
+
+    Returns (vmdl, Ns_ref): the criterion vector vmdl[k-1] for k = 1..m-1
+    candidate sources, and the reference's selection Ns_ref.
+
+    TWO REFERENCE DEFECTS reproduced on purpose (golden-diffed against the
+    binary in tests/test_golden_ref4.py):
+    * the formula deviates from Williams' MDL — the reference expands
+      ``-N*(somme - (Ns-m)*(-log(m-Ns) + somme))`` (stats.cc:174), which
+      is NOT -N*(m-Ns)*log(GM/AM); it also fixes N (number of snapshots)
+      to m, the matrix dimension (stats.cc:168 "à confirmer");
+    * the selection takes ``index_max`` of the criterion (stats.cc:180)
+      although MDL selects a MINIMUM — and with the mis-expanded formula
+      NEITHER extremum recovers the true source count (measured: two
+      clean tones in a 12x12 covariance give argmax=1, argmin=11).
+      ``subspace_spectrum(Ns=-1)`` therefore uses the correct Wax-Kailath
+      MDL (:func:`mdl_source_count`) — a documented improvement; this
+      function exists for the golden diff and returns Ns_ref = what the
+      reference binary would pick.
+    """
+    R = np.asarray(R)
+    m = R.shape[0]
+    w = np.linalg.eigvalsh(R)            # ascending
+    la = np.abs(w[::-1]).astype(np.float64)   # descending magnitude
+    N = m                                 # reference: N = m (stats.cc:168)
+    vmdl = np.zeros(m - 1, np.float64)
+    for k in range(1, m):
+        somme = float(np.log(la[k:]).sum())
+        vmdl[k - 1] = (-N * (somme - (k - m) * (-np.log(m - k) + somme))
+                       + 0.5 * k * (2 * m - k) * np.log(N))
+    return vmdl.astype(np.float32), int(np.argmax(vmdl) + 1)
+
+
+def mdl_source_count(R, n_obs: Optional[int] = None
+                     ) -> Tuple[int, np.ndarray]:
+    """Correct MDL source-count estimate (Wax & Kailath 1985; the formula
+    the reference's stats.cc:148-187 cites via Williams but mis-expands —
+    see :func:`mdl_criterion`).
+
+    MDL(k) = -N (m-k) log(GM_k / AM_k) + 0.5 k (2m-k) log N, with GM/AM
+    the geometric/arithmetic means of the m-k smallest eigenvalues;
+    the estimate is argmin_k MDL(k).  Returns (Ns, criterion)."""
+    R = np.asarray(R)
+    m = R.shape[0]
+    N = int(n_obs) if n_obs else m
+    la = np.abs(np.linalg.eigvalsh(R)[::-1]).astype(np.float64)
+    la = np.maximum(la, 1e-30)
+    crit = np.zeros(m, np.float64)
+    for k in range(m):
+        noise = la[k:]
+        gm = np.exp(np.mean(np.log(noise)))
+        am = np.mean(noise)
+        crit[k] = (-N * (m - k) * np.log(gm / am)
+                   + 0.5 * k * (2 * m - k) * np.log(N))
+    return int(np.argmin(crit)), crit.astype(np.float32)
 
 
 def subspace_spectrum(R: jax.Array, Ns: int, Nf: int = 512,
-                      steering: Optional[Callable] = None
+                      steering: Optional[Callable] = None,
+                      debug: bool = False,
                       ) -> Tuple[jax.Array, jax.Array]:
     """MUSIC pseudo-spectrum from a covariance matrix.
 
     Returns (grid, spectrum_db).  ``steering(f, m)`` maps a grid value to an
     m-element steering vector; default is the Fourier vector exp(2 pi i f k)
     over f in [-1/2, 1/2) (parity: subspace_spectrum, stats.cc:143-236).
+
+    Ns = -1 selects the source count automatically by the (corrected)
+    Wax-Kailath MDL criterion — the reference's auto path
+    (stats.cc:148-187) mis-expands the formula and takes the wrong
+    extremum; see :func:`mdl_criterion` / :func:`mdl_source_count`.
+    ``debug=True`` additionally shows the eigenvalue + MDL figures like
+    the reference's ``debug_actif`` (stats.cc:182-190).
     """
     R = jnp.asarray(R, complex_dtype)
     m = R.shape[0]
+    if Ns == -1:
+        Ns, crit = mdl_source_count(np.asarray(R))
+        Ns = max(Ns, 1)                  # keep >=1 noise-subspace split
+        if debug:
+            from ..viz.figure import Figures
+            la = np.abs(np.linalg.eigvalsh(np.asarray(R))[::-1])
+            figs = Figures()
+            f1 = figs.subplot()
+            f1.plot(10 * np.log10(np.maximum(la, 1e-30)))
+            f1.titles("Eigenvalues (log)", "index", "dB")
+            f2 = figs.subplot()
+            f2.plot(np.arange(m), crit)
+            f2.titles("MDL criterion", "source count", "MDL")
+            figs.show("MDL")
     assert Ns < m
     w, V = jnp.linalg.eigh(R)  # ascending eigenvalues
     noise = V[:, : m - Ns]     # noise subspace

@@ -43,6 +43,7 @@ _L = 128
 
 
 def _kernel(*refs, prec: str = "highest", pipe: int = 1,
+            fir_passes: int = 3,
             halo_axis: str | None = None,
             mesh_axes: Tuple[str, ...] = ()):
     if halo_axis is None:
@@ -157,12 +158,25 @@ def _kernel(*refs, prec: str = "highest", pipe: int = 1,
         xh = xf.astype(jnp.bfloat16)
         xl = (xf - xh.astype(f32)).astype(jnp.bfloat16)
 
-        def fdot(sl, g):
-            gh = g.astype(jnp.bfloat16)
-            gl = (g - gh.astype(f32)).astype(jnp.bfloat16)
-            return (jnp.dot(xh[sl], gh, preferred_element_type=f32)
-                    + jnp.dot(xl[sl], gh, preferred_element_type=f32)
-                    + jnp.dot(xh[sl], gl, preferred_element_type=f32))
+        if fir_passes == 2:
+            # 2-pass variant: y = x @ round_bf16(G) computed EXACTLY for
+            # int16 input (xh + xl == x, both halves exact in bf16; for
+            # f32 input the 2^-16 residual of the hi/lo split is the only
+            # input error).  The tap matrices are bf16-rounded (~2^-9
+            # relative coefficient rounding, i.e. a bf16-coefficient FIR
+            # — standard DSP coefficient quantization); drops 1/3 of the
+            # FIR MXU passes, the kernel's largest MXU term.
+            def fdot(sl, g):
+                gh = g.astype(jnp.bfloat16)
+                return (jnp.dot(xh[sl], gh, preferred_element_type=f32)
+                        + jnp.dot(xl[sl], gh, preferred_element_type=f32))
+        else:
+            def fdot(sl, g):
+                gh = g.astype(jnp.bfloat16)
+                gl = (g - gh.astype(f32)).astype(jnp.bfloat16)
+                return (jnp.dot(xh[sl], gh, preferred_element_type=f32)
+                        + jnp.dot(xl[sl], gh, preferred_element_type=f32)
+                        + jnp.dot(xh[sl], gl, preferred_element_type=f32))
     else:
         fdot = lambda sl, g: dot(xx[sl].astype(f32), g)
 
@@ -239,12 +253,13 @@ def _kernel(*refs, prec: str = "highest", pipe: int = 1,
 
 @functools.partial(jax.jit,
                     static_argnames=("interpret", "precision", "tb", "pipe",
-                                     "halo_axis", "mesh_axes"))
+                                     "fir_passes", "halo_axis", "mesh_axes"))
 def fir_periodogram4096(x: jax.Array, G: jax.Array,
                         hist0: jax.Array | None = None,
                         interpret: bool = False,
                         precision: str = "highest",
                         tb: int = 16, pipe: int = 1,
+                        fir_passes: int = 3,
                         halo_axis: str | None = None,
                         mesh_axes: Tuple[str, ...] = ()) -> jax.Array:
     """x: (C, N) float32 (N % 65536 == 0); G: (D, 128, 128) Toeplitz tap
@@ -273,6 +288,14 @@ def fir_periodogram4096(x: jax.Array, G: jax.Array,
     stages of one slab with the VPU stages of the other so the units can
     overlap; numerically identical per slab (only the final accumulate
     associates additions differently).
+
+    fir_passes (split/int16 tiers only): 3 (default) = the full hi/lo
+    decomposition (near-fp32 taps); 2 = bf16-rounded tap matrices with the
+    input still carried exactly (int16: bit-exact x @ round_bf16(G); f32:
+    2^-16 input residual) — drops the kernel's single largest MXU term
+    (FIR is 768 of 1408 MACs/sample) for ~2^-9 coefficient rounding, the
+    standard fixed-point-DSP trade the reference itself makes in its CIC
+    integer runtime (cic.cc:12-101).
 
     halo_axis/mesh_axes: when called inside shard_map with the signal's
     time axis sharded, halo_axis names that mesh axis and mesh_axes lists
@@ -321,7 +344,8 @@ def fir_periodogram4096(x: jax.Array, G: jax.Array,
               jnp.asarray(TWr), jnp.asarray(TWi))
     if halo_axis is None:
         acc = pl.pallas_call(
-            functools.partial(_kernel, prec=precision, pipe=pipe),
+            functools.partial(_kernel, prec=precision, pipe=pipe,
+                              fir_passes=fir_passes),
             grid=(C, nchunks),
             in_specs=[
                 pl.BlockSpec((1, rows, _L), lambda c, f: (c, f, 0),
@@ -346,6 +370,7 @@ def fir_periodogram4096(x: jax.Array, G: jax.Array,
         tail = x[:, N - H * _L:].reshape(C, H, _L)
         acc = pl.pallas_call(
             functools.partial(_kernel, prec=precision, pipe=pipe,
+                              fir_passes=fir_passes,
                               halo_axis=halo_axis, mesh_axes=mesh_axes),
             grid=(C, nchunks),
             in_specs=[

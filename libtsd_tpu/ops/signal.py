@@ -21,6 +21,7 @@ from ..block import Block
 from ..config import complex_dtype, real_dtype
 
 __all__ = [
+    "cycles",
     "sigexp", "sigsin", "sigcos", "sigtri", "sigsquare", "sigsawtooth",
     "sigimp", "siggsin", "siggauss", "sigchirp", "signyquist",
     "linspace", "logspace", "irange",
@@ -39,19 +40,38 @@ def _k(n: int) -> jax.Array:
     return jnp.arange(n, dtype=real_dtype)
 
 
+def cycles(f, n: int) -> jax.Array:
+    """Wrapped cycle ramp (f*k) mod 1 for k = 0..n-1, as accurately as the
+    input allows.
+
+    For a host scalar f the product is formed in float64 and reduced mod 1
+    BEFORE the float32 cast, so the phase argument handed to sin/cos stays
+    in [0, 2*pi) at full float32 precision for ANY n.  (The float32 product
+    f*k alone already has ~1e-5-cycle error by k ~ 2000 — the reference's
+    double-precision recursive oscillators, tsd.cc:583-600, do not, and
+    golden diffs against the binary exposed the gap.)  A traced f falls
+    back to float32 mod on device.
+    """
+    import numpy as _np
+    if isinstance(f, (int, float, _np.floating, _np.integer)):
+        c = _np.mod(_np.float64(f) * _np.arange(n, dtype=_np.float64), 1.0)
+        return jnp.asarray(c, real_dtype)
+    return jnp.mod(jnp.asarray(f, real_dtype) * _k(n), 1.0)
+
+
 def sigexp(f: float, n: int) -> jax.Array:
     """y_k = exp(2*pi*i*k*f) (parity: tsd.hpp:1113)."""
-    return jnp.exp(2j * jnp.pi * jnp.asarray(f, real_dtype) * _k(n)).astype(complex_dtype)
+    return jnp.exp(2j * jnp.pi * cycles(f, n)).astype(complex_dtype)
 
 
 def sigsin(f: float, n: int) -> jax.Array:
     """y_k = sin(2*pi*k*f) (parity: tsd.hpp:1134)."""
-    return jnp.sin(2 * jnp.pi * jnp.asarray(f, real_dtype) * _k(n))
+    return jnp.sin(2 * jnp.pi * cycles(f, n))
 
 
 def sigcos(f: float, n: int) -> jax.Array:
     """y_k = cos(2*pi*k*f) (parity: tsd.hpp:1155)."""
-    return jnp.cos(2 * jnp.pi * jnp.asarray(f, real_dtype) * _k(n))
+    return jnp.cos(2 * jnp.pi * cycles(f, n))
 
 
 def sigtri(p: int, n: int) -> jax.Array:

@@ -17,6 +17,7 @@ __all__ = [
     "quat_mult", "quat_conj", "quat_normalize", "quat_rotate",
     "quat_to_rotmat", "rotmat_to_quat", "quat_from_axis_angle",
     "cardan_to_rotmat", "rotmat_to_cardan", "quat_from_cardan",
+    "quat_to_cardan",
 ]
 
 
@@ -79,23 +80,48 @@ def rotmat_to_quat(R: jax.Array) -> jax.Array:
 
 def cardan_to_rotmat(phi, theta, psi) -> jax.Array:
     """Cardan (roll phi, pitch theta, yaw psi) -> rotation matrix,
-    R = Rz(psi) Ry(theta) Rx(phi) (parity: Cardan, geometrie.hpp)."""
+    R = R1(phi) R2(theta) R3(psi) in the PASSIVE (coordinate-transform)
+    convention of Diebel, "Representing Attitude" (2006) — each Ri is the
+    transpose of the active axis rotation, so R maps world coordinates to
+    body coordinates (parity: Cardan::mat_rotation, geometrie.cc:228-232,
+    with rotmat_3d_R1/R2/R3 from geometrie.hpp:109-141; golden-diffed
+    against the reference binary in tests/test_golden_ref3.py)."""
     cf, sf = jnp.cos(phi), jnp.sin(phi)
     ct, st = jnp.cos(theta), jnp.sin(theta)
     cp, sp = jnp.cos(psi), jnp.sin(psi)
-    Rx = jnp.asarray([[1, 0, 0], [0, cf, -sf], [0, sf, cf]], real_dtype)
-    Ry = jnp.asarray([[ct, 0, st], [0, 1, 0], [-st, 0, ct]], real_dtype)
-    Rz = jnp.asarray([[cp, -sp, 0], [sp, cp, 0], [0, 0, 1]], real_dtype)
-    return Rz @ Ry @ Rx
+    R1 = jnp.asarray([[1, 0, 0], [0, cf, sf], [0, -sf, cf]], real_dtype)
+    R2 = jnp.asarray([[ct, 0, -st], [0, 1, 0], [st, 0, ct]], real_dtype)
+    R3 = jnp.asarray([[cp, sp, 0], [-sp, cp, 0], [0, 0, 1]], real_dtype)
+    return R1 @ R2 @ R3
 
 
 def rotmat_to_cardan(R: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Rotation matrix -> (roll, pitch, yaw)."""
-    theta = -jnp.arcsin(jnp.clip(R[2, 0], -1.0, 1.0))
-    phi = jnp.arctan2(R[2, 1], R[2, 2])
-    psi = jnp.arctan2(R[1, 0], R[0, 0])
+    """Rotation matrix (passive convention, see cardan_to_rotmat) ->
+    (roll, pitch, yaw) (parity: Cardan::Cardan(Matrix3f),
+    geometrie.cc:166-171)."""
+    theta = -jnp.arcsin(jnp.clip(R[0, 2], -1.0, 1.0))
+    phi = jnp.arctan2(R[1, 2], R[2, 2])
+    psi = jnp.arctan2(R[0, 1], R[0, 0])
     return phi, theta, psi
 
 
 def quat_from_cardan(phi, theta, psi) -> jax.Array:
     return rotmat_to_quat(cardan_to_rotmat(phi, theta, psi))
+
+
+def quat_to_cardan(q: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Quaternion -> Cardan angles via Diebel eq. (290), exactly as the
+    reference (parity: Cardan::Cardan(Quaternion), geometrie.cc:173-182).
+
+    REFERENCE INCONSISTENCY reproduced on purpose: eq. (290) extracts the
+    angles from the ACTIVE rotation matrix of q, while Cardan::mat_rotation
+    builds the PASSIVE matrix — so the reference's own
+    Cardan -> mat -> Quaternion -> Cardan roundtrip does NOT return the
+    original angles (golden g3_cardan_rt pins the actual output).  Our
+    matrix-path pair (cardan_to_rotmat / rotmat_to_cardan) IS a consistent
+    inverse pair; use it when a true roundtrip is needed."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    phi = jnp.arctan2(2 * y * z + 2 * w * x, z * z - y * y - x * x + w * w)
+    theta = -jnp.arcsin(jnp.clip(2 * x * z - 2 * w * y, -1.0, 1.0))
+    psi = jnp.arctan2(2 * x * y + 2 * w * z, x * x + w * w - z * z - y * y)
+    return phi, theta, psi

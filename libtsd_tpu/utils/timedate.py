@@ -15,7 +15,7 @@ import numpy as np
 __all__ = [
     "year_is_valid", "year_month_valid",
     "is_leap_year", "days_in_month", "gregorian_to_jd", "jd_to_gregorian",
-    "mjd", "day_of_week", "sidereal_time", "local_sidereal_time",
+    "mjd", "j2000", "day_of_week", "sidereal_time", "local_sidereal_time",
     "Calendar", "TimeOfDay", "DateTime",
 ]
 
@@ -79,6 +79,21 @@ def jd_to_gregorian(jd: float) -> Tuple[int, int, float]:
 def mjd(y: int, m: int, d: float) -> float:
     """Modified Julian day."""
     return gregorian_to_jd(y, m, d) - 2400000.5
+
+
+def j2000(y: int, m: int, d: float) -> float:
+    """Days since the REFERENCE's "J2000" epoch — which is actually JD
+    2415020.0 = 1899-12-31 12:00 UT (the classical 1900 January 0.5
+    astronomy epoch), NOT the year-2000 epoch.
+
+    REFERENCE DEFECT reproduced on purpose: DateHeure::J2000()
+    (temps.cc:348-351) returns ``nb_jours_Julien() - 2415020.0`` while its
+    own docstring (temps.hpp:226) claims days since J2000-at-midnight
+    (JD 2451544.5); the two epochs differ by exactly 36524.5 days.  The
+    golden diff against the built binary (tests/test_golden_ref3.py)
+    pins the code behavior, not the docstring.
+    """
+    return gregorian_to_jd(y, m, d) - 2415020.0
 
 
 def day_of_week(y: int, m: int, d: int) -> int:

@@ -63,11 +63,13 @@ def test_psd_subspace_resolves_close_tones():
          + 0.05*(rng.standard_normal(n)+1j*rng.standard_normal(n))).astype(np.complex64)
     grid, S = ST.psd_subspace(jnp.asarray(x), Ns=2, Nf=2048, m=48)
     S = np.asarray(S); grid = np.asarray(grid)
-    # the two strongest peaks must be near f1, f2
+    # the two strongest peaks must be near -f1, -f2: covmtx builds the
+    # CONJUGATE of its documented covariance (reference binary parity, see
+    # covmtx docstring), so MUSIC peaks land at the mirrored frequencies
     from scipy.signal import find_peaks
     pk, _ = find_peaks(S, height=S.max() - 20)
     fpk = sorted(grid[pk][np.argsort(S[pk])[-2:]])
-    assert abs(fpk[0] - f1) < 0.005 and abs(fpk[1] - f2) < 0.005, fpk
+    assert abs(fpk[0] + f2) < 0.005 and abs(fpk[1] + f1) < 0.005, fpk
 
 
 def test_r2R_toeplitz():

@@ -34,6 +34,9 @@ from libtsd_tpu.models.bitstream import randbits
 from libtsd_tpu.models.demod import DemodConfig, Demodulator
 from libtsd_tpu.models.modulator import ModConfig, Modulator
 
+# tier-2: long statistical sweep — excluded from the <3-min default loop
+pytestmark = pytest.mark.slow
+
 
 def _measure(wf, EbN0_db, nbits, key, carrier_active, ncoefs=63, osf=4):
     mod = Modulator.create(ModConfig(wf=wf, fe=float(osf), fsymb=1.0,

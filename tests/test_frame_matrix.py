@@ -18,6 +18,9 @@ from libtsd_tpu.models.frame import FrameFormat, Receiver, Transmitter
 from libtsd_tpu.models.modulator import ModConfig
 from libtsd_tpu.ops.fft import delay_signal
 
+# tier-2: long statistical sweep — excluded from the <3-min default loop
+pytestmark = pytest.mark.slow
+
 WFS = {
     "bpsk": lambda: WF.wf_bpsk(WF.PulseShape.rcs(0.5)),
     "qpsk": lambda: WF.wf_qpsk(WF.PulseShape.rcs(0.5)),

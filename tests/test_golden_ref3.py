@@ -27,6 +27,7 @@ refbuild/golden_gen3.cc, verified against the built binary):
 """
 import os
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -108,8 +109,16 @@ def test_matzner_streaming_matches_reference():
     x = g("g3_matzner_x")
     tr = MatznerTracker(0.1)
     _, (S, N) = tr.step(tr.init(), x)
-    assert np.abs(np.asarray(S) - g("g3_matzner_S")).max() < 1e-4
-    assert np.abs(np.asarray(N) - g("g3_matzner_N")).max() < 1e-4
+    S, N = np.asarray(S), np.asarray(N)
+    refS, refN = g("g3_matzner_S"), g("g3_matzner_N")
+    # reference-parity warm-up: sqrt(2 e2^2 - e4) is NaN while the moment
+    # trackers warm up from 0 — NaN POSITIONS must match exactly, values
+    # elsewhere to float32 noise (snr.cc:9-43)
+    assert np.array_equal(np.isnan(S), np.isnan(refS))
+    assert np.isnan(S[:3]).all() and not np.isnan(S[16:]).any()
+    m = ~np.isnan(refS)
+    assert np.abs(S[m] - refS[m]).max() < 1e-4
+    assert np.abs(N[m] - refN[m]).max() < 1e-4
 
 
 # ------------------------------------------------------------ CIC
@@ -160,9 +169,17 @@ def test_cardan_quaternion_roundtrip_matches_reference():
     if ref_q[0] * q[0] < 0:
         q = -q  # q and -q encode the same rotation
     assert np.abs(q - ref_q).max() < 1e-5
-    phi, th, psi = geo.rotmat_to_cardan(R)
+    # the reference extracts Cardan angles from a QUATERNION with Diebel
+    # eq 290 (active convention) even though mat_rotation is passive — its
+    # own roundtrip is inconsistent; g3_cardan_rt pins that actual output
+    # (see geometry.quat_to_cardan docstring)
+    phi, th, psi = geo.quat_to_cardan(jnp.asarray(q))
     ref_c = g("g3_cardan_rt")
     assert np.abs(np.asarray([phi, th, psi]) - ref_c).max() < 1e-5
+    # OUR matrix-path pair is a consistent inverse: true roundtrip
+    p2, t2, s2 = geo.rotmat_to_cardan(jnp.asarray(ref_R))
+    assert np.abs(np.asarray([p2, t2, s2])
+                  - np.asarray([0.3, -0.5, 1.2])).max() < 1e-5
 
 
 # ------------------------------------------------------------ date/time
@@ -171,12 +188,16 @@ def test_datetime_j2000_and_sidereal_match_reference():
     from libtsd_tpu.utils.timedate import (gregorian_to_jd, sidereal_time,
                                            local_sidereal_time)
     ref = g("g3_time")  # f64
+    from libtsd_tpu.utils.timedate import j2000
     jd1 = gregorian_to_jd(2021, 2, 8 + 12 / 24)
     jd2 = gregorian_to_jd(2000, 1, 1 + (18 + 30 / 60 + 15 / 3600) / 24)
-    # reference J2000() counts days from the J2000 epoch shifted to
-    # MIDNIGHT (temps.hpp:226 "à minuit au lieu de 12h00") = JD 2451544.5
-    assert abs((jd1 - 2451544.5) - ref[0]) < 1e-6
-    assert abs((jd2 - 2451544.5) - ref[1]) < 1e-6
+    # REFERENCE DEFECT (doc vs code): temps.hpp:226 documents J2000() as
+    # days since J2000-at-midnight (JD 2451544.5) but temps.cc:348-351
+    # subtracts 2415020.0 (the 1900 January 0.5 epoch) — 36524.5 days off
+    # its own doc.  The golden pins the binary's actual behavior.
+    assert abs(j2000(2021, 2, 8 + 12 / 24) - ref[0]) < 1e-6
+    assert abs(j2000(2000, 1, 1 + (18 + 30 / 60 + 15 / 3600) / 24)
+               - ref[1]) < 1e-6
     # Greenwich sidereal time (radians); the reference uses the
     # second-based polynomial, we use Meeus' degree polynomial — they
     # agree to ~1e-6 rad

@@ -10,6 +10,10 @@ asserts it and prints MULTIHOST OK).
 import os
 import subprocess
 import sys
+import pytest
+
+# tier-2: long statistical sweep — excluded from the <3-min default loop
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -233,4 +233,13 @@ def test_am_ssb_single_sided():
     f = np.fft.fftfreq(n)
     upper = X[(f > 0.21) & (f < 0.26)].max()
     lower = X[(f > 0.14) & (f < 0.19)].max()
-    assert upper > 10 * lower  # lower sideband suppressed
+    # single-sided, with the REFERENCE's label convention: its "USB" mode
+    # computes Re(z*conj(carrier)) which lands the audio BELOW the carrier
+    # (analogique.cc:121-126; see am_modulate docstring) — we pin the
+    # binary's behavior, so mode="usb" -> lower sideband only
+    assert lower > 10 * upper
+    x = AN.am_modulate(audio, AN.AMConfig(mode="lsb", f_rf=0.2))
+    X = np.abs(np.fft.fft(np.asarray(x)))
+    upper = X[(f > 0.21) & (f < 0.26)].max()
+    lower = X[(f > 0.14) & (f < 0.19)].max()
+    assert upper > 10 * lower
