@@ -98,10 +98,16 @@ def main():
             wf, DecDemodConfig(osf=OSF)), False),
         ("sb S=16 vmap", DecisionDemodSB.create(
             wf, SBDemodConfig(osf=OSF, S=16)), False),
-        ("sb S=16 batched", DecisionDemodSB.create(
-            wf, SBDemodConfig(osf=OSF, S=16)), True),
-        ("sb S=32 batched", DecisionDemodSB.create(
-            wf, SBDemodConfig(osf=OSF, S=32, tc=64.0, BL=0.0025)), True),
+        ("sb S=16 xla", DecisionDemodSB.create(
+            wf, SBDemodConfig(osf=OSF, S=16, engine="xla")), True),
+        ("sb S=16 pallas", DecisionDemodSB.create(
+            wf, SBDemodConfig(osf=OSF, S=16, engine="pallas")), True),
+        ("sb S=32 xla", DecisionDemodSB.create(
+            wf, SBDemodConfig(osf=OSF, S=32, tc=64.0, BL=0.0025,
+                              engine="xla")), True),
+        ("sb S=32 pallas", DecisionDemodSB.create(
+            wf, SBDemodConfig(osf=OSF, S=32, tc=64.0, BL=0.0025,
+                              engine="pallas")), True),
     ]
     want = sys.argv[1] if len(sys.argv) > 1 else ""
     for name, dd, batched in variants:

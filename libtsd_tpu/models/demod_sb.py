@@ -79,6 +79,11 @@ class SBDemodConfig(DecDemodConfig):
     # VPU conversion passes on the critical path.  The loops' EVM floor
     # (~0.08) would tolerate any tier; speed, not accuracy, sets this.
     mf_precision: str = "highest"
+    # batched-path engine: "auto" picks the Pallas kernel
+    # (ops/pallas/demod_sb.py — per-channel loop state VMEM-resident
+    # across sub-blocks, channels in lanes) on TPU when C is a multiple
+    # of 128, else the XLA scan; "xla" / "pallas" force one.
+    engine: str = "auto"
 
 
 def _cspline_taps(tau: jax.Array, nph: int) -> jax.Array:
@@ -100,7 +105,43 @@ def _linear_taps(tau: jax.Array, nph: int) -> jax.Array:
     return jnp.stack([1 - t, t], axis=-1).astype(real_dtype)
 
 
-_POLY_TAPS = {"cspline": _cspline_taps, "linear": _linear_taps}
+def _sinc_taps(tau: jax.Array, nph: int, nc: int = 15,
+               fcut: float = 0.5) -> jax.Array:
+    """Windowed-sinc taps (make_interpolator('sinc') defaults: 15 taps,
+    fc=0.5, tau-shifted Hann) in closed form at the LUT-quantized tau —
+    same values as the LUT path to f32 rounding, no per-channel gather
+    (parity: sinc_interp_coefs / itrp.cc:24-39)."""
+    t = jnp.round(jnp.clip(tau, 0.0, 1.0) * nph) / nph
+    i = jnp.arange(nc, dtype=real_dtype)
+    k = i[None, :] - nc // 2 - t[..., None]
+    px = jnp.pi * (2 * fcut * k)
+    s = jnp.where(jnp.abs(px) < 1e-6, 1.0 - px * px / 6.0,
+                  jnp.sin(px) / jnp.where(px == 0, 1.0, px))
+    h = 2 * fcut * s
+    tw = (jnp.linspace(-(nc // 2), (nc - 1) // 2, nc)[None, :]
+          - t[..., None]) * (2 * jnp.pi / nc)
+    h = h * (0.5 + 0.5 * jnp.cos(tw))          # a + 2b cos, a=.5 b=.25
+    ssum = jnp.sum(h, axis=-1, keepdims=True)
+    return (h / jnp.where(jnp.abs(ssum) > 1e-12, ssum, 1.0)
+            ).astype(real_dtype)
+
+
+def _lagrange_taps(tau: jax.Array, nph: int, d: int = 3) -> jax.Array:
+    """Lagrange taps (make_interpolator('lagrange') default degree 3) in
+    closed form (parity: lagrange_coefs / itrp.cc:98-140)."""
+    t = jnp.round(jnp.clip(tau, 0.0, 1.0) * nph) / nph + (d - 1.0) / 2
+    rows = []
+    for i in range(d + 1):
+        hh = jnp.ones_like(t)
+        for j in range(d + 1):
+            if i != j:
+                hh = hh * (t - j) / (i - j)
+        rows.append(hh)
+    return jnp.stack(rows, axis=-1).astype(real_dtype)
+
+
+_POLY_TAPS = {"cspline": _cspline_taps, "linear": _linear_taps,
+              "sinc": _sinc_taps, "lagrange": _lagrange_taps}
 
 
 class DecisionDemodSB(Block):
@@ -222,11 +263,18 @@ class DecisionDemodSB(Block):
         n = x.shape[-1]
         nsb = n // (osf * S)
         T = self.T
-        taps_fn = _POLY_TAPS.get(cfg.itrp)
-        if taps_fn is None:
-            raise NotImplementedError(
-                f"batched sub-block demod needs closed-form taps; itrp="
-                f"{cfg.itrp!r} has only a LUT (use 'cspline' or 'linear')")
+        eng = cfg.engine
+        if eng == "auto":
+            eng = ("pallas"
+                   if (jax.default_backend() in ("tpu", "axon")
+                       and C % 128 == 0 and cfg.itrp in _POLY_TAPS)
+                   else "xla")
+        if eng in ("pallas", "pallas-interpret") and C % 128 == 0:
+            return self._step_batched_pallas(
+                state, x, interpret=(eng == "pallas-interpret"
+                                     or jax.default_backend()
+                                     not in ("tpu", "axon")))
+        taps_fn = _POLY_TAPS[cfg.itrp]
 
         mf_state, z = self.mf.step(state["mf"], x)
         if cfg.agc_active:
@@ -357,6 +405,83 @@ class DecisionDemodSB(Block):
         valid = jnp.moveaxis(valid, 0, 1).reshape(C, nsb * S)
         new_state = dict(carry, mf=mf_state, ptr=carry["ptr"] - n,
                          tail=zp[:, n: n + T])
+        k = self.wf.info.k
+        bits = symbol_indices_to_bits(sidx.reshape(-1), k).reshape(C, -1)
+        bvalid = jnp.repeat(valid, k, axis=-1)
+        return new_state, (bits, syms, valid, bvalid)
+
+    def _step_batched_pallas(self, state, x: jax.Array,
+                             interpret: bool = False):
+        """Batched path on the fused Pallas kernel
+        (ops/pallas/demod_sb.py): identical loop math to the XLA scan,
+        with the per-channel loop state VMEM-resident across sub-blocks
+        and channels vectorized in the lane dimension."""
+        from ..ops.pallas.demod_sb import demod_sb_pallas
+        cfg = self.cfg
+        osf, S = cfg.osf, cfg.S
+        h = osf // 2
+        K = self.itrp.K
+        lf = self._lf
+        symbols = self.wf.symbols
+        C = x.shape[0]
+        n = x.shape[-1]
+        nsb = n // (osf * S)
+        T = self.T
+
+        mf_state, z = self.mf.step(state["mf"], x)
+        if cfg.agc_active:
+            rms_ref = jnp.sqrt(jnp.mean(jnp.abs(symbols) ** 2))
+            p = jnp.mean(jnp.abs(z) ** 2, axis=-1, keepdims=True)
+            z = z * (rms_ref / jnp.sqrt(p + 1e-20))
+        zp = jnp.concatenate([state["tail"], z,
+                              jnp.zeros((C, K + osf), z.dtype)], axis=-1)
+
+        ML = S * osf
+        MH = 2 * osf
+        Fv = ML + MH + K
+        F = Fv + (S - 1) * osf + h
+        fs0 = T - ML - (K - 1) - h
+        assert fs0 >= 0, (T, ML, K, h)
+        # channel-LAST planes: one transposed pass, then the frames are
+        # sublane-axis slices (the kernel wants channels in lanes)
+        zpT_r = jnp.real(zp).T                    # (n+T+K+osf, C)
+        zpT_i = jnp.imag(zp).T
+        frames_r = jnp.stack(
+            [jax.lax.slice_in_dim(zpT_r, fs0 + t * S * osf,
+                                  fs0 + t * S * osf + F, axis=0)
+             for t in range(nsb)])                # (nsb, F, C)
+        frames_i = jnp.stack(
+            [jax.lax.slice_in_dim(zpT_i, fs0 + t * S * osf,
+                                  fs0 + t * S * osf + F, axis=0)
+             for t in range(nsb)])
+
+        lf0, lf1, lf2 = state["lf"]
+        state8 = jnp.stack([
+            state["ptr"], state["theta"], state["gain"],
+            lf0, lf1, lf2,
+            state["yprev_ri"][:, 0], state["yprev_ri"][:, 1]])  # (8, C)
+
+        ysr, ysi, sidx, valid, st8 = demod_sb_pallas(
+            frames_r, frames_i, state8,
+            jnp.real(symbols).astype(real_dtype),
+            jnp.imag(symbols).astype(real_dtype),
+            itrp=cfg.itrp, K=K, nph=self.itrp.nphases, osf=osf, S=S,
+            n=n, tgain=float(self._timing_gain),
+            aga=float(self._agc_alpha_sb), gamma=float(lf.gamma),
+            rho=float(lf.rho), carrier=bool(cfg.carrier_active),
+            clock=bool(cfg.clock_active), agc=bool(cfg.agc_active),
+            interpret=interpret)
+
+        syms = (ysr + 1j * ysi).astype(complex_dtype)     # (nsb, S, C)
+        syms = jnp.moveaxis(syms, 2, 0).reshape(C, nsb * S)
+        sidx = jnp.moveaxis(sidx, 2, 0).reshape(C, nsb * S)
+        valid = jnp.moveaxis(valid, 2, 0).reshape(C, nsb * S) != 0
+        new_state = dict(
+            mf=mf_state,
+            lf=(st8[3], st8[4], st8[5]),
+            theta=st8[1], gain=st8[2], ptr=st8[0] - n,
+            yprev_ri=jnp.stack([st8[6], st8[7]], axis=-1),
+            tail=zp[:, n: n + T])
         k = self.wf.info.k
         bits = symbol_indices_to_bits(sidx.reshape(-1), k).reshape(C, -1)
         bvalid = jnp.repeat(valid, k, axis=-1)

@@ -139,3 +139,40 @@ def test_subblock_ndim3_batch():
     both = np.asarray(mask)[0, 0] & np.asarray(m1)[0]
     d = np.abs(np.asarray(syms)[0, 0][both] - np.asarray(s1)[0][both])
     assert d.max() < 1e-5
+
+
+def test_subblock_sinc_interpolator_batched():
+    """The windowed-sinc interpolator (highest-quality) now has
+    closed-form batched taps — the batched path must accept it and
+    converge (round-3 raised NotImplementedError)."""
+    wf, bits, x = _qpsk_signal(nsym=1500)
+    dd = DecisionDemodSB.create(wf, SBDemodConfig(osf=4, S=16,
+                                                  itrp="sinc"))
+    xb = jnp.stack([x, delay_signal(x, 0.9)])
+    _, (rb, syms, mask, bmask) = dd.step(dd.init_for(xb), xb)
+    rbn = np.asarray(rb[0])[np.asarray(bmask[0])]
+    ber, errs, _ = BER.cmp_bits_psk(bits[2 * 800:],
+                                    jnp.asarray(rbn[2 * 800:]), 2,
+                                    max_lag=64)
+    assert errs == 0, (ber, errs)
+
+
+def test_subblock_pallas_matches_xla():
+    """The Pallas kernel (ops/pallas/demod_sb.py, interpret mode) runs
+    the same loop math as the XLA scan: outputs agree to float32 noise
+    (the only re-associations are reductions and the polynomial atan2)."""
+    wf, bits, x = _qpsk_signal(nsym=600)
+    delays = np.linspace(0.0, 0.9, 8)
+    xb = jnp.concatenate([jnp.stack([delay_signal(x, d) for d in delays])
+                          for _ in range(16)])             # 128 channels
+    dd_x = DecisionDemodSB.create(wf, SBDemodConfig(osf=4, S=16,
+                                                    engine="xla"))
+    dd_p = DecisionDemodSB.create(wf, SBDemodConfig(
+        osf=4, S=16, engine="pallas-interpret"))
+    _, (b1, s1, m1, _) = dd_x.step(dd_x.init_for(xb), xb)
+    _, (b2, s2, m2, _) = dd_p.step(dd_p.init_for(xb), xb)
+    assert np.array_equal(np.asarray(m1), np.asarray(m2))
+    both = np.asarray(m1)
+    d = np.abs(np.asarray(s1)[both] - np.asarray(s2)[both])
+    assert d.max() < 1e-3, d.max()
+    assert np.mean(np.asarray(b1) != np.asarray(b2)) < 1e-4

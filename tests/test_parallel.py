@@ -221,3 +221,97 @@ def test_sharded_ola_pallas_matches_unsharded():
     y = np.asarray(sharded_fir(mesh, blk, xs, state_len=V))
     y_ref = np.asarray(FR.fir_filter(h, jnp.asarray(x)))
     assert np.max(np.abs(y - y_ref)) / np.max(np.abs(y_ref)) < 1e-5
+
+
+# ------------------------------------------- time-sharded recursive filters
+
+def test_iir_time_sharded_matches_unsharded():
+    """Cross-shard affine state composition (VERDICT r3 #5): an order-2
+    Butterworth IirFrame over a time-sharded signal equals the unsharded
+    frame-parallel run to float32 reassociation noise."""
+    from libtsd_tpu.ops.iir_design import design_iir
+    mesh = make_mesh(chan=2, time=4)
+    b, a = design_iir(2, "lp", "butt", 0.1).to_ba()
+    blk = FR.IirFrame.create(b, a)
+    C, N = 2, 4096
+    x = jnp.asarray(rng.standard_normal((C, N)), jnp.float32)
+    xs = jax.device_put(x, channel_sharding(mesh))
+    y = sharded_chain(mesh, [(blk, 0)], xs)
+    y_ref = FR.iir_filter(b, a, x)
+    check_max_error(np.asarray(y), np.asarray(y_ref), 1e-4)
+
+
+def test_iir_time_sharded_time_only_order1():
+    """Order-1 de-emphasis (design_lexp) as IirFrame, time-sharded 8 ways
+    — the FM chain's feedback stage (BASELINE config 4)."""
+    from libtsd_tpu.ops.iir_design import design_lexp
+    mesh = make_mesh(chan=1, time=8)
+    b, a = design_lexp(0.05)
+    blk = FR.IirFrame.create(b, a)
+    x = jnp.asarray(rng.standard_normal((2, 8192)), jnp.float32)
+    xs = jax.device_put(x, channel_sharding(mesh))
+    y = sharded_chain(mesh, [(blk, 0)], xs)
+    y_ref = FR.iir_filter(b, a, x)
+    check_max_error(np.asarray(y), np.asarray(y_ref), 1e-4)
+
+
+def test_sharded_chain_fir_then_iir():
+    """Mixed chain: sample-halo FIR stage feeding a recursive IIR stage
+    under ONE shard_map — the end-to-end time-sharded cascade shape of
+    the FM receiver."""
+    from libtsd_tpu.ops.iir_design import design_iir
+    mesh = make_mesh(chan=2, time=4)
+    h = FD.fir_lowpass(33, 0.2)
+    fir = FR.Fir.create(h)
+    b, a = design_iir(2, "lp", "butt", 0.08).to_ba()
+    iir = FR.IirFrame.create(b, a)
+    x = jnp.asarray(rng.standard_normal((2, 4096)), jnp.float32)
+    xs = jax.device_put(x, channel_sharding(mesh))
+    y = sharded_chain(mesh, [(fir, 32), (iir, 0)], xs)
+    y_ref = FR.iir_filter(b, a, FR.fir_filter(h, x))
+    check_max_error(np.asarray(y), np.asarray(y_ref), 1e-4)
+
+
+def test_sos_chain_time_sharded():
+    """A Chain of IirFrames (sos_frame_chain: order-4 elliptic as two
+    biquads) routes each section through the state composition."""
+    from libtsd_tpu.ops.iir_design import design_iir, zpk_to_sos
+    mesh = make_mesh(chan=1, time=8)
+    zpk = design_iir(4, "lp", "ellip", 0.1, 0.5, 40.0)
+    sos, k = zpk_to_sos(zpk)
+    chain = FR.sos_frame_chain(sos, k)
+    x = jnp.asarray(rng.standard_normal((1, 8192)), jnp.float32)
+    xs = jax.device_put(x, channel_sharding(mesh))
+    y = sharded_chain(mesh, [(chain, 0)], xs)
+    st = chain.init_for(x)
+    _, y_ref = chain.step(st, x)
+    check_max_error(np.asarray(y), np.asarray(y_ref), 1e-4)
+
+
+def test_sharded_fm_receiver_matches_unsharded():
+    """BASELINE config 4 under the (chan, time) mesh END-TO-END, feedback
+    stage included: NCO mix (global-offset reconstruction) + halo'd
+    polyphase FIR/decimate + 1-sample-halo discriminator + cross-shard
+    de-emphasis state composition == the unsharded FmReceiver."""
+    from libtsd_tpu.models.receivers import FmReceiver, FmReceiverConfig
+    from libtsd_tpu.parallel import sharded_fm_receiver
+    from libtsd_tpu.models.analog import fm_modulate
+
+    mesh = make_mesh(chan=2, time=4)
+    cfg = FmReceiverConfig(channel_freq=0.22, decim=4, deemph_fc=0.05)
+    fm = FmReceiver.create(cfg)
+    C, N = 2, 8192   # n_local/decim = 256 -> frame-multiple per shard
+    audio_in = np.stack([
+        0.7 * np.sin(2 * np.pi * 0.004 * np.arange(N)),
+        0.5 * np.sin(2 * np.pi * 0.007 * np.arange(N))])
+    base = fm_modulate(jnp.asarray(audio_in, jnp.float32), cfg.deviation)
+    k = jnp.arange(N, dtype=jnp.float32)
+    x = (base * jnp.exp(2j * jnp.pi * jnp.mod(cfg.channel_freq * k, 1.0))
+         ).astype(jnp.complex64)
+    xs = jax.device_put(x, channel_sharding(mesh))
+    y = sharded_fm_receiver(mesh, fm, xs)
+    _, y_ref = fm.step(fm.init_for(x), x)
+    d = np.abs(np.asarray(y) - np.asarray(y_ref))
+    assert d.max() < 2e-3, d.max()
+    # the audio itself is meaningful (not comparing zeros)
+    assert np.abs(np.asarray(y_ref)).max() > 0.1
