@@ -238,21 +238,30 @@ class Cpll(Block):
 class Rpll(Block):
     """Real-input PLL: downconvert by a nominal frequency, baseband image
     lowpass, then the complex PLL (parity: RPLL, carrier-rec.cc:201-293,
-    including the design_rif_cs baseband filter)."""
+    including the design_rif_cs baseband filter).
+
+    ``regen_carrier=True`` additionally upconverts the locked baseband
+    replica back to the carrier frequency and returns its real part
+    (``real(conj(osc) * cpll_out)``, carrier-rec.cc:242-253) — the
+    regenerated-carrier output used e.g. for the 19 kHz stereo pilot in
+    broadcast FM.  Default False returns the locked baseband signal."""
 
     cpll: Cpll
     bb_filter: "object"
     freq: float = struct.field(pytree_node=False, default=0.25)
+    regen_carrier: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def create(cls, freq: float, cfg: Optional[CpllConfig] = None,
-               bb_cut: float = 0.1, ncoefs_bb: int = 63) -> "Rpll":
+               bb_cut: float = 0.1, ncoefs_bb: int = 63,
+               regen_carrier: bool = False) -> "Rpll":
         from ..ops.fir_design import raised_cosine
         from ..ops.filter_rt import Fir
         h = raised_cosine(ncoefs_bb, 0.1, bb_cut / 2)
         return cls(cpll=Cpll(cfg=cfg or CpllConfig(ped="tloop", M=1,
                                                    order=2, BL=0.02)),
-                   bb_filter=Fir.create(h), freq=freq)
+                   bb_filter=Fir.create(h), freq=freq,
+                   regen_carrier=regen_carrier)
 
     def init(self):
         return (jnp.zeros((), real_dtype),
@@ -276,6 +285,8 @@ class Rpll(Block):
         # image rejection (the 2f mixing product) before the loop
         fst, xb = self.bb_filter.step(fst, xb)
         pst, y = self.cpll.step(pst, xb)
+        if self.regen_carrier:
+            y = jnp.real(jnp.conj(lo).astype(complex_dtype) * y)
         return (ph, fst, pst), y
 
 

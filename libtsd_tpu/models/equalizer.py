@@ -41,8 +41,25 @@ class LmsEqualizer(Block):
     alpha: float = struct.field(pytree_node=False, default=0.01)
     N1: int = struct.field(pytree_node=False, default=11)
     N2: int = struct.field(pytree_node=False, default=11)
+    # ref_mode=True reproduces the reference's EgaliseurRIF EXACTLY
+    # (golden-diffed against the binary in tests/test_golden_ref4.py):
+    # REAL-valued taps updated with alpha*real(wnd*conj(e)) and the
+    # identity init at the NEWEST tap (egalisation.cc:89-91, 147-158).
+    # Real taps cannot rotate a carrier phase and the end-spike has no
+    # precursor reach — the default complex/centered design remains the
+    # recommended one (see init()'s rationale).
+    ref_mode: bool = struct.field(pytree_node=False, default=False)
 
     def init(self):
+        if self.ref_mode:
+            h_fwd = jnp.zeros((self.N1,), real_dtype).at[-1].set(1.0)
+            st = dict(h_fwd=h_fwd,
+                      wnd=jnp.zeros((self.N1,), complex_dtype),
+                      cnt=jnp.zeros((), jnp.int32))
+            if self.structure == "dfe":
+                st["h_bwd"] = jnp.zeros((self.N2,), real_dtype)
+                st["wnd_d"] = jnp.zeros((self.N2,), complex_dtype)
+            return st
         # unit spike at the CENTER: the equalizer then spans both
         # precursor and postcursor ISI (a spike at the newest position
         # has zero decision delay and no precursor reach — DD-LMS could
@@ -76,6 +93,33 @@ class LmsEqualizer(Block):
                 out = out + fb
             d_idx = jnp.argmin(jnp.abs(out - symbols) ** 2)
             dec = symbols[d_idx]
+            if self.ref_mode:
+                # reference update rules (egalisation.cc:147-158): REAL
+                # taps, gradient = alpha * real(wnd * conj(e))
+                if cma:
+                    e = 1.0 - jnp.abs(out) ** 2
+                    err = jnp.abs(e)
+                    h_fwd = st["h_fwd"] + alpha * e * jnp.real(
+                        wnd * jnp.conj(out))
+                    if dfe:
+                        h_bwd = st["h_bwd"] + alpha * e * jnp.real(
+                            st["wnd_d"] * jnp.conj(fb))
+                else:
+                    ec = dec - out
+                    err = jnp.abs(ec)
+                    h_fwd = st["h_fwd"] + alpha * jnp.real(
+                        wnd * jnp.conj(ec))
+                    if dfe:
+                        h_bwd = st["h_bwd"] + alpha * jnp.real(
+                            st["wnd_d"] * jnp.conj(ec))
+                new = {**st, "cnt": cnt,
+                       "h_fwd": jnp.where(active, h_fwd, st["h_fwd"])}
+                if dfe:
+                    new["h_bwd"] = jnp.where(active, h_bwd, st["h_bwd"])
+                    new["wnd_d"] = jnp.where(
+                        active, jnp.roll(st["wnd_d"], -1).at[-1].set(dec),
+                        st["wnd_d"])
+                return new, (out, err, active)
             if cma:
                 # CMA gradient: h += alpha*(1-|y|^2)*y*conj(w)
                 e = 1.0 - jnp.abs(out) ** 2

@@ -243,3 +243,30 @@ def test_am_ssb_single_sided():
     upper = X[(f > 0.21) & (f < 0.26)].max()
     lower = X[(f > 0.14) & (f < 0.19)].max()
     assert upper > 10 * lower
+
+
+def test_fm_broadcast_stereo_separation():
+    """Broadcast FM stereo multiplex -> (L, R): the pilot-PLL subcarrier
+    regeneration must separate the channels (>20 dB).  The reference's
+    own stereo path is unusable (three documented defects — see
+    models/analog.py fm_broadcast_demodulate); this pins our working
+    design."""
+    fe = 250e3
+    n = 1 << 15
+    t = np.arange(n)
+    L = 0.8 * np.sin(2 * np.pi * 1000 / fe * t).astype(np.float32)
+    R = 0.6 * np.sin(2 * np.pi * 2500 / fe * t).astype(np.float32)
+    x = AN.fm_broadcast_multiplex(jnp.asarray(L), jnp.asarray(R), fe)
+    l, r = AN.fm_broadcast_demodulate(x, fe)
+    l, r = np.asarray(l)[8000:], np.asarray(r)[8000:]
+
+    def corr(a, b):
+        a = a - a.mean()
+        b = b - b.mean()
+        return float(np.max(np.abs(np.correlate(a, b, "same")))
+                     / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assert corr(l, L[8000:]) > 0.99
+    assert corr(r, R[8000:]) > 0.99
+    assert corr(l, R[8000:]) < 0.1      # >20 dB separation
+    assert corr(r, L[8000:]) < 0.1
