@@ -33,7 +33,8 @@ from .fir_design import fir_design_windowed, fir_halfband
 __all__ = [
     "polyphase_form", "ipolyphase_form",
     "FirUps", "fir_ups_delay", "HalfbandDecim", "CicConfig", "Cic",
-    "cic_design_ba", "cic_freq", "cic_bits", "cic_comp_design",
+    "cic_design_ba", "cic_freq", "cic_bits", "cic_bit_growth",
+    "cic_comp_design",
     "sinc_interp_lut", "cspline_coefs", "cspline_lut", "linear_coefs",
     "lagrange_coefs", "Interpolator", "make_interpolator",
     "RationalResampler", "resample", "Resampler", "interp_irregular",
@@ -278,6 +279,76 @@ def cic_bits(config: CicConfig) -> int:
     """Additional accumulator bits needed (parity: cic_analyse,
     cic.cc:209-211)."""
     return int(np.ceil(config.N * np.log2(config.R) - 1))
+
+
+def _poly_div_1mz(c: np.ndarray) -> np.ndarray:
+    """Exact division of a polynomial in z^-1 by (1 - z^-1): the quotient
+    coefficients are the running partial sums (valid when the division is
+    exact, i.e. c sums to zero)."""
+    q = np.cumsum(c)[:-1]
+    assert abs(np.sum(c)) < 1e-9 * np.abs(c).sum()
+    return q
+
+
+def cic_bit_growth(config: CicConfig, bin_bits: int = 16,
+                   bout_bits: Optional[int] = None) -> dict:
+    """Per-stage register analysis of the integer decimating CIC runtime
+    (Hogenauer 1981, "An economical class of digital filters for
+    decimation and interpolation", IEEE Trans. ASSP).
+
+    The reference's ``cic_analyse`` reports only the TOTAL extra bits
+    (cic.cc:209-211); this is the full per-stage picture — a documented
+    improvement:
+
+    * every register (integrators and combs) must hold ``bmax = bin_bits
+      + ceil(N log2(R M))`` bits — two's-complement wraparound makes the
+      SAME width sufficient at every node (Hogenauer's register-growth
+      result);
+    * truncating ``prunable[j]`` least-significant bits at the output of
+      stage j (1..2N, integrators then combs) keeps the total injected
+      truncation noise at the output below the quantization noise of the
+      ``bout_bits``-bit output, under Hogenauer's equal-noise-allocation
+      rule.  The per-stage noise gains F_j are computed numerically as
+      the L2 norms of the exact stage->output impulse responses
+      ((1-z^-RM)^N / (1-z^-1)^(N-j) for integrator j; (1-z^-M)^(2N-j)
+      for comb j-N, at the decimated rate).
+
+    Returns dict(bmax, growth_bits (per integrator, worst-case MSB
+    growth ceil(j log2 RM)), F (2N noise gains), prunable (2N)).
+    """
+    R, N, M = config.R, config.N, config.M
+    RM = R * M
+    if bout_bits is None:
+        bout_bits = bin_bits
+    G = int(np.ceil(N * np.log2(RM)))
+    bmax = bin_bits + G
+    base = np.zeros(RM + 1)
+    base[0], base[RM] = 1.0, -1.0
+    numc = np.array([1.0])
+    for _ in range(N):
+        numc = np.convolve(numc, base)
+    F = []
+    for j in range(1, N + 1):            # after integrator j
+        c = numc.copy()
+        for _ in range(N - j):
+            c = _poly_div_1mz(c)
+        F.append(float(np.sqrt(np.sum(c * c))))
+    cb = np.zeros(M + 1)
+    cb[0], cb[M] = 1.0, -1.0
+    for j in range(N + 1, 2 * N + 1):    # after comb j-N (decimated)
+        c = np.array([1.0])
+        for _ in range(2 * N - j):
+            c = np.convolve(c, cb)
+        F.append(float(np.sqrt(np.sum(c * c))))
+    # output discard budget, spread equally over the 2N stages
+    b_out_discard = max(bmax - bout_bits, 0)
+    prunable = [
+        int(np.clip(np.floor(b_out_discard - np.log2(max(f, 1e-300))
+                             - 0.5 * np.log2(2 * N)), 0, bmax))
+        for f in F]
+    growth_bits = [int(np.ceil(j * np.log2(RM))) for j in range(1, N + 1)]
+    return dict(bmax=bmax, growth_bits=growth_bits, F=F,
+                prunable=prunable)
 
 
 def cic_comp_design(config: CicConfig, fe: float, R2: int, fc: float,

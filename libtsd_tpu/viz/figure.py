@@ -277,15 +277,20 @@ def cic_analyse(config, fe: float = 1.0, fc: float = None,
     alias_f = 1.0 / (R * config.M) - fc / fe
     alias = cic_freq(config, np.array([alias_f]))[0]
     # per-stage integer growth: integrator stage i (1-based) accumulates
-    # gain (R M)^i, i.e. ceil(i log2(RM)) extra bits (the reference plots
-    # this stage profile alongside the total, cic.cc:205-220)
-    stage_bits = [int(np.ceil(i * np.log2(R * config.M)))
-                  for i in range(1, config.N + 1)]
+    # gain (R M)^i, i.e. ceil(i log2(RM)) extra bits.  The reference's
+    # cic_analyse reports only the TOTAL (cic.cc:209-211); the per-stage
+    # profile and the Hogenauer register-pruning analysis below are
+    # documented improvements (ops/resample.cic_bit_growth).
+    from ..ops.resample import cic_bit_growth
+    bg = cic_bit_growth(config)
+    stage_bits = bg["growth_bits"]
     metrics = dict(
         droop_db=float(20 * np.log10(max(droop, 1e-12))),
         alias_rejection_db=float(-20 * np.log10(max(alias, 1e-12))),
         add_bits=cic_bits(config),
         stage_bits=stage_bits,
+        bmax_bits=bg["bmax"],
+        prunable_bits=bg["prunable"],
     )
 
     figs = Figures()

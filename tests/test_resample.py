@@ -331,3 +331,31 @@ def test_resample_ratio_sweep_purity(ratio):
     m[:4] = False
     spur_db = 20 * np.log10(Y[m].max() / Y[pk])
     assert spur_db < -50.0, (ratio, spur_db)
+
+
+def test_cic_bit_growth_hogenauer_example():
+    """Hogenauer register analysis on the paper's classic example
+    (R=25, M=1, N=4, 16-bit in/out): total register width 35 bits;
+    prunable LSBs nondecreasing along the chain, and no stage may prune
+    more than the output's own discard budget."""
+    from libtsd_tpu.ops.resample import CicConfig, cic_bit_growth
+    r = cic_bit_growth(CicConfig(R=25, N=4, M=1), bin_bits=16,
+                       bout_bits=16)
+    assert r["bmax"] == 35                 # 16 + ceil(4 log2 25)
+    assert r["growth_bits"] == [5, 10, 14, 19]
+    p = r["prunable"]
+    assert len(p) == 8 and len(r["F"]) == 8
+    assert all(b1 <= b2 for b1, b2 in zip(p, p[1:]))   # monotone
+    assert all(0 <= b <= r["bmax"] - 16 for b in p)    # within budget
+    # noise gains decrease monotonically toward the output
+    assert all(f1 >= f2 for f1, f2 in zip(r["F"], r["F"][1:]))
+    assert r["F"][-1] == 1.0
+
+
+def test_cic_analyse_reports_stage_profile():
+    from libtsd_tpu.ops.resample import CicConfig
+    from libtsd_tpu.viz.figure import cic_analyse
+    figs, m = cic_analyse(CicConfig(R=8, N=3, M=1))
+    assert len(m["stage_bits"]) == 3
+    assert len(m["prunable_bits"]) == 6
+    assert m["bmax_bits"] == 16 + 9
