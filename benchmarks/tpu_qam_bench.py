@@ -102,6 +102,9 @@ def main():
             wf, SBDemodConfig(osf=OSF, S=16, engine="xla")), True),
         ("sb S=16 pallas", DecisionDemodSB.create(
             wf, SBDemodConfig(osf=OSF, S=16, engine="pallas")), True),
+        ("sb S=16 pal-bf16", DecisionDemodSB.create(
+            wf, SBDemodConfig(osf=OSF, S=16, engine="pallas",
+                              frames_bf16=True)), True),
         ("sb S=32 xla", DecisionDemodSB.create(
             wf, SBDemodConfig(osf=OSF, S=32, tc=64.0, BL=0.0025,
                               engine="xla")), True),

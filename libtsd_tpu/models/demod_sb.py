@@ -84,6 +84,13 @@ class SBDemodConfig(DecDemodConfig):
     # across sub-blocks, channels in lanes) on TPU when C is a multiple
     # of 128, else the XLA scan; "xla" / "pallas" force one.
     engine: str = "auto"
+    # Pallas path only: carry the matched-filter frame planes (its
+    # single largest HBM stream, ~2.2x the signal written+read) in
+    # bfloat16.  The 2^-8 rounding is far below the loops' EVM floor
+    # (~0.08) but the decision-feedback loops then take occasionally
+    # different decisions, so the bit-exact XLA/pallas equivalence is
+    # traded for throughput — opt-in for serving.
+    frames_bf16: bool = False
 
 
 def _cspline_taps(tau: jax.Array, nph: int) -> jax.Array:
@@ -444,8 +451,9 @@ class DecisionDemodSB(Block):
         assert fs0 >= 0, (T, ML, K, h)
         # channel-LAST planes: one transposed pass, then the frames are
         # sublane-axis slices (the kernel wants channels in lanes)
-        zpT_r = jnp.real(zp).T                    # (n+T+K+osf, C)
-        zpT_i = jnp.imag(zp).T
+        fdt = jnp.bfloat16 if cfg.frames_bf16 else real_dtype
+        zpT_r = jnp.real(zp).T.astype(fdt)            # (n+T+K+osf, C)
+        zpT_i = jnp.imag(zp).T.astype(fdt)
         frames_r = jnp.stack(
             [jax.lax.slice_in_dim(zpT_r, fs0 + t * S * osf,
                                   fs0 + t * S * osf + F, axis=0)
@@ -461,12 +469,28 @@ class DecisionDemodSB(Block):
             lf0, lf1, lf2,
             state["yprev_ri"][:, 0], state["yprev_ri"][:, 1]])  # (8, C)
 
+        # closed-form decisions when the constellation is the uniform
+        # square-QAM grid (detected on concrete symbol planes; traced
+        # symbols fall back to the generic min-scan)
+        qam_square = 0
+        if self.wf.info.is_qam:
+            try:
+                sym_np = np.asarray(symbols)
+                m2 = int(round(np.sqrt(len(sym_np))))
+                lv = np.arange(m2) / (m2 - 1) * 2 - 1
+                grid = (lv[:, None] + 1j * lv[None, :]).reshape(-1,
+                                                                order="F")
+                if m2 * m2 == len(sym_np) and np.allclose(sym_np, grid,
+                                                          atol=1e-6):
+                    qam_square = m2
+            except Exception:
+                pass
         ysr, ysi, sidx, valid, st8 = demod_sb_pallas(
             frames_r, frames_i, state8,
             jnp.real(symbols).astype(real_dtype),
             jnp.imag(symbols).astype(real_dtype),
             itrp=cfg.itrp, K=K, nph=self.itrp.nphases, osf=osf, S=S,
-            n=n, tgain=float(self._timing_gain),
+            n=n, qam_square=qam_square, tgain=float(self._timing_gain),
             aga=float(self._agc_alpha_sb), gamma=float(lf.gamma),
             rho=float(lf.rho), carrier=bool(cfg.carrier_active),
             clock=bool(cfg.clock_active), agc=bool(cfg.agc_active),

@@ -104,7 +104,7 @@ def _kernel(fr_r_ref, fr_i_ref, st_in_ref, symr_ref, symi_ref,
             itrp: str, K: int, nph: int, osf: int, S: int, M: int,
             n: int, nsb: int, tb: int, tgain: float, aga: float,
             gamma: float, rho: float, carrier: bool, clock: bool,
-            agc: bool):
+            agc: bool, qam_square: int = 0):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -118,7 +118,8 @@ def _kernel(fr_r_ref, fr_i_ref, st_in_ref, symr_ref, symi_ref,
                   ysr_ref, ysi_ref, sidx_ref, valid_ref, st_ref,
                   t * tb + tb_i, tb_i, itrp=itrp, K=K, nph=nph, osf=osf,
                   S=S, M=M, n=n, tgain=tgain, aga=aga, gamma=gamma,
-                  rho=rho, carrier=carrier, clock=clock, agc=agc)
+                  rho=rho, carrier=carrier, clock=clock, agc=agc,
+                  qam_square=qam_square)
 
     @pl.when(t == (nsb // tb) - 1)
     def _():
@@ -130,7 +131,7 @@ def _subblock(fr_r_ref, fr_i_ref, symr_ref, symi_ref,
               sb_idx, tb_i, *, itrp: str, K: int, nph: int, osf: int,
               S: int, M: int, n: int, tgain: float, aga: float,
               gamma: float, rho: float, carrier: bool, clock: bool,
-              agc: bool):
+              agc: bool, qam_square: int = 0):
     f32 = jnp.float32
     h = osf // 2
     ML, MH = S * osf, 2 * osf
@@ -162,8 +163,10 @@ def _subblock(fr_r_ref, fr_i_ref, symr_ref, symi_ref,
     # dense one-hot window dot (S*Fv MACs per array = 76 MACs/sample —
     # 19x the K useful taps) with ~7 selects + K true FMAs; numerically
     # identical (the dropped terms were exact zeros).
-    fr_r = fr_r_ref[tb_i]                                   # (F, CT)
-    fr_i = fr_i_ref[tb_i]
+    # frames may arrive bf16 (half the HBM bytes of the kernel's largest
+    # stream; the loops' EVM floor ~0.08 dwarfs the 2^-8 rounding)
+    fr_r = fr_r_ref[tb_i].astype(f32)                       # (F, CT)
+    fr_i = fr_i_ref[tb_i].astype(f32)
     sh_r, sh_i = fr_r, fr_i
     F = fr_r.shape[0]
     nbits = max((ML + MH).bit_length(), 1)
@@ -207,21 +210,32 @@ def _subblock(fr_r_ref, fr_i_ref, symr_ref, symi_ref,
     m_r = (mraw_r * cr + mraw_i * sr) * gain
     m_i = (mraw_i * cr - mraw_r * sr) * gain
 
-    # decisions: unrolled min-scan over the M constellation points
-    big = jnp.full((S, _CT), 1e30, f32)
-    mind = big
-    ye_r = jnp.zeros((S, _CT), f32)
-    ye_i = jnp.zeros((S, _CT), f32)
-    sidx = jnp.zeros((S, _CT), jnp.int32)
-    for m in range(M):
-        smr = symr_ref[0, m]
-        smi = symi_ref[0, m]
-        d2 = (y_r - smr) ** 2 + (y_i - smi) ** 2
-        better = d2 < mind
-        mind = jnp.where(better, d2, mind)
-        ye_r = jnp.where(better, smr, ye_r)
-        ye_i = jnp.where(better, smi, ye_i)
-        sidx = jnp.where(better, m, sidx)
+    if qam_square:
+        # square-QAM nearest neighbor = independent per-axis quantization
+        # on the uniform +-1 level grid (identical to the min-scan up to
+        # exact-tie rounding) — replaces M tile-passes with 2 rounds
+        M2 = qam_square
+        stepi = (M2 - 1) / 2.0
+        ir = jnp.clip(jnp.round((y_r + 1.0) * stepi), 0, M2 - 1)
+        ii = jnp.clip(jnp.round((y_i + 1.0) * stepi), 0, M2 - 1)
+        ye_r = ir * (2.0 / (M2 - 1)) - 1.0
+        ye_i = ii * (2.0 / (M2 - 1)) - 1.0
+        sidx = (ir + M2 * ii).astype(jnp.int32)   # column-major grid
+    else:
+        # decisions: unrolled min-scan over the M constellation points
+        mind = jnp.full((S, _CT), 1e30, f32)
+        ye_r = jnp.zeros((S, _CT), f32)
+        ye_i = jnp.zeros((S, _CT), f32)
+        sidx = jnp.zeros((S, _CT), jnp.int32)
+        for m in range(M):
+            smr = symr_ref[0, m]
+            smi = symi_ref[0, m]
+            d2 = (y_r - smr) ** 2 + (y_i - smi) ** 2
+            better = d2 < mind
+            mind = jnp.where(better, d2, mind)
+            ye_r = jnp.where(better, smr, ye_r)
+            ye_i = jnp.where(better, smi, ye_i)
+            sidx = jnp.where(better, m, sidx)
 
     # Gardner TED over the sub-block (previous symbol carried)
     yp_r = jnp.concatenate([ypr, y_r[:S - 1, :]], axis=0)
@@ -276,13 +290,13 @@ def _subblock(fr_r_ref, fr_i_ref, symr_ref, symi_ref,
 @functools.partial(
     jax.jit, static_argnames=("itrp", "K", "nph", "osf", "S", "n",
                               "tgain", "aga", "gamma", "rho", "carrier",
-                              "clock", "agc", "interpret"))
+                              "clock", "agc", "qam_square", "interpret"))
 def demod_sb_pallas(frames_r: jax.Array, frames_i: jax.Array,
                     state8: jax.Array, sym_r: jax.Array, sym_i: jax.Array,
                     *, itrp: str, K: int, nph: int, osf: int, S: int,
                     n: int, tgain: float, aga: float, gamma: float,
                     rho: float, carrier: bool, clock: bool, agc: bool,
-                    interpret: bool = False
+                    qam_square: int = 0, interpret: bool = False
                     ) -> Tuple[jax.Array, jax.Array, jax.Array,
                                jax.Array, jax.Array]:
     """frames_{r,i}: (nsb, F, C) matched-filter frame planes (channels
@@ -294,6 +308,7 @@ def demod_sb_pallas(frames_r: jax.Array, frames_i: jax.Array,
     valid arrays shaped (nsb, S, C)."""
     nsb, F, C = frames_r.shape
     assert C % _CT == 0, C
+    fdt = frames_r.dtype
     M = sym_r.shape[0]
     ntiles = C // _CT
     # sub-blocks per grid step: amortizes the per-grid-step overhead
@@ -308,9 +323,10 @@ def demod_sb_pallas(frames_r: jax.Array, frames_i: jax.Array,
     kern = functools.partial(
         _kernel, itrp=itrp, K=K, nph=nph, osf=osf, S=S, M=M, n=n,
         nsb=nsb, tb=tb, tgain=tgain, aga=aga, gamma=gamma, rho=rho,
-        carrier=carrier, clock=clock, agc=agc)
+        carrier=carrier, clock=clock, agc=agc, qam_square=qam_square)
     fspec = pl.BlockSpec((tb, F, _CT), lambda c, t: (t, 0, c),
                          memory_space=pltpu.VMEM)
+    del fdt  # dtype flows through out_shape-independent in_specs
     ospec = lambda: pl.BlockSpec((tb, S, _CT), lambda c, t: (t, 0, c),
                                  memory_space=pltpu.VMEM)
     ysr, ysi, sidx, valid, stout = pl.pallas_call(

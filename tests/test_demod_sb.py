@@ -176,3 +176,27 @@ def test_subblock_pallas_matches_xla():
     d = np.abs(np.asarray(s1)[both] - np.asarray(s2)[both])
     assert d.max() < 1e-3, d.max()
     assert np.mean(np.asarray(b1) != np.asarray(b2)) < 1e-4
+
+
+def test_subblock_pallas_qam16_closed_form_decisions():
+    """Square-QAM closed-form per-axis quantization in the kernel must
+    reproduce the XLA path's argmin decisions on a QAM-16 run."""
+    import libtsd_tpu.models.waveform as WF2
+    wf = WF2.wf_qam(16, WF2.PulseShape.rcs(0.25))
+    from libtsd_tpu.models.modulator import ModConfig, Modulator
+    mod = Modulator.create(ModConfig(wf=wf, fe=4.0, fsymb=1.0))
+    bits = randbits(jax.random.PRNGKey(50), 4 * 800)
+    x, _ = mod.modulate(bits)
+    x = delay_signal(x, 1.3)
+    x = CH.awgn(jax.random.PRNGKey(51), x, 18.0, osf=4, k_bits=4)
+    n = (x.shape[0] // 64) * 64
+    x = x[:n]
+    xb = jnp.broadcast_to(x, (128, n))
+    dd_x = DecisionDemodSB.create(wf, SBDemodConfig(osf=4, S=16,
+                                                    engine="xla"))
+    dd_p = DecisionDemodSB.create(wf, SBDemodConfig(
+        osf=4, S=16, engine="pallas-interpret"))
+    _, (b1, s1, m1, _) = dd_x.step(dd_x.init_for(xb), xb)
+    _, (b2, s2, m2, _) = dd_p.step(dd_p.init_for(xb), xb)
+    assert np.array_equal(np.asarray(m1), np.asarray(m2))
+    assert np.mean(np.asarray(b1) != np.asarray(b2)) < 1e-4
