@@ -105,14 +105,13 @@ def main():
         ("sb S=16 pal-bf16", DecisionDemodSB.create(
             wf, SBDemodConfig(osf=OSF, S=16, engine="pallas",
                               frames_bf16=True)), True),
-        ("sb S=16 pal-mfs", DecisionDemodSB.create(
-            wf, SBDemodConfig(osf=OSF, S=16, engine="pallas",
-                              frames_bf16=True,
-                              mf_precision="split")), True),
         ("sb S=16 pal-mfb", DecisionDemodSB.create(
             wf, SBDemodConfig(osf=OSF, S=16, engine="pallas",
                               frames_bf16=True,
                               mf_precision="bf16")), True),
+        ("sb S=16 fused", DecisionDemodSB.create(
+            wf, SBDemodConfig(osf=OSF, S=16,
+                              engine="pallas-fused")), True),
         ("sb S=32 xla", DecisionDemodSB.create(
             wf, SBDemodConfig(osf=OSF, S=32, tc=64.0, BL=0.0025,
                               engine="xla")), True),

@@ -226,6 +226,8 @@ class DecisionDemodSB(Block):
 
     def init_for(self, x: jax.Array):
         """Batched state for a (..., n) input."""
+        if self.cfg.engine.startswith("pallas-fused"):
+            return self.init_for_fused(x)
         b = x.shape[:-1]
         lf0 = self._lf.init()
         return dict(
@@ -276,6 +278,12 @@ class DecisionDemodSB(Block):
                    if (jax.default_backend() in ("tpu", "axon")
                        and C % 128 == 0 and cfg.itrp in _POLY_TAPS)
                    else "xla")
+        if eng in ("pallas-fused", "pallas-fused-interpret") \
+                and C % 128 == 0:
+            return self._step_batched_fused(
+                state, x, interpret=(eng.endswith("interpret")
+                                     or jax.default_backend()
+                                     not in ("tpu", "axon")))
         if eng in ("pallas", "pallas-interpret") and C % 128 == 0:
             return self._step_batched_pallas(
                 state, x, interpret=(eng == "pallas-interpret"
@@ -417,6 +425,135 @@ class DecisionDemodSB(Block):
         bvalid = jnp.repeat(valid, k, axis=-1)
         return new_state, (bits, syms, valid, bvalid)
 
+
+    def _detect_qam_square(self, symbols) -> int:
+        """Closed-form decisions when the constellation is the uniform
+        square-QAM grid (detected on concrete symbol planes; traced
+        symbols fall back to the generic min-scan)."""
+        if not self.wf.info.is_qam:
+            return 0
+        try:
+            sym_np = np.asarray(symbols)
+            m2 = int(round(np.sqrt(len(sym_np))))
+            lv = np.arange(m2) / (m2 - 1) * 2 - 1
+            grid = (lv[:, None] + 1j * lv[None, :]).reshape(-1, order="F")
+            if m2 * m2 == len(sym_np) and np.allclose(sym_np, grid,
+                                                      atol=1e-6):
+                return m2
+        except Exception:
+            pass
+        return 0
+
+    def _mf_toeplitz_t(self):
+        """Transposed banded-Toeplitz matched-filter tap matrices for the
+        fused kernel (taps normalized like Waveform.matched_filter)."""
+        from ..ops.filter_rt import fir_toeplitz_mats
+        h = np.asarray(self.wf.shaping.get_coefs(0, self.cfg.osf),
+                       np.float64)
+        en = float(np.sum(h * h))
+        G = fir_toeplitz_mats(h / np.sqrt(en * self.cfg.osf))
+        assert G.shape[0] <= 2, "fused engine: MF taps must be <= 129"
+        if G.shape[0] == 1:
+            G = np.concatenate([G, np.zeros_like(G)], axis=0)
+        return (jnp.asarray(G[0].T.copy(), real_dtype),
+                jnp.asarray(G[1].T.copy(), real_dtype))
+
+    def init_for_fused(self, x: jax.Array):
+        """State for the FUSED engine (engine="pallas-fused"): the
+        matched filter runs in-kernel, so the carried state is the raw
+        INPUT tail (recomputing the MF over it reproduces the exact same
+        z values) plus the streaming power EMA for the AGC pre-scale."""
+        from ..ops.pallas.demod_sb import fused_layout
+        b = x.shape[:-1]
+        lay = fused_layout(self.cfg.osf, self.cfg.S, self.itrp.K,
+                           max(x.shape[-1], 1))
+        lf0 = self._lf.init()
+        return dict(
+            lf=jax.tree_util.tree_map(
+                lambda a: jnp.broadcast_to(a, b + a.shape), lf0),
+            theta=jnp.zeros(b, real_dtype),
+            gain=jnp.ones(b, real_dtype),
+            ptr=jnp.full(b, self.cfg.osf / 2.0, real_dtype),
+            yprev_ri=jnp.zeros(b + (2,), real_dtype),
+            p_ema=jnp.zeros(b, real_dtype),
+            xtail=jnp.zeros(b + (lay["XOFF"],), complex_dtype),
+        )
+
+    def _step_batched_fused(self, state, x: jax.Array,
+                            interpret: bool = False):
+        """Batched path on the FULLY FUSED Pallas kernel: matched filter
+        + AGC pre-scale + framing + demod in one kernel; the MF output
+        never exists in HBM (ops/pallas/demod_sb.py fused section).
+
+        Differences from the XLA/non-fused paths (documented serving
+        semantics): the AGC pre-normalizer is a streaming per-channel
+        power EMA applied one superframe late (a fresh stream starts at
+        scale 1 and the decision-directed gain loop absorbs the
+        residual), and block-edge windows read the true MF tail instead
+        of the zp zero pad (more physical, not bit-identical)."""
+        from ..ops.pallas.demod_sb import (demod_sb_pallas_fused,
+                                           fused_layout)
+        cfg = self.cfg
+        osf, S = cfg.osf, cfg.S
+        K = self.itrp.K
+        lf = self._lf
+        symbols = self.wf.symbols
+        C = x.shape[0]
+        n = x.shape[-1]
+        nsb = n // (osf * S)
+        lay = fused_layout(osf, S, K, n)
+        rows_total, XOFF = lay["rows_total"], lay["XOFF"]
+        assert n >= XOFF, (n, XOFF)
+        pad = rows_total - XOFF - n
+        assert pad >= 0, (rows_total, XOFF, n)
+        xp = jnp.concatenate(
+            [state["xtail"], x, jnp.zeros((C, pad), x.dtype)], axis=-1)
+        xT_r = jnp.real(xp).T
+        xT_i = jnp.imag(xp).T
+        lf0, lf1, lf2 = state["lf"]
+        state9 = jnp.stack([
+            state["ptr"], state["theta"], state["gain"],
+            lf0, lf1, lf2,
+            state["yprev_ri"][:, 0], state["yprev_ri"][:, 1],
+            state["p_ema"]])
+        # symbols_ri is a concrete pytree LEAF under closure-jit; the
+        # `symbols` property runs jnp ops and would be traced
+        try:
+            sri = np.asarray(self.wf.symbols_ri)
+        except Exception as e:
+            raise ValueError(
+                "engine='pallas-fused' needs a concrete waveform "
+                "(symbols traced — pass the block via closure, not as a "
+                "jit argument)") from e
+        rms_ref = float(np.sqrt(np.mean(sri[0] ** 2 + sri[1] ** 2)))
+        qam_square = self._detect_qam_square(sri[0] + 1j * sri[1])
+        ysr, ysi, sidx, valid, st9 = demod_sb_pallas_fused(
+            xT_r, xT_i, state9,
+            jnp.real(symbols).astype(real_dtype),
+            jnp.imag(symbols).astype(real_dtype),
+            *self._mf_toeplitz_t(),
+            itrp=cfg.itrp, K=K, nph=self.itrp.nphases, osf=osf, S=S,
+            n=n, rms_ref=rms_ref, qam_square=qam_square,
+            tgain=float(self._timing_gain),
+            aga=float(self._agc_alpha_sb), gamma=float(lf.gamma),
+            rho=float(lf.rho), carrier=bool(cfg.carrier_active),
+            clock=bool(cfg.clock_active), agc=bool(cfg.agc_active),
+            interpret=interpret)
+        syms = (ysr + 1j * ysi).astype(complex_dtype)     # (nsb, S, C)
+        syms = jnp.moveaxis(syms, 2, 0).reshape(C, nsb * S)
+        sidx = jnp.moveaxis(sidx, 2, 0).reshape(C, nsb * S)
+        valid = jnp.moveaxis(valid, 2, 0).reshape(C, nsb * S) != 0
+        new_state = dict(
+            lf=(st9[3], st9[4], st9[5]),
+            theta=st9[1], gain=st9[2], ptr=st9[0] - n,
+            yprev_ri=jnp.stack([st9[6], st9[7]], axis=-1),
+            p_ema=st9[8],
+            xtail=xp[:, n: n + XOFF])
+        k = self.wf.info.k
+        bits = symbol_indices_to_bits(sidx.reshape(-1), k).reshape(C, -1)
+        bvalid = jnp.repeat(valid, k, axis=-1)
+        return new_state, (bits, syms, valid, bvalid)
+
     def _step_batched_pallas(self, state, x: jax.Array,
                              interpret: bool = False):
         """Batched path on the fused Pallas kernel
@@ -469,22 +606,7 @@ class DecisionDemodSB(Block):
             lf0, lf1, lf2,
             state["yprev_ri"][:, 0], state["yprev_ri"][:, 1]])  # (8, C)
 
-        # closed-form decisions when the constellation is the uniform
-        # square-QAM grid (detected on concrete symbol planes; traced
-        # symbols fall back to the generic min-scan)
-        qam_square = 0
-        if self.wf.info.is_qam:
-            try:
-                sym_np = np.asarray(symbols)
-                m2 = int(round(np.sqrt(len(sym_np))))
-                lv = np.arange(m2) / (m2 - 1) * 2 - 1
-                grid = (lv[:, None] + 1j * lv[None, :]).reshape(-1,
-                                                                order="F")
-                if m2 * m2 == len(sym_np) and np.allclose(sym_np, grid,
-                                                          atol=1e-6):
-                    qam_square = m2
-            except Exception:
-                pass
+        qam_square = self._detect_qam_square(symbols)
         ysr, ysi, sidx, valid, st8 = demod_sb_pallas(
             frames_r, frames_i, state8,
             jnp.real(symbols).astype(real_dtype),

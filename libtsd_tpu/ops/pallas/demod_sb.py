@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fm import _atan2_poly
 
-__all__ = ["demod_sb_pallas"]
+__all__ = ["demod_sb_pallas", "demod_sb_pallas_fused", "fused_layout"]
 
 _CT = 128   # channels per grid tile (lane width)
 
@@ -113,8 +113,13 @@ def _kernel(fr_r_ref, fr_i_ref, st_in_ref, symr_ref, symi_ref,
 
     # tb sub-blocks per grid step (amortizes per-step overhead); the
     # sequential loop-state dependency runs through VMEM scratch
+    f32 = jnp.float32
     for tb_i in range(tb):
-        _subblock(fr_r_ref, fr_i_ref, symr_ref, symi_ref,
+        # frames may arrive bf16 (half the HBM bytes of the kernel's
+        # largest stream; the loops' EVM floor ~0.08 dwarfs the 2^-8
+        # rounding)
+        _subblock(fr_r_ref[tb_i].astype(f32), fr_i_ref[tb_i].astype(f32),
+                  symr_ref, symi_ref,
                   ysr_ref, ysi_ref, sidx_ref, valid_ref, st_ref,
                   t * tb + tb_i, tb_i, itrp=itrp, K=K, nph=nph, osf=osf,
                   S=S, M=M, n=n, tgain=tgain, aga=aga, gamma=gamma,
@@ -126,7 +131,7 @@ def _kernel(fr_r_ref, fr_i_ref, st_in_ref, symr_ref, symi_ref,
         stout_ref[0] = st_ref[...]
 
 
-def _subblock(fr_r_ref, fr_i_ref, symr_ref, symi_ref,
+def _subblock(fr_r, fr_i, symr_ref, symi_ref,
               ysr_ref, ysi_ref, sidx_ref, valid_ref, st_ref,
               sb_idx, tb_i, *, itrp: str, K: int, nph: int, osf: int,
               S: int, M: int, n: int, tgain: float, aga: float,
@@ -163,10 +168,6 @@ def _subblock(fr_r_ref, fr_i_ref, symr_ref, symi_ref,
     # dense one-hot window dot (S*Fv MACs per array = 76 MACs/sample —
     # 19x the K useful taps) with ~7 selects + K true FMAs; numerically
     # identical (the dropped terms were exact zeros).
-    # frames may arrive bf16 (half the HBM bytes of the kernel's largest
-    # stream; the loops' EVM floor ~0.08 dwarfs the 2^-8 rounding)
-    fr_r = fr_r_ref[tb_i].astype(f32)                       # (F, CT)
-    fr_i = fr_i_ref[tb_i].astype(f32)
     sh_r, sh_i = fr_r, fr_i
     F = fr_r.shape[0]
     nbits = max((ML + MH).bit_length(), 1)
@@ -351,3 +352,229 @@ def demod_sb_pallas(frames_r: jax.Array, frames_i: jax.Array,
         interpret=interpret,
     )(frames_r, frames_i, state8.reshape(1, 8, C), sym2_r, sym2_i)
     return ysr, ysi, sidx, valid, stout.reshape(8, C)
+
+
+# --------------------------------------------------------------------------
+# Fully fused MF + demod kernel
+# --------------------------------------------------------------------------
+#
+# Partial-step timing at C=4096 (TODO.md round-4 notes) showed the XLA
+# prologue — matched filter, AGC normalize, transpose, frame
+# materialization — costs ~70% of the batched step even at bf16 MF.  This
+# variant moves the WHOLE chain into the kernel:
+#
+#   * the input signal planes arrive channel-LAST ((rows, C), one XLA
+#     transpose of the raw input — the only XLA pass left);
+#   * each grid step DMAs one 128-aligned input superframe per channel
+#     tile (double-buffered slots, manual make_async_copy — BlockSpec
+#     cannot express the overlapping windows);
+#   * the matched filter runs in-kernel as transposed banded-Toeplitz
+#     MXU matmuls over 128-row sample frames (samples in SUBLANES,
+#     channels in lanes: z_f = sum_d Gmf_d^T @ X_{f+1-d}), bf16 single
+#     pass — the MF output lives ONLY in VMEM;
+#   * the AGC pre-normalizer becomes a STREAMING per-channel power EMA
+#     (updated per superframe, applied one superframe late; a fresh
+#     stream starts at scale 1 and the decision-directed gain loop
+#     absorbs the residual) — the XLA path's same-block normalize would
+#     need a second pass over the signal;
+#   * the sub-block demod then consumes VMEM-resident MF rows directly.
+
+_APW = 0.25    # power-EMA update per superframe
+
+
+def fused_layout(osf: int, S: int, K: int, n: int) -> dict:
+    """Input-plane layout contract shared by the fused kernel and its
+    wrapper: array row r holds input sample x_g = r - XOFF (x_g = 0
+    is the first sample of this block; negative x_g is carried
+    history), so grid step t superframes start exactly at row
+    t*tb*S*osf."""
+    hop = S * osf
+    nsb = n // hop
+    tb = 1
+    while tb < 8 and nsb % (tb * 2) == 0:
+        tb *= 2
+    HOPT = tb * hop
+    ML, MH = S * osf, 2 * osf
+    F = (ML + MH + K) + (S - 1) * osf + osf // 2
+    Z00 = -(ML + (K - 1) + osf // 2)
+    Z0a0 = 128 * (Z00 // 128)
+    off = Z00 - Z0a0
+    SFZ = HOPT + (F - hop)
+    nfz = -(-(off + SFZ) // 128)
+    nT = nsb // tb
+    return dict(tb=tb, hopt=HOPT, nfz=nfz, off=off,
+                XOFF=128 - Z0a0,
+                rows_total=(nT - 1) * HOPT + 128 * (nfz + 1))
+
+
+def _fused_kernel(xr_hbm, xi_hbm, st_in_ref, symr_ref, symi_ref,
+                  gmf0_ref, gmf1_ref,
+                  ysr_ref, ysi_ref, sidx_ref, valid_ref, stout_ref,
+                  xbr_ref, xbi_ref, zbr_ref, zbi_ref, st_ref, sems, *,
+                  itrp: str, K: int, nph: int, osf: int, S: int, M: int,
+                  n: int, nsb: int, tb: int, nfz: int, off: int,
+                  rms_ref: float, tgain: float, aga: float, gamma: float,
+                  rho: float, carrier: bool, clock: bool, agc: bool,
+                  qam_square: int = 0):
+    c = pl.program_id(0)
+    t = pl.program_id(1)
+    f32 = jnp.float32
+    hop = S * osf
+    HOPT = tb * hop
+    XB = 128 * (nfz + 1)
+    nT = nsb // tb
+
+    def dma(slot, ti):
+        cpr = pltpu.make_async_copy(
+            xr_hbm.at[pl.ds(ti * HOPT, XB), pl.ds(c * _CT, _CT)],
+            xbr_ref.at[slot], sems.at[slot, 0])
+        cpi = pltpu.make_async_copy(
+            xi_hbm.at[pl.ds(ti * HOPT, XB), pl.ds(c * _CT, _CT)],
+            xbi_ref.at[slot], sems.at[slot, 1])
+        return cpr, cpi
+
+    @pl.when(t == 0)
+    def _():
+        st_ref[...] = st_in_ref[0]
+        r, i = dma(0, 0)
+        r.start()
+        i.start()
+
+    slot = jax.lax.rem(t, 2)
+    r, i = dma(slot, t)
+    r.wait()
+    i.wait()
+
+    @pl.when(t + 1 < nT)
+    def _():
+        nslot = jax.lax.rem(t + 1, 2)
+        r2, i2 = dma(nslot, t + 1)
+        r2.start()
+        i2.start()
+
+    # ---- in-kernel matched filter: z_f = Gmf0^T @ X_{f+1} + Gmf1^T @ X_f
+    g0 = gmf0_ref[...].astype(jnp.bfloat16)
+    g1 = gmf1_ref[...].astype(jnp.bfloat16)
+    # streaming AGC pre-scale from the PREVIOUS superframes' power EMA
+    p_ema = st_ref[8:9, :]
+    s = jnp.where(p_ema > 0, rms_ref * jax.lax.rsqrt(
+        jnp.maximum(p_ema, 1e-20)), 1.0)
+    for f in range(nfz):
+        xf1_r = xbr_ref[slot, pl.ds(128 * (f + 1), 128), :].astype(
+            jnp.bfloat16)
+        xf0_r = xbr_ref[slot, pl.ds(128 * f, 128), :].astype(jnp.bfloat16)
+        xf1_i = xbi_ref[slot, pl.ds(128 * (f + 1), 128), :].astype(
+            jnp.bfloat16)
+        xf0_i = xbi_ref[slot, pl.ds(128 * f, 128), :].astype(jnp.bfloat16)
+        mm = functools.partial(jnp.dot, preferred_element_type=f32)
+        zbr_ref[pl.ds(128 * f, 128), :] = (mm(g0, xf1_r)
+                                           + mm(g1, xf0_r)) * s
+        zbi_ref[pl.ds(128 * f, 128), :] = (mm(g0, xf1_i)
+                                           + mm(g1, xf0_i)) * s
+
+    # ---- demod sub-blocks straight from the VMEM MF rows
+    F = (S * osf + 2 * osf + K) + (S - 1) * osf + osf // 2
+    for tb_i in range(tb):
+        a = off + tb_i * hop
+        _subblock(zbr_ref[a:a + F, :], zbi_ref[a:a + F, :],
+                  symr_ref, symi_ref,
+                  ysr_ref, ysi_ref, sidx_ref, valid_ref, st_ref,
+                  t * tb + tb_i, tb_i, itrp=itrp, K=K, nph=nph, osf=osf,
+                  S=S, M=M, n=n, tgain=tgain, aga=aga, gamma=gamma,
+                  rho=rho, carrier=carrier, clock=clock, agc=agc,
+                  qam_square=qam_square)
+
+    # ---- power EMA update (post-use: the scale above used the previous
+    # state, so a fresh stream's first superframe runs at scale 1)
+    zr = zbr_ref[pl.ds(off, HOPT), :]
+    zi = zbi_ref[pl.ds(off, HOPT), :]
+    # undo the applied scale so the EMA tracks the RAW MF power
+    pw = jnp.mean(zr * zr + zi * zi, axis=0, keepdims=True) / (s * s)
+    st_ref[8:9, :] = jnp.where(p_ema > 0, (1 - _APW) * p_ema + _APW * pw,
+                               pw)
+
+    @pl.when(t == nT - 1)
+    def _():
+        stout_ref[0] = st_ref[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("itrp", "K", "nph", "osf", "S", "n",
+                              "rms_ref", "tgain", "aga", "gamma", "rho",
+                              "carrier", "clock", "agc", "qam_square",
+                              "interpret"))
+def demod_sb_pallas_fused(xT_r: jax.Array, xT_i: jax.Array,
+                          state9: jax.Array, sym_r: jax.Array,
+                          sym_i: jax.Array, g0: jax.Array,
+                          g1: jax.Array, *,
+                          itrp: str, K: int, nph: int, osf: int, S: int,
+                          n: int, rms_ref: float, tgain: float,
+                          aga: float, gamma: float, rho: float,
+                          carrier: bool, clock: bool, agc: bool,
+                          qam_square: int = 0, interpret: bool = False):
+    """Fused MF+demod.  xT_{r,i}: (rows_total, C) input planes laid out by
+    the wrapper (models/demod_sb.py::_step_batched_fused) so that grid
+    step t's superframe starts exactly at row t*tb*S*osf; state9: (9, C)
+    rows [ptr, theta, gain, lf_theta, lf_mu, lf_last, yprev_r, yprev_i,
+    p_ema]; h_mf: (Kmf,) matched-filter taps (Kmf <= 129).
+
+    Returns (ysym_r, ysym_i, sidx, valid, state9_out)."""
+    rows_total, C = xT_r.shape
+    assert C % _CT == 0, C
+    M = sym_r.shape[0]
+    ntiles = C // _CT
+    hop = S * osf
+    nsb = n // hop
+    tb = 1
+    while tb < 8 and nsb % (tb * 2) == 0:
+        tb *= 2
+    HOPT = tb * hop
+    assert HOPT % 128 == 0, (
+        "fused demod needs tb*S*osf % 128 == 0; use the non-fused engine")
+    lay = fused_layout(osf, S, K, n)
+    assert lay["tb"] == tb
+    nfz, off = lay["nfz"], lay["off"]
+    assert rows_total == lay["rows_total"], (rows_total, lay)
+    nT = nsb // tb
+
+    grid = (ntiles, nT)
+    sym2_r = jnp.broadcast_to(sym_r[None, :, None], (1, M, _CT))
+    sym2_i = jnp.broadcast_to(sym_i[None, :, None], (1, M, _CT))
+    kern = functools.partial(
+        _fused_kernel, itrp=itrp, K=K, nph=nph, osf=osf, S=S, M=M, n=n,
+        nsb=nsb, tb=tb, nfz=nfz, off=off, rms_ref=rms_ref, tgain=tgain,
+        aga=aga, gamma=gamma, rho=rho, carrier=carrier, clock=clock,
+        agc=agc, qam_square=qam_square)
+    ospec = lambda: pl.BlockSpec((tb, S, _CT), lambda c, t: (t, 0, c),
+                                 memory_space=pltpu.VMEM)
+    anyspec = lambda: pl.BlockSpec(memory_space=pl.ANY)
+    const = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    XB = 128 * (nfz + 1)
+    ysr, ysi, sidx, valid, stout = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            anyspec(), anyspec(),
+            pl.BlockSpec((1, 9, _CT), lambda c, t: (0, 0, c),
+                         memory_space=pltpu.VMEM),
+            const(), const(), const(), const(),
+        ],
+        out_specs=(ospec(), ospec(), ospec(), ospec(),
+                   pl.BlockSpec((1, 9, _CT), lambda c, t: (0, 0, c),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((nsb, S, C), jnp.float32),
+                   jax.ShapeDtypeStruct((nsb, S, C), jnp.float32),
+                   jax.ShapeDtypeStruct((nsb, S, C), jnp.int32),
+                   jax.ShapeDtypeStruct((nsb, S, C), jnp.int32),
+                   jax.ShapeDtypeStruct((1, 9, C), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((2, XB, _CT), jnp.float32),
+                        pltpu.VMEM((2, XB, _CT), jnp.float32),
+                        pltpu.VMEM((128 * nfz, _CT), jnp.float32),
+                        pltpu.VMEM((128 * nfz, _CT), jnp.float32),
+                        pltpu.VMEM((9, _CT), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2, 2))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=(interpret if not isinstance(interpret, bool)
+                   else (pltpu.InterpretParams() if interpret else False)),
+    )(xT_r, xT_i, state9.reshape(1, 9, C), sym2_r, sym2_i, g0, g1)
+    return ysr, ysi, sidx, valid, stout.reshape(9, C)

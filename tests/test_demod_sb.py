@@ -200,3 +200,52 @@ def test_subblock_pallas_qam16_closed_form_decisions():
     _, (b2, s2, m2, _) = dd_p.step(dd_p.init_for(xb), xb)
     assert np.array_equal(np.asarray(m1), np.asarray(m2))
     assert np.mean(np.asarray(b1) != np.asarray(b2)) < 1e-4
+
+
+def test_subblock_pallas_fused_converges_and_matches():
+    """The fully fused MF+demod kernel (engine='pallas-fused', interpret
+    mode): decodes the same QPSK stream with zero steady-state errors and
+    symbol outputs closely tracking the XLA path (not bit-identical by
+    design: streaming AGC pre-scale + true-MF-tail block edges)."""
+    wf, bits, x = _qpsk_signal(nsym=900)
+    n = x.shape[0]
+    xb = jnp.broadcast_to(x, (128, n))
+    dd_x = DecisionDemodSB.create(wf, SBDemodConfig(osf=4, S=16,
+                                                    engine="xla"))
+    dd_f = DecisionDemodSB.create(wf, SBDemodConfig(
+        osf=4, S=16, engine="pallas-fused-interpret"))
+    _, (b1, s1, m1, _) = dd_x.step(dd_x.init_for(xb), xb)
+    _, (b2, s2, m2, bm2) = dd_f.step(dd_f.init_for(xb), xb)
+    # convergence: decode the payload with zero errors past warm-up
+    rbn = np.asarray(b2[0])[np.asarray(bm2[0])]
+    ber, errs, _ = BER.cmp_bits_psk(bits[2 * 700:],
+                                    jnp.asarray(rbn[2 * 700:]), 2,
+                                    max_lag=64)
+    assert errs == 0, (ber, errs)
+    # post-lock symbols track the XLA path closely
+    both = np.asarray(m1[0]) & np.asarray(m2[0])
+    both[: len(both) // 2] = False
+    d = np.abs(np.asarray(s1[0])[both] - np.asarray(s2[0])[both])
+    assert np.median(d) < 0.02, np.median(d)
+
+
+def test_subblock_pallas_fused_streaming_continuity():
+    """Fused engine: two half-blocks equal one full block (input-tail MF
+    recomputation + pointer rebase + power EMA carry)."""
+    wf, bits, x = _qpsk_signal(nsym=1200)
+    n = (x.shape[0] // 2048) * 2048
+    x = x[:n]
+    xb = jnp.broadcast_to(x, (128, n))
+    dd = DecisionDemodSB.create(wf, SBDemodConfig(
+        osf=4, S=16, engine="pallas-fused-interpret"))
+    _, (b1, s1, m1, _) = dd.step(dd.init_for(xb), xb)
+    st = dd.init_for(xb)
+    st, (ba, sa, ma, _) = dd.step(st, xb[:, : n // 2])
+    st, (bb, sb, mb, _) = dd.step(st, xb[:, n // 2:])
+    one = np.asarray(s1[0])[np.asarray(m1[0])]
+    two = np.concatenate([np.asarray(sa[0])[np.asarray(ma[0])],
+                          np.asarray(sb[0])[np.asarray(mb[0])]])
+    ncmp = min(len(one), len(two))
+    # identical except the few block-boundary sub-blocks (bubble timing)
+    d = np.abs(one[:ncmp] - two[:ncmp])
+    assert np.median(d) < 0.02, np.median(d)

@@ -245,10 +245,10 @@ def test_iir_time_sharded_time_only_order1():
     """Order-1 de-emphasis (design_lexp) as IirFrame, time-sharded 8 ways
     — the FM chain's feedback stage (BASELINE config 4)."""
     from libtsd_tpu.ops.iir_design import design_lexp
-    mesh = make_mesh(chan=1, time=8)
+    mesh = make_mesh(chan=2, time=4)
     b, a = design_lexp(0.05)
     blk = FR.IirFrame.create(b, a)
-    x = jnp.asarray(rng.standard_normal((2, 8192)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 4096)), jnp.float32)
     xs = jax.device_put(x, channel_sharding(mesh))
     y = sharded_chain(mesh, [(blk, 0)], xs)
     y_ref = FR.iir_filter(b, a, x)
@@ -276,11 +276,11 @@ def test_sos_chain_time_sharded():
     """A Chain of IirFrames (sos_frame_chain: order-4 elliptic as two
     biquads) routes each section through the state composition."""
     from libtsd_tpu.ops.iir_design import design_iir, zpk_to_sos
-    mesh = make_mesh(chan=1, time=8)
+    mesh = make_mesh(chan=2, time=4)
     zpk = design_iir(4, "lp", "ellip", 0.1, 0.5, 40.0)
     sos, k = zpk_to_sos(zpk)
     chain = FR.sos_frame_chain(sos, k)
-    x = jnp.asarray(rng.standard_normal((1, 8192)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 4096)), jnp.float32)
     xs = jax.device_put(x, channel_sharding(mesh))
     y = sharded_chain(mesh, [(chain, 0)], xs)
     st = chain.init_for(x)
