@@ -23,6 +23,7 @@ from ..ops.filter_rt import Iir
 __all__ = [
     "fm_discriminator", "fm_modulate", "fm_demodulate",
     "AMConfig", "am_modulate", "am_demodulate", "hilbert_analytic",
+    "hilbert_tfd",
     "fm_broadcast_mono", "fm_broadcast_demodulate",
     "fm_broadcast_multiplex",
 ]
@@ -53,6 +54,19 @@ def fm_demodulate(x: jax.Array, deviation: float = 0.1,
         blk = Iir.create(b, a)
         _, y = blk.step(blk.init_for(y), y)
     return y
+
+
+def hilbert_tfd(x: jax.Array) -> jax.Array:
+    """Analytic signal by DFT masking, EXACTLY the reference's convention
+    (hilbert_tfd, hilbert.cc:59-70): zero bins n/2..n-1 then ifft(2*X).
+    NOTE this doubles DC as well (and drops Nyquist entirely) — the
+    textbook analytic transform keeps DC/Nyquist at unit weight; we pin
+    the binary's behavior (golden-diffed in tests/test_golden_ref5.py)."""
+    n = x.shape[-1]
+    X = jnp.fft.fft(x.astype(complex_dtype), axis=-1)
+    mask = jnp.asarray(np.r_[np.ones(n // 2), np.zeros(n - n // 2)],
+                       real_dtype)
+    return jnp.fft.ifft(2.0 * X * mask, axis=-1).astype(complex_dtype)
 
 
 def hilbert_analytic(x: jax.Array, ntaps: int = 255) -> jax.Array:
