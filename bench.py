@@ -94,9 +94,13 @@ def main():
         k, (C, N), -2048, 2048, jnp.int16))(key)
     x_f32 = jax.jit(lambda k: jax.random.normal(k, (C, N), jnp.float32))(key)
 
+    x_i8 = jax.jit(lambda k: jax.random.randint(
+        k, (C, N), -127, 128, jnp.int8))(key)
+
     msps = _measure_tier(G, x_i16, "int16", 2)       # headline
     msps_exact = _measure_tier(G, x_i16, "int16", 3)  # exact-tap int16
     msps_f32 = _measure_tier(G, x_f32, "split", 3)    # r2/r3-comparable
+    msps_i8 = _measure_tier(G, x_i8, "int8", 2)       # 1-byte ADC ceiling
 
     cpu_baseline_msps = measure_cpu_baseline(np.asarray(h, np.float64))
     print(json.dumps({
@@ -107,6 +111,7 @@ def main():
         "cpu_baseline_msps": round(cpu_baseline_msps, 2),
         "int16_exact_taps_msps": round(msps_exact, 1),
         "f32_split_msps": round(msps_f32, 1),
+        "int8_msps": round(msps_i8, 1),
     }))
 
 
