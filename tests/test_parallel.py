@@ -173,7 +173,7 @@ def test_baseline_config3_sharded_resampler_chain():
     """BASELINE config 3: 256-tap FIR + rational 48k->44.1k resampler
     (147/160 fractional-interpolator bank) on 64 channels sharded over the
     mesh — sharded output must equal the unsharded computation."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
     from libtsd_tpu.ops import resample as RS
 
