@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-__all__ = ["AdsbConfig", "AdsbFrame", "AdsbDecoder", "adsb_crc",
+__all__ = ["AdsbConfig", "AdsbFrame", "AdsbDecoder", "AdsbStream", "adsb_crc",
            "adsb_waveform", "cpr_global", "decode_adsb_text"]
 
 _GEN = 0x1FFF409            # Mode S CRC-24 generator (25 bits)
@@ -240,6 +240,45 @@ class AdsbDecoder:
             out.append(AdsbFrame(bits=bits[k], score=float(sc[k]),
                                  text=decode_adsb_text(bits[k]),
                                  position=int(pos[k]), crc_ok=bool(ok[k])))
+        return out
+
+
+class AdsbStream:
+    """Streaming wrapper: push arbitrary-size sample chunks, get frames
+    (parity: the declared `ProtocoleDemodulateur` is a push Sink,
+    protocols.hpp:44-47).  Re-blocks to the decoder's fixed jit size with
+    a one-frame overlap so frames straddling a push/block boundary are
+    never lost; overlap duplicates are deduped by absolute position."""
+
+    def __init__(self, cfg: AdsbConfig = AdsbConfig()):
+        self.dec = AdsbDecoder(cfg)
+        self._overlap = self.dec._frame_len - 1
+        assert cfg.Ne > 2 * self._overlap, "Ne too small for the overlap"
+        self._buf = np.zeros((0,), np.float32)
+        self._base = 0            # absolute index of _buf[0]
+        self._seen: set = set()
+
+    def push(self, x) -> List[AdsbFrame]:
+        xa = np.asarray(x)
+        mag = np.abs(xa).astype(np.float32) if np.iscomplexobj(xa) else \
+            xa.astype(np.float32)
+        self._buf = np.concatenate([self._buf, mag])
+        Ne = self.dec.cfg.Ne
+        out: List[AdsbFrame] = []
+        while len(self._buf) >= Ne:
+            for fr in self.dec.decode(self._buf[:Ne]):
+                p = self._base + fr.position
+                # +-2 tolerance: a boundary frame can re-detect one
+                # sample off in the next (overlapped) block
+                if all(abs(p - q) > 2 for q in self._seen):
+                    self._seen.add(p)
+                    fr.position = p
+                    out.append(fr)
+            adv = Ne - self._overlap
+            self._buf = self._buf[adv:]
+            self._base += adv
+            # positions older than the retained overlap can never recur
+            self._seen = {p for p in self._seen if p >= self._base}
         return out
 
 

@@ -82,6 +82,34 @@ def test_adsb_noise_and_overlap_rejection():
     assert not any(f.crc_ok for f in got)
 
 
+def test_adsb_streaming_across_boundaries():
+    """Push odd-size chunks; a frame straddling the jit-block boundary
+    must still decode exactly once (overlap + dedupe)."""
+    rng = np.random.default_rng(11)
+    osf = 2
+    Ne = 4096
+    st = A.AdsbStream(A.AdsbConfig(fe=2e6, Ne=Ne, max_frames=8))
+    n = 20000
+    x = 0.02 * np.abs(rng.standard_normal(n)).astype(np.float32)
+    wf = A.adsb_waveform(_hexbits(IDENT), osf=osf)
+    # one frame INSIDE block 1, one STRADDLING the first block boundary
+    # (advance = Ne - overlap), one late
+    adv = Ne - (len(wf) - 1) - 1 + 1  # decoder frame_len - 1 overlap
+    positions = [1000, adv - len(wf) // 2, 3 * Ne // 2 + 700]
+    for p in positions:
+        x[p:p + len(wf)] += 0.8 * wf
+    got = []
+    i = 0
+    for sz in [1111, 2048, 5000, 3333, 4096, 4096, 4096]:
+        got += st.push(x[i:i + sz])
+        i += sz
+    got += st.push(x[i:])
+    gp = sorted(f.position for f in got)
+    assert len(gp) == 3, gp
+    assert all(abs(g - p) <= 1 for g, p in zip(gp, sorted(positions)))
+    assert all(np.array_equal(f.bits, _hexbits(IDENT)) for f in got)
+
+
 def test_pocsag_bch_constants():
     from libtsd_tpu.models import pocsag as P
     # the published frame-sync and idle words must be valid BCH(31,21)+
