@@ -172,6 +172,57 @@ def test_pocsag_single_bit_error_correction():
     assert len(msgs) == 1 and msgs[0].text.startswith("BCH OK")
 
 
+def test_pocsag_message_spans_batches():
+    """A long message overflows the first batch; assembly must continue
+    through the second batch's sync word."""
+    from libtsd_tpu.models import pocsag as P
+    fe, baud = 38400.0, 1200
+    text = "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG 0123456789"
+    bits = P.pocsag_encode(ric=0x3FFFD, function=3, text=text)  # frame 5
+    assert len(bits) > 576 + 2 * 544 - 32  # really two batches
+    x = P.pocsag_waveform(bits, fe=fe, debit=baud)
+    msgs = P.PocsagDecoder(P.PocsagConfig(fe=fe, debit=baud)).decode(x)
+    assert len(msgs) == 1
+    assert msgs[0].ric == 0x3FFFD and msgs[0].text.startswith(text)
+
+
+def test_pocsag_noise_sensitivity():
+    """Decodes through moderate AWGN on the FSK signal (the BCH layer
+    plus the 8x bit integration should hold well above threshold)."""
+    from libtsd_tpu.models import pocsag as P
+    fe, baud = 38400.0, 1200
+    bits = P.pocsag_encode(ric=99, function=3, text="NOISY")
+    x0 = P.pocsag_waveform(bits, fe=fe, debit=baud)
+    rng = np.random.default_rng(5)
+    nz = (rng.standard_normal(len(x0)) + 1j * rng.standard_normal(len(x0)))
+    x = x0 + 0.35 * nz.astype(np.complex64)   # ~9 dB SNR
+    msgs = P.PocsagDecoder(P.PocsagConfig(fe=fe, debit=baud)).decode(x)
+    assert len(msgs) == 1 and msgs[0].text.startswith("NOISY")
+
+
+def test_adsb_batched_channels_vmap():
+    """The device decode path is vmap-able over channels — the TPU-scale
+    form for monitoring C receivers at once."""
+    import jax
+    rng = np.random.default_rng(2)
+    osf = 2
+    dec = A.AdsbDecoder(A.AdsbConfig(fe=2e6, Ne=8192, max_frames=4))
+    wf = A.adsb_waveform(_hexbits(IDENT), osf=osf)
+    C = 4
+    x = 0.02 * np.abs(rng.standard_normal((C, 8192))).astype(np.float32)
+    pos = [700, 1500, 2500, 4000]
+    for c in range(C):
+        x[c, pos[c]:pos[c] + len(wf)] += 0.9 * wf
+    d = jax.jit(jax.vmap(dec._decode_block))(jnp.asarray(x))
+    got_pos = np.asarray(d.position)
+    ok = np.asarray(d.crc_ok)
+    val = np.asarray(d.valid)
+    for c in range(C):
+        hits = [p for k, p in enumerate(got_pos[c])
+                if val[c, k] and ok[c, k]]
+        assert hits == [pos[c]]
+
+
 def test_cpr_global_pair():
     # published even/odd pair decodes to the documented position
     be, bo = _hexbits(POS_EVEN), _hexbits(POS_ODD)
