@@ -28,9 +28,10 @@ TPU design (same shapes-static discipline as models/adsb.py):
   ADS-B preamble trick), so clock phase is recovered for free and both
   signal polarities are resolved from the score's sign;
 * all 16 codewords of every detected batch are sampled with one vmapped
-  dynamic_slice and BCH-checked in one GF(2) matmul; single-bit errors
-  are corrected by matching the 10-bit syndrome against the 31 columns
-  of the check matrix (one-hot compare, no host loop);
+  dynamic_slice and BCH-checked in one GF(2) matmul; 1- and 2-bit errors
+  (BCH(31,21) is double-error-correcting, d=5) are corrected by matching
+  the 10-bit syndrome against the 31 single-column and 465 pair
+  syndromes (one-hot compares, no host loop);
 * message/text assembly from validated codewords is host-side string
   work, like the reference's `texte` field.
 """
@@ -214,6 +215,17 @@ class PocsagDecoder:
         # fn: some TPU runtimes can't read them back — see verify notes)
         self._sync = (1.0 - 2.0 * _word_bits(FSC)).astype(np.float32)
         self._S = _SYN.T.astype(np.int32)                # (31, 10)
+        # two-error tables: pair syndromes and their flip masks.  d=5
+        # guarantees every pair syndrome is nonzero, distinct from every
+        # single-column syndrome and from every other pair — the compares
+        # below are one-hot
+        pairs = [(i, j) for i in range(31) for j in range(i + 1, 31)]
+        self._S2 = np.array([_SYN[:, i] ^ _SYN[:, j] for i, j in pairs],
+                            np.int32)                    # (465, 10)
+        M2 = np.zeros((len(pairs), 31), np.int32)
+        for k, (i, j) in enumerate(pairs):
+            M2[k, i] = M2[k, j] = 1
+        self._M2 = M2                                    # (465, 31)
         self._scan_jit = {}
 
     # -------------------------------------------------- device path --
@@ -250,7 +262,12 @@ class PocsagDecoder:
         # sign MUST come from the sync, not the BCH: the complement of a
         # valid codeword is itself valid — all-ones is a codeword — so
         # an inverted batch would decode to syntactically valid garbage.)
-        score = corr / (nrm + 1e-9)
+        # energy floor: at half-bit offsets inside the alternating
+        # preamble every bit integral is ~0, and corr/nrm would be an
+        # amplified noise ratio — require the window to hold real bit
+        # energy before normalizing
+        floor = 0.5 * _CW_BITS * jnp.mean(jnp.abs(s))
+        score = jnp.where(nrm > floor, corr / (nrm + 1e-9), 0.0)
         a = jnp.abs(score)
 
         # non-max suppression over +-w via the block-max trick (exact for
@@ -281,19 +298,27 @@ class PocsagDecoder:
             return (soft > 0).astype(jnp.int8).reshape(_BATCH_CW, _CW_BITS)
         bits = jax.vmap(batch_bits)(top_p, pol)   # (B, 16, 32)
 
-        # BCH syndrome + single-error correction, all codewords at once
+        # BCH syndrome decoding, all codewords at once.  BCH(31,21) has
+        # minimum distance 5 — DOUBLE-error-correcting: match the syndrome
+        # against the 31 single-bit columns AND the 465 two-bit pair
+        # syndromes (a one-hot compare each; single-error match preferred)
         cw31 = bits[..., :31].astype(jnp.int32)
         syn = jnp.mod(cw31 @ self._S, 2)                    # (B, 16, 10)
         clean = jnp.sum(syn, -1) == 0
-        hit = jnp.all(syn[..., None, :] == self._S[None, None], -1)
-        corrected = bits[..., :31] ^ hit.astype(jnp.int8)
+        hit1 = jnp.all(syn[..., None, :] == self._S[None, None], -1)
+        hit2 = jnp.all(syn[..., None, :] == self._S2[None, None], -1)
+        flip2 = jnp.mod(hit2.astype(jnp.int32) @ self._M2, 2)  # (B,16,31)
+        single = jnp.any(hit1, -1)
+        double = jnp.any(hit2, -1)
+        flip = jnp.where(single[..., None], hit1.astype(jnp.int8),
+                         flip2.astype(jnp.int8))
+        corrected = bits[..., :31] ^ flip
         bits = jnp.concatenate([corrected, bits[..., 31:]], -1)
-        # parity of the CORRECTED word: a true single-bit data error flips
-        # overall parity and the correction restores it, so even parity
-        # post-correction is required in both the clean and corrected cases
+        # parity of the CORRECTED word: correction restores even overall
+        # parity in the 1- and 2-error cases alike, so even parity
+        # post-correction is required in every accepted case
         parity_ok = jnp.sum(bits, -1) % 2 == 0
-        single = jnp.any(hit, -1)
-        cw_ok = (clean | single) & parity_ok
+        cw_ok = (clean | single | double) & parity_ok
         return PocsagBatches(position=top_p.astype(jnp.int32),
                              score=top_s, bits=bits, cw_ok=cw_ok,
                              valid=valid)

@@ -172,6 +172,31 @@ def test_pocsag_single_bit_error_correction():
     assert len(msgs) == 1 and msgs[0].text.startswith("BCH OK")
 
 
+def test_pocsag_double_bit_error_correction():
+    """BCH(31,21) has d=5: two bit errors in one codeword must be
+    corrected (syndrome matched against the 465 pair table)."""
+    from libtsd_tpu.models import pocsag as P
+    fe, baud = 38400.0, 1200
+    bits = P.pocsag_encode(ric=42, function=3, text="BCH2 OK")
+    # two flips inside the first message codeword (slot 5: addr frame 2)
+    base = 576 + 32 + 5 * 32
+    bits = bits.copy()
+    bits[base + 3] ^= 1
+    bits[base + 19] ^= 1
+    x = P.pocsag_waveform(bits, fe=fe, debit=baud)
+    msgs = P.PocsagDecoder(P.PocsagConfig(fe=fe, debit=baud)).decode(x)
+    assert len(msgs) == 1 and msgs[0].text.startswith("BCH2 OK")
+    # three flips exceed the correction radius -> the word must be
+    # REJECTED (or corrected to a wrong word caught by parity), never
+    # silently accepted as-is
+    bits2 = P.pocsag_encode(ric=42, function=3, text="BCH2 OK").copy()
+    for k in (3, 19, 27):
+        bits2[base + k] ^= 1
+    x2 = P.pocsag_waveform(bits2, fe=fe, debit=baud)
+    msgs2 = P.PocsagDecoder(P.PocsagConfig(fe=fe, debit=baud)).decode(x2)
+    assert not (msgs2 and msgs2[0].text.startswith("BCH2 OK"))
+
+
 def test_pocsag_message_spans_batches():
     """A long message overflows the first batch; assembly must continue
     through the second batch's sync word."""
