@@ -185,8 +185,10 @@ class AdsbDecoder:
         floor = jnp.mean(mag) * (4 * hs)
         score = jnp.where(corr > 2.0 * floor, score, 0.0)
 
-        # a full frame must fit in the block
-        last = n - self._frame_len
+        # a full frame must fit in the block — including the last data
+        # half-slot's width-hs sum over ps (len n-hs+1), or dynamic_slice
+        # would clamp and decode the final bits one sample off
+        last = n - self._frame_len - (hs - 1)
         idx = jnp.arange(L)
         score = jnp.where(idx <= last, score, 0.0)
 
