@@ -212,9 +212,12 @@ class AdsbDecoder:
             return (first > second).astype(jnp.int8)
         bits = jax.vmap(bits_at)(top_p)               # (K, 112)
 
-        # CRC syndrome for all K frames in one matmul mod 2
+        # CRC syndrome for all K frames in one matmul mod 2.  The
+        # all-zero word is a codeword of any linear code, and silence
+        # (e.g. the zero padding of a flushed partial block) decodes to
+        # exactly that — reject degenerate frames explicitly.
         syn = jnp.mod(bits.astype(jnp.int32) @ self._H, 2)   # (K, 24)
-        crc_ok = jnp.sum(syn, axis=-1) == 0
+        crc_ok = (jnp.sum(syn, axis=-1) == 0) & jnp.any(bits != 0, axis=-1)
 
         return AdsbDecode(position=top_p.astype(jnp.int32), score=top_s,
                           bits=bits, crc_ok=crc_ok, valid=valid)
@@ -254,11 +257,26 @@ class AdsbStream:
 
     def __init__(self, cfg: AdsbConfig = AdsbConfig()):
         self.dec = AdsbDecoder(cfg)
-        self._overlap = self.dec._frame_len - 1
+        # a block only emits starts p <= Ne - frame_len - (hs-1) (the
+        # decoder's tail mask), so the next block must rewind far enough
+        # to see p = Ne - frame_len - hs + 2 at a non-negative index
+        self._overlap = self.dec._frame_len + cfg.osf // 2 - 2
         assert cfg.Ne > 2 * self._overlap, "Ne too small for the overlap"
         self._buf = np.zeros((0,), np.float32)
         self._base = 0            # absolute index of _buf[0]
         self._seen: set = set()
+
+    def _emit(self, block: np.ndarray) -> List[AdsbFrame]:
+        out: List[AdsbFrame] = []
+        for fr in self.dec.decode(block):
+            p = self._base + fr.position
+            # +-2 tolerance: a boundary frame can re-detect one sample
+            # off in the next (overlapped) block
+            if all(abs(p - q) > 2 for q in self._seen):
+                self._seen.add(p)
+                fr.position = p
+                out.append(fr)
+        return out
 
     def push(self, x) -> List[AdsbFrame]:
         xa = np.asarray(x)
@@ -268,19 +286,30 @@ class AdsbStream:
         Ne = self.dec.cfg.Ne
         out: List[AdsbFrame] = []
         while len(self._buf) >= Ne:
-            for fr in self.dec.decode(self._buf[:Ne]):
-                p = self._base + fr.position
-                # +-2 tolerance: a boundary frame can re-detect one
-                # sample off in the next (overlapped) block
-                if all(abs(p - q) > 2 for q in self._seen):
-                    self._seen.add(p)
-                    fr.position = p
-                    out.append(fr)
+            out += self._emit(self._buf[:Ne])
             adv = Ne - self._overlap
             self._buf = self._buf[adv:]
             self._base += adv
             # positions older than the retained overlap can never recur
             self._seen = {p for p in self._seen if p >= self._base}
+        return out
+
+    def flush(self) -> List[AdsbFrame]:
+        """Decode the final partial block of a finite capture (zero-pad
+        to the jit size); call once at end of stream."""
+        Ne = self.dec.cfg.Ne
+        out: List[AdsbFrame] = []
+        if len(self._buf) > 0:
+            # re-decoding the already-seen overlap region is harmless:
+            # _seen dedupes, and a capture shorter than one block has
+            # never been decoded at all
+            blk = np.concatenate([self._buf,
+                                  np.zeros((Ne - len(self._buf),),
+                                           np.float32)])
+            out = self._emit(blk)
+        self._buf = np.zeros((0,), np.float32)
+        self._base += Ne
+        self._seen = set()
         return out
 
 

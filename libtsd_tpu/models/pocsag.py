@@ -115,6 +115,10 @@ def pocsag_encode(ric: int, function: int, text: str = "",
     if text:
         if numeric:
             chunks = [_NUMCHARS.index(ch) for ch in text]
+            # pad to the 20-bit codeword boundary with SPACE nibbles
+            # (0xC) — zero-padding would decode as spurious '0' digits
+            while (4 * len(chunks)) % 20:
+                chunks.append(0xC)
             bits = []
             for v in chunks:
                 bits += [(v >> k) & 1 for k in range(4)]   # LSB first
@@ -123,8 +127,8 @@ def pocsag_encode(ric: int, function: int, text: str = "",
             for ch in text:
                 v = ord(ch) & 0x7F
                 bits += [(v >> k) & 1 for k in range(7)]   # LSB first
-        while len(bits) % 20:
-            bits.append(0)
+            while len(bits) % 20:
+                bits.append(0)
         for i in range(0, len(bits), 20):
             data20 = 0
             for b in bits[i:i + 20]:
@@ -270,21 +274,27 @@ class PocsagDecoder:
         score = jnp.where(nrm > floor, corr / (nrm + 1e-9), 0.0)
         a = jnp.abs(score)
 
-        # non-max suppression over +-w via the block-max trick (exact for
-        # radius w with block size w: any competitor within distance w is
-        # in the same or an adjacent block)
+        # EXACT non-max suppression over +-w, two stages: (1) one winner
+        # per w-sized block (argmax, first index on ties — noise-free
+        # signals produce flat score plateaus); (2) a winner dies only to
+        # a strictly-better winner whose POSITION is within w (any point
+        # within +-w of a block's winner lies in the same or an adjacent
+        # block, so comparing neighbor winners with a distance gate is
+        # exhaustive AND never over-suppresses; ties go to the earlier)
         w = _BATCH_BITS * _OSF // 2
         nb = -(-L // w)
         ab = jnp.concatenate([a, jnp.zeros((nb * w - L,), jnp.float32)])
         blocks = ab.reshape(nb, w)
         bm = blocks.max(axis=1)
-        # one winner per block (first index on ties — noise-free signals
-        # produce flat-topped score plateaus), and the block must beat its
-        # neighbors (ties broken toward the earlier block)
+        wi = jnp.argmax(blocks, 1) + jnp.arange(nb) * w   # flat positions
+        pv, pw = jnp.concatenate([bm[:1] * 0, bm[:-1]]), \
+            jnp.concatenate([wi[:1] * 0 - 2 * w, wi[:-1]])
+        nv, nw = jnp.concatenate([bm[1:], bm[-1:] * 0]), \
+            jnp.concatenate([wi[1:], wi[-1:] * 0 + 3 * nb * w])
+        lose_prev = (wi - pw <= w) & (pv >= bm)       # earlier wins ties
+        lose_next = (nw - wi <= w) & (nv > bm)
+        keep = ~(lose_prev | lose_next)
         onehot = jnp.arange(w)[None, :] == jnp.argmax(blocks, 1)[:, None]
-        left = jnp.concatenate([bm[:1] * 0, bm[:-1]])
-        right = jnp.concatenate([bm[1:], bm[-1:] * 0])
-        keep = (bm > left) & (bm >= right)
         ismax = (onehot & keep[:, None]).reshape(-1)[:L]
         cand = jnp.where(ismax & (a > cfg.threshold), a, 0.0)
         top_s, top_p = jax.lax.top_k(cand, cfg.max_batches)
@@ -439,4 +449,5 @@ def _decode_text(data_bits: List[int], function: int) -> str:
     for i in range(0, len(data_bits) - 3, 4):
         v = sum(b << k for k, b in enumerate(data_bits[i:i + 4]))
         out.append(_NUMCHARS[v])
-    return "".join(out)
+    # trailing SPACE nibbles are codeword padding (see pocsag_encode)
+    return "".join(out).rstrip(" ")

@@ -92,10 +92,12 @@ def test_adsb_streaming_across_boundaries():
     n = 20000
     x = 0.02 * np.abs(rng.standard_normal(n)).astype(np.float32)
     wf = A.adsb_waveform(_hexbits(IDENT), osf=osf)
-    # one frame INSIDE block 1, one STRADDLING the first block boundary
-    # (advance = Ne - overlap), one late
-    adv = Ne - (len(wf) - 1) - 1 + 1  # decoder frame_len - 1 overlap
-    positions = [1000, adv - len(wf) // 2, 3 * Ne // 2 + 700]
+    # one frame inside block 1, one GENUINELY straddling the first block
+    # boundary (starts before Ne, ends after — undetectable in block 1's
+    # tail mask, must come from the overlapped re-decode), one late, and
+    # one in the final partial residue (only reachable via flush())
+    positions = [1000, Ne - len(wf) // 2, 3 * Ne // 2 + 700, 19000]
+    assert positions[1] > Ne - (len(wf) + osf // 2 - 1)  # true straddle
     for p in positions:
         x[p:p + len(wf)] += 0.8 * wf
     got = []
@@ -104,8 +106,9 @@ def test_adsb_streaming_across_boundaries():
         got += st.push(x[i:i + sz])
         i += sz
     got += st.push(x[i:])
+    got += st.flush()
     gp = sorted(f.position for f in got)
-    assert len(gp) == 3, gp
+    assert len(gp) == 4, gp
     assert all(abs(g - p) <= 1 for g, p in zip(gp, sorted(positions)))
     assert all(np.array_equal(f.bits, _hexbits(IDENT)) for f in got)
 
@@ -116,10 +119,13 @@ def test_pocsag_bch_constants():
     # parity codewords under generator 0x769 — pins the polynomial
     for w in (P.FSC, P.IDLE):
         assert P.bch3121_encode(w >> 11) == w
-    # single-bit corruption must be detectable (min distance >= 2)
-    assert P.bch3121_encode((P.FSC ^ (1 << 12)) >> 11) != P.FSC ^ (1 << 12) \
-        or True  # (data-bit flips re-encode to a DIFFERENT valid word)
-    assert P.bch3121_encode(P.FSC >> 11) ^ (1 << 5) != P.FSC
+    # single-bit corruption anywhere must yield a NON-codeword: re-encode
+    # of the (possibly modified) data bits never reproduces the flipped
+    # word (flips in data re-encode to different check bits; flips in
+    # check/parity leave data and hence the true encoding unchanged)
+    for k in range(32):
+        flipped = P.FSC ^ (1 << k)
+        assert P.bch3121_encode(flipped >> 11) != flipped, k
 
 
 @pytest.mark.parametrize("baud,auto", [(1200, True), (512, False),
@@ -170,6 +176,34 @@ def test_pocsag_single_bit_error_correction():
     x = P.pocsag_waveform(bits, fe=fe, debit=baud)
     msgs = P.PocsagDecoder(P.PocsagConfig(fe=fe, debit=baud)).decode(x)
     assert len(msgs) == 1 and msgs[0].text.startswith("BCH OK")
+
+
+def test_adsb_streaming_osf4_boundary_gap():
+    """Regression: at osf=4 (hs=2) the decoder masks starts in the last
+    hs-1 positions of a block; the stream overlap must rewind far enough
+    that such a frame is decodable in the next block (it was lost when
+    the overlap was frame_len-1)."""
+    rng = np.random.default_rng(13)
+    osf, Ne = 4, 4096
+    st = A.AdsbStream(A.AdsbConfig(fe=osf * 1e6, Ne=Ne, max_frames=8))
+    wf = A.adsb_waveform(_hexbits(IDENT), osf=osf)
+    start = Ne - len(wf)          # masked in block 1, gap position
+    x = 0.02 * np.abs(rng.standard_normal(2 * Ne)).astype(np.float32)
+    x[start:start + len(wf)] += 0.9 * wf
+    got = st.push(x) + st.flush()
+    assert [f.position for f in got] == [start]
+    assert np.array_equal(got[0].bits, _hexbits(IDENT))
+
+
+def test_pocsag_numeric_padding_stripped():
+    """Numeric pages shorter than the 20-bit boundary must not grow
+    spurious trailing digits (padding is the space nibble, stripped)."""
+    from libtsd_tpu.models import pocsag as P
+    fe, baud = 38400.0, 1200
+    bits = P.pocsag_encode(ric=77, function=0, text="911", numeric=True)
+    x = P.pocsag_waveform(bits, fe=fe, debit=baud)
+    msgs = P.PocsagDecoder(P.PocsagConfig(fe=fe, debit=baud)).decode(x)
+    assert len(msgs) == 1 and msgs[0].text == "911"
 
 
 def test_pocsag_double_bit_error_correction():
