@@ -180,6 +180,13 @@ class DecisionDemodSB(Block):
     mf: Fir
     wf: Waveform
     cfg: SBDemodConfig = struct.field(pytree_node=False)
+    # host copy of the constellation planes, captured at create() time
+    # (hashable static field): the fused engine needs a CONCRETE
+    # constellation for rms_ref/square-QAM detection, and a device
+    # readback inside a caller's jit trace is impossible (any padding op
+    # yields a tracer) while the raw leaf may be too small to transfer
+    # on some TPU runtimes (QPSK = 8 floats < the ~16-element floor)
+    sym_host: tuple = struct.field(pytree_node=False, default=None)
 
     @classmethod
     def create(cls, wf: Waveform, cfg: SBDemodConfig) -> "DecisionDemodSB":
@@ -189,7 +196,19 @@ class DecisionDemodSB(Block):
                              "fractional phase); use DecisionDemod2")
         mf = wf.shaping.matched_filter(0, cfg.osf)
         mf = mf.replace(precision=cfg.mf_precision)
-        return cls(itrp=make_interpolator(cfg.itrp), mf=mf, wf=wf, cfg=cfg)
+        sym_host = None
+        try:
+            a = wf.symbols_ri
+            M = int(a.shape[1])
+            flat = np.asarray(jax.jit(
+                lambda v: jnp.concatenate(
+                    [v.reshape(-1),
+                     jnp.zeros((max(0, 32 - 2 * M), ), v.dtype)]))(a))
+            sym_host = tuple(float(v) for v in flat[:2 * M])
+        except Exception:
+            pass      # traced symbols: the fused engine will reject
+        return cls(itrp=make_interpolator(cfg.itrp), mf=mf, wf=wf,
+                   cfg=cfg, sym_host=sym_host)
 
     @property
     def _timing_gain(self) -> float:
@@ -278,13 +297,20 @@ class DecisionDemodSB(Block):
                    if (jax.default_backend() in ("tpu", "axon")
                        and C % 128 == 0 and cfg.itrp in _POLY_TAPS)
                    else "xla")
-        if eng in ("pallas-fused", "pallas-fused-interpret") \
-                and C % 128 == 0:
+        elif eng != "xla" and C % 128 != 0:
+            # a FORCED Pallas engine must not silently degrade to the XLA
+            # scan (the fused state layout is incompatible anyway, and
+            # frames_bf16 / mf_precision would be silently ignored)
+            raise ValueError(
+                f"engine={cfg.engine!r} requires the channel count to be "
+                f"a multiple of 128 (got C={C}); use engine='auto' to "
+                f"fall back to the XLA scan for other channel counts")
+        if eng in ("pallas-fused", "pallas-fused-interpret"):
             return self._step_batched_fused(
                 state, x, interpret=(eng.endswith("interpret")
                                      or jax.default_backend()
                                      not in ("tpu", "axon")))
-        if eng in ("pallas", "pallas-interpret") and C % 128 == 0:
+        if eng in ("pallas", "pallas-interpret"):
             return self._step_batched_pallas(
                 state, x, interpret=(eng == "pallas-interpret"
                                      or jax.default_backend()
@@ -501,9 +527,20 @@ class DecisionDemodSB(Block):
         C = x.shape[0]
         n = x.shape[-1]
         nsb = n // (osf * S)
+        if n % (osf * S):
+            raise ValueError(
+                f"engine='pallas-fused' processes whole {osf * S}-sample "
+                f"sub-blocks per step (osf={osf} x S={S}); got a block of "
+                f"n={n} samples — re-block the stream (io.streamio."
+                f"Rebuffer) or use engine='xla', which carries the "
+                f"remainder in its tail")
         lay = fused_layout(osf, S, K, n)
         rows_total, XOFF = lay["rows_total"], lay["XOFF"]
-        assert n >= XOFF, (n, XOFF)
+        if n < XOFF:
+            raise ValueError(
+                f"engine='pallas-fused' needs blocks of at least "
+                f"{XOFF} samples (the carried superframe margin); got "
+                f"n={n}")
         pad = rows_total - XOFF - n
         assert pad >= 0, (rows_total, XOFF, n)
         xp = jnp.concatenate(
@@ -516,15 +553,15 @@ class DecisionDemodSB(Block):
             lf0, lf1, lf2,
             state["yprev_ri"][:, 0], state["yprev_ri"][:, 1],
             state["p_ema"]])
-        # symbols_ri is a concrete pytree LEAF under closure-jit; the
-        # `symbols` property runs jnp ops and would be traced
-        try:
-            sri = np.asarray(self.wf.symbols_ri)
-        except Exception as e:
+        # the fused engine needs the CONCRETE constellation (rms_ref and
+        # square-QAM detection are trace-time constants) — use the host
+        # copy captured at create() time (see sym_host)
+        if self.sym_host is None:
             raise ValueError(
                 "engine='pallas-fused' needs a concrete waveform "
-                "(symbols traced — pass the block via closure, not as a "
-                "jit argument)") from e
+                "(symbols were traced when this block was created — "
+                "call create() outside jit)")
+        sri = np.asarray(self.sym_host, np.float32).reshape(2, -1)
         rms_ref = float(np.sqrt(np.mean(sri[0] ** 2 + sri[1] ** 2)))
         qam_square = self._detect_qam_square(sri[0] + 1j * sri[1])
         ysr, ysi, sidx, valid, st9 = demod_sb_pallas_fused(

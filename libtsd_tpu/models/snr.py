@@ -43,15 +43,21 @@ class MatznerTracker:
     averaging, snr.cc:9-43), computed in log-depth with an associative
     scan.
 
-    Reference-parity warm-up behavior: while the moment trackers warm up
-    from zero, 2*e2^2 - e4 is NEGATIVE (first sample: gamma*e2i^2*(2*gamma
-    - 1) < 0 for gamma < 0.5) and the reference's sqrt returns NaN; we
-    emit NaN at exactly the same samples (golden-diffed against the
-    binary in tests/test_golden_ref3.py).  Downstream users wanting a
-    clamped estimate should use the block ``snr_matzner``."""
+    Reference-parity NaN behavior (default): wherever 2*e2^2 - e4 goes
+    negative the reference's sqrt returns NaN and so do we.  That happens
+    (a) during warm-up from zero state (first sample:
+    gamma*e2i^2*(2*gamma - 1) < 0 for gamma < 0.5 — golden-diffed against
+    the binary in tests/test_golden_ref3.py), and (b) INDEFINITELY on
+    noise-dominated input, where E|x|^4 = 2(E|x|^2)^2 exactly for complex
+    Gaussian noise, so the statistic fluctuates around zero and roughly
+    half the samples are NaN at very low SNR — a property of the
+    estimator itself, not just a transient.  Pass ``clamp=True`` for a
+    monitoring-friendly variant that floors S at 0 (like the block
+    ``snr_matzner``) at the cost of exact reference parity."""
 
-    def __init__(self, gamma: float = 0.1):
+    def __init__(self, gamma: float = 0.1, clamp: bool = False):
         self.gamma = gamma
+        self.clamp = clamp
 
     def step(self, state, x: jax.Array):
         e2_0, e4_0 = state
@@ -60,7 +66,11 @@ class MatznerTracker:
         e4i = e2i * e2i
         e2 = _first_order_scan(1 - g, g * e2i, e2_0)
         e4 = _first_order_scan(1 - g, g * e4i, e4_0)
-        S = jnp.sqrt(2 * e2 * e2 - e4)  # NaN during warm-up, like the ref
+        stat = 2 * e2 * e2 - e4
+        if self.clamp:
+            S = jnp.sqrt(jnp.maximum(stat, 0.0))
+        else:
+            S = jnp.sqrt(stat)      # NaN where negative, like the ref
         N = e2 - S
         return (e2[..., -1], e4[..., -1]), (S, N)
 

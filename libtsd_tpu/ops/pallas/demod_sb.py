@@ -309,7 +309,6 @@ def demod_sb_pallas(frames_r: jax.Array, frames_i: jax.Array,
     valid arrays shaped (nsb, S, C)."""
     nsb, F, C = frames_r.shape
     assert C % _CT == 0, C
-    fdt = frames_r.dtype
     M = sym_r.shape[0]
     ntiles = C // _CT
     # sub-blocks per grid step: amortizes the per-grid-step overhead
@@ -327,7 +326,6 @@ def demod_sb_pallas(frames_r: jax.Array, frames_i: jax.Array,
         carrier=carrier, clock=clock, agc=agc, qam_square=qam_square)
     fspec = pl.BlockSpec((tb, F, _CT), lambda c, t: (t, 0, c),
                          memory_space=pltpu.VMEM)
-    del fdt  # dtype flows through out_shape-independent in_specs
     ospec = lambda: pl.BlockSpec((tb, S, _CT), lambda c, t: (t, 0, c),
                                  memory_space=pltpu.VMEM)
     ysr, ysi, sidx, valid, stout = pl.pallas_call(
@@ -456,9 +454,14 @@ def _fused_kernel(xr_hbm, xi_hbm, st_in_ref, symr_ref, symi_ref,
     g0 = gmf0_ref[...].astype(jnp.bfloat16)
     g1 = gmf1_ref[...].astype(jnp.bfloat16)
     # streaming AGC pre-scale from the PREVIOUS superframes' power EMA
-    p_ema = st_ref[8:9, :]
-    s = jnp.where(p_ema > 0, rms_ref * jax.lax.rsqrt(
-        jnp.maximum(p_ema, 1e-20)), 1.0)
+    # (static `agc` gate: with AGC off the raw MF amplitude must pass
+    # through untouched, as on the XLA path)
+    if agc:
+        p_ema = st_ref[8:9, :]
+        s = jnp.where(p_ema > 0, rms_ref * jax.lax.rsqrt(
+            jnp.maximum(p_ema, 1e-20)), 1.0)
+    else:
+        s = jnp.ones((1, _CT), f32)
     for f in range(nfz):
         xf1_r = xbr_ref[slot, pl.ds(128 * (f + 1), 128), :].astype(
             jnp.bfloat16)
@@ -486,12 +489,14 @@ def _fused_kernel(xr_hbm, xi_hbm, st_in_ref, symr_ref, symi_ref,
 
     # ---- power EMA update (post-use: the scale above used the previous
     # state, so a fresh stream's first superframe runs at scale 1)
-    zr = zbr_ref[pl.ds(off, HOPT), :]
-    zi = zbi_ref[pl.ds(off, HOPT), :]
-    # undo the applied scale so the EMA tracks the RAW MF power
-    pw = jnp.mean(zr * zr + zi * zi, axis=0, keepdims=True) / (s * s)
-    st_ref[8:9, :] = jnp.where(p_ema > 0, (1 - _APW) * p_ema + _APW * pw,
-                               pw)
+    if agc:
+        zr = zbr_ref[pl.ds(off, HOPT), :]
+        zi = zbi_ref[pl.ds(off, HOPT), :]
+        # undo the applied scale so the EMA tracks the RAW MF power
+        pw = jnp.mean(zr * zr + zi * zi, axis=0,
+                      keepdims=True) / (s * s)
+        st_ref[8:9, :] = jnp.where(p_ema > 0,
+                                   (1 - _APW) * p_ema + _APW * pw, pw)
 
     @pl.when(t == nT - 1)
     def _():

@@ -78,7 +78,7 @@ class FirUps(Block):
             K = len(h)
         Kp = K // R
         Hm = h.reshape(Kp, R)
-        return cls(Hm=jnp.asarray(Hm, real_dtype), K=K, R=R, K0=K0)
+        return cls(Hm=jnp.asarray(np.asarray(Hm, np.float32)), K=K, R=R, K0=K0)
 
     def init(self):
         return jnp.zeros((self.Hm.shape[0] - 1,), real_dtype)
@@ -470,19 +470,19 @@ def make_interpolator(kind: str = "sinc", **kw) -> Interpolator:
                               kw.get("fcut", 0.5), kw.get("fen", "hn"))
         # symmetric kernel: center (nc-1)//2 -> causal group delay
         delay = nc - 1 - (nc - 1) // 2
-        return Interpolator(lut=jnp.asarray(lut, real_dtype), K=nc, delay_=delay)
+        return Interpolator(lut=jnp.asarray(np.asarray(lut, np.float32)), K=nc, delay_=delay)
     if kind == "cspline":
         lut = cspline_lut(kw.get("nphases", 256), kw.get("c", 0.0))
-        return Interpolator(lut=jnp.asarray(lut, real_dtype), K=4, delay_=2.0)
+        return Interpolator(lut=jnp.asarray(np.asarray(lut, np.float32)), K=4, delay_=2.0)
     if kind == "linear":
         n = kw.get("nphases", 256)
         lut = np.stack([linear_coefs(i / n) for i in range(n + 1)])
-        return Interpolator(lut=jnp.asarray(lut, real_dtype), K=2, delay_=1.0)
+        return Interpolator(lut=jnp.asarray(np.asarray(lut, np.float32)), K=2, delay_=1.0)
     if kind == "lagrange":
         d = kw.get("degree", 3)
         n = kw.get("nphases", 256)
         lut = np.stack([lagrange_coefs(d, i / n) for i in range(n + 1)])
-        return Interpolator(lut=jnp.asarray(lut, real_dtype), K=d + 1,
+        return Interpolator(lut=jnp.asarray(np.asarray(lut, np.float32)), K=d + 1,
                             delay_=d - (d - 1) // 2)
     raise ValueError(f"unknown interpolator {kind!r}")
 

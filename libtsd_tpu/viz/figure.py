@@ -255,11 +255,14 @@ def plot_covariance_ellipse(f: Figure, P, center=(0.0, 0.0),
 
 
 def cic_analyse(config, fe: float = 1.0, fc: float = None,
-                comp_ncoefs: int = 0, R2: int = 1):
+                comp_ncoefs: int = 0, R2: int = 1, bin_bits: int = 16,
+                bout_bits=None):
     """CIC frequency analysis with figures (parity: cic_analyse,
     /root/reference/core/src/reechan/cic.cc:102-327): response at the
     input rate, droop at the passband edge, worst-alias rejection, and —
     if ``comp_ncoefs`` — the droop-compensated response.
+    ``bin_bits``/``bout_bits`` set the ADC input / kept output width for
+    the Hogenauer register analysis (default 16/16).
 
     Returns (figures, metrics-dict)."""
     from ..ops.resample import cic_freq, cic_bits, cic_comp_design
@@ -282,7 +285,7 @@ def cic_analyse(config, fe: float = 1.0, fc: float = None,
     # profile and the Hogenauer register-pruning analysis below are
     # documented improvements (ops/resample.cic_bit_growth).
     from ..ops.resample import cic_bit_growth
-    bg = cic_bit_growth(config)
+    bg = cic_bit_growth(config, bin_bits=bin_bits, bout_bits=bout_bits)
     stage_bits = bg["growth_bits"]
     metrics = dict(
         droop_db=float(20 * np.log10(max(droop, 1e-12))),

@@ -249,3 +249,80 @@ def test_subblock_pallas_fused_streaming_continuity():
     # identical except the few block-boundary sub-blocks (bubble timing)
     d = np.abs(one[:ncmp] - two[:ncmp])
     assert np.median(d) < 0.02, np.median(d)
+
+
+@pytest.mark.parametrize("kind,K", [("cspline", 4), ("linear", 2),
+                                    ("lagrange", 4), ("sinc", 15)])
+def test_tap_builders_agree_across_engines(kind, K):
+    """The closed-form fractional-delay tap formulas exist in two
+    deliberately separate forms — the vectorized XLA version
+    (models/demod_sb._POLY_TAPS) and the Mosaic-safe unrolled version
+    (ops/pallas/demod_sb._taps_rows, which cannot use float iota) — and
+    both claim parity with ops/resample.py's LUT builders.  Pin all
+    three against each other on a tau grid so an edit to one cannot
+    silently desynchronize the engines."""
+    from libtsd_tpu.models import demod_sb as MSB
+    from libtsd_tpu.ops.pallas import demod_sb as PSB
+    from libtsd_tpu.ops import resample as RS
+    nph = 256
+    taus = np.linspace(0.0, 1.0, 29).astype(np.float32)
+    a = np.asarray(MSB._POLY_TAPS[kind](jnp.asarray(taus), nph))  # (n,K)
+    b = np.asarray(PSB._taps_rows(kind, jnp.asarray(taus)[None, :],
+                                  nph, K))                        # (K,n)
+    assert a.shape == (len(taus), K) and b.shape == (K, len(taus))
+    assert np.max(np.abs(a - b.T)) < 1e-6, (kind, np.max(np.abs(a - b.T)))
+    # and against the design-time LUT builders (the cited originals)
+    lut_fn = {"cspline": lambda t: RS.cspline_coefs(t),
+              "linear": lambda t: RS.linear_coefs(t),
+              "lagrange": lambda t: RS.lagrange_coefs(3, t),
+              "sinc": lambda t: RS.sinc_interp_coefs(15, 0.5, t)}[kind]
+    for t in (0.0, 0.25, 0.5, 0.75, 1.0):
+        tq = round(t * nph) / nph
+        ref = np.asarray(lut_fn(tq), np.float32)
+        got = np.asarray(MSB._POLY_TAPS[kind](jnp.asarray([t]), nph))[0]
+        assert np.max(np.abs(got - ref)) < 1e-6, (kind, t)
+
+
+def test_forced_pallas_engine_rejects_bad_channel_count():
+    """A FORCED Pallas engine must raise, not silently fall back to the
+    XLA scan (which would ignore frames_bf16/mf tier and, for the fused
+    engine, crash on the incompatible state layout)."""
+    wf, bits, x = _qpsk_signal(nsym=200)
+    xb = jnp.stack([x] * 4)                     # C=4, not 128-multiple
+    for eng in ("pallas-interpret", "pallas-fused-interpret"):
+        dd = DecisionDemodSB.create(wf, SBDemodConfig(osf=4, S=16,
+                                                      engine=eng))
+        with pytest.raises(ValueError, match="multiple of 128"):
+            st = (dd.init_for(xb) if not eng.startswith("pallas-fused")
+                  else dd.init_for_fused(xb))
+            dd.step(st, xb)
+
+
+def test_fused_engine_block_length_error_message():
+    """Non-hop-multiple blocks get an actionable error, not a bare
+    assert tuple."""
+    wf, bits, x = _qpsk_signal(nsym=600)
+    xb = jnp.stack([x] * 128)[:, :1000]         # 1000 % 64 != 0
+    dd = DecisionDemodSB.create(wf, SBDemodConfig(
+        osf=4, S=16, engine="pallas-fused-interpret"))
+    st = dd.init_for(xb)
+    with pytest.raises(ValueError, match="whole 64-sample"):
+        dd.step(st, xb)
+
+
+def test_fused_engine_honors_agc_off():
+    """agc_active=False must leave the raw MF amplitude untouched on the
+    fused path too (the streaming power pre-scale is gated)."""
+    wf, bits, x = _qpsk_signal(nsym=600)
+    xb = jnp.stack([3.0 * x[:2048]] * 128)      # deliberate 3x gain;
+    # 2048 samples -> nsb=32 -> tb=8 (the fused grid wants tb*hop%128==0)
+    sy = {}
+    for eng in ("xla", "pallas-fused-interpret"):
+        dd = DecisionDemodSB.create(wf, SBDemodConfig(
+            osf=4, S=16, engine=eng, agc_active=False))
+        _, (b, s, m, _) = dd.step(dd.init_for(xb), xb)
+        sy[eng] = np.asarray(s)[np.asarray(m)]
+    # with AGC off both engines keep the 3x amplitude (RMS ~3, not ~1)
+    for eng, s in sy.items():
+        assert 2.0 < np.sqrt(np.mean(np.abs(s) ** 2)) < 4.5, (
+            eng, np.sqrt(np.mean(np.abs(s) ** 2)))

@@ -359,3 +359,14 @@ def test_cic_analyse_reports_stage_profile():
     assert len(m["stage_bits"]) == 3
     assert len(m["prunable_bits"]) == 6
     assert m["bmax_bits"] == 16 + 9
+
+
+def test_cic_analyse_bit_width_passthrough():
+    """The Hogenauer metrics must follow the ADC width (a 12-bit front
+    end is 4 registers bits narrower than the 16-bit default)."""
+    from libtsd_tpu.ops.resample import CicConfig
+    from libtsd_tpu.viz.figure import cic_analyse
+    cfg = CicConfig(R=64, N=5, M=1)
+    _, m16 = cic_analyse(cfg)
+    _, m12 = cic_analyse(cfg, bin_bits=12, bout_bits=12)
+    assert m16["bmax_bits"] - m12["bmax_bits"] == 4

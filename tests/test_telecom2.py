@@ -270,3 +270,21 @@ def test_fm_broadcast_stereo_separation():
     assert corr(r, R[8000:]) > 0.99
     assert corr(l, R[8000:]) < 0.1      # >20 dB separation
     assert corr(r, L[8000:]) < 0.1
+
+
+def test_matzner_tracker_clamp_mode():
+    """clamp=True floors S at 0 on noise-dominated input, where the
+    reference-parity default emits NaN indefinitely (2*e2^2 - e4 is
+    zero-mean for complex Gaussian noise)."""
+    import numpy as np
+    from libtsd_tpu.models.snr import MatznerTracker
+    key = jax.random.PRNGKey(0)
+    nz = (jax.random.normal(key, (4096,)) +
+          1j * jax.random.normal(jax.random.PRNGKey(1), (4096,)))
+    tr = MatznerTracker(gamma=0.1)
+    _, (S, _) = jax.jit(tr.step)(tr.init(), nz)
+    assert np.isnan(np.asarray(S)[100:]).any()   # the documented default
+    trc = MatznerTracker(gamma=0.1, clamp=True)
+    _, (Sc, Nc) = jax.jit(trc.step)(trc.init(), nz)
+    assert not np.isnan(np.asarray(Sc)).any()
+    assert not np.isnan(np.asarray(Nc)).any()
