@@ -26,7 +26,7 @@ import numpy as np
 
 from ..config import from_ri, to_ri
 from ..utils.monitor import Monitor
-from .streamio import RingBuffer
+from .streamio import Rebuffer, deinterleave
 
 __all__ = ["StreamRunner"]
 
@@ -52,6 +52,8 @@ class StreamRunner:
         self.sink = sink
         self.complex_in = bool(complex_in)
         self.depth = int(depth)
+        if self.depth < 1:
+            raise ValueError(f"depth must be >= 1, got {depth}")
         self.monitor = Monitor("stream_runner")
 
         def _body(blk, state, x):
@@ -82,8 +84,11 @@ class StreamRunner:
 
         self._step = jax.jit(step)
         self._init_step = jax.jit(init_step)
-        self._rb = RingBuffer(max(8 * self.block_len, 1 << 16),
-                              complex_iq=self.complex_in)
+        # re-blocking is composed from the shared Rebuffer (one copy of
+        # the cap-slice/stall logic); its callback dispatches device steps
+        self._rebuf = Rebuffer(self.block_len, self._submit,
+                               complex_iq=self.complex_in,
+                               capacity=max(8 * self.block_len, 1 << 16))
         self._state = None
         self._pending: deque = deque()
         self._out: list = []
@@ -94,8 +99,8 @@ class StreamRunner:
 
     def _host_to_planes(self, xb: np.ndarray):
         if self.complex_in:
-            return jax.device_put(np.stack([xb.real.astype(np.float32),
-                                            xb.imag.astype(np.float32)]))
+            # native-accelerated split into the (2, N) transfer planes
+            return jax.device_put(deinterleave(xb))
         return jax.device_put(np.asarray(xb, np.float32))
 
     def _emit(self, y_dev):
@@ -127,29 +132,9 @@ class StreamRunner:
     # -------------------------------------------------------------- API
 
     def push(self, x: np.ndarray) -> None:
-        """Feed arbitrary-length samples; full blocks are dispatched.
-        Loops until every sample is accepted (dispatching frees ring
-        space) — oversize chunks are never silently truncated."""
-        x = np.ascontiguousarray(x)
-        off = 0
-        cap = self._rb.capacity
-        while off < len(x):
-            # slice capped at ring capacity (push converts its whole
-            # argument before storing — see Rebuffer.push)
-            acc = self._rb.push(x[off: off + cap])
-            off += acc
-            progressed = False
-            while True:
-                blk = self._rb.pop_block(self.block_len)
-                if blk is None:
-                    break
-                progressed = True
-                self._submit(blk)
-            if acc == 0 and not progressed:
-                raise RuntimeError(
-                    f"StreamRunner stalled: {len(x) - off} samples don't "
-                    f"fit (ring capacity {self._rb.capacity}, "
-                    f"block_len {self.block_len})")
+        """Feed arbitrary-length samples; full blocks are dispatched
+        (Rebuffer semantics: loops until accepted, never truncates)."""
+        self._rebuf.push(np.ascontiguousarray(x))
 
     def drain(self) -> None:
         """Wait for all in-flight device steps and emit their outputs."""
@@ -159,7 +144,22 @@ class StreamRunner:
     @property
     def residual(self) -> int:
         """Samples held back (< block_len) awaiting the next push."""
-        return self._rb.available
+        return self._rebuf.rb.available
+
+    def flush(self) -> int:
+        """Zero-pad the held-back residue to one full block, dispatch
+        it, and drain.  Returns the number of REAL samples in that final
+        block (0 if the stream ended block-aligned).  The tail of the
+        final output block corresponds to the zero padding — callers that
+        care slice by this count."""
+        n = self._rebuf.rb.available
+        if n:
+            pad = self.block_len - n
+            z = np.zeros(pad, np.complex64 if self.complex_in
+                         else np.float32)
+            self.push(z)
+        self.drain()
+        return n
 
     # ------------------------------------------------- checkpoint/resume
 
@@ -192,7 +192,7 @@ class StreamRunner:
         if self._state is None:
             raise RuntimeError("nothing dispatched yet — push first or "
                                "checkpoint after restore+push")
-        save_stream_state(path, self._state, self._rb.snapshot(),
+        save_stream_state(path, self._state, self._rebuf.snapshot(),
                           {"nsub": self._nsub})
 
     def restore(self, path: str) -> None:
@@ -207,23 +207,33 @@ class StreamRunner:
         like = self._state if self._state is not None else self._state_like()
         state, residue, ctr = load_stream_state(path, like)
         self._state = state
-        self._rb = RingBuffer(max(8 * self.block_len, 1 << 16),
-                              complex_iq=self.complex_in)
+        self._rebuf = Rebuffer(self.block_len, self._submit,
+                               complex_iq=self.complex_in,
+                               capacity=max(8 * self.block_len, 1 << 16))
         if len(residue):
-            self._rb.push(residue)
+            self._rebuf.rb.push(residue)
         self._nsub = ctr["nsub"]
         self._pending.clear()
         self._out.clear()
 
-    def run(self, source: Iterable[np.ndarray]) -> Optional[np.ndarray]:
+    def run(self, source: Iterable[np.ndarray],
+            flush: bool = False) -> Optional[np.ndarray]:
         """Consume an iterable of sample arrays (e.g. an IqFileReader).
         Returns the concatenated output when no sink was given.  The
         monitor records wall-clock over the whole drained stream — the
-        honest throughput under async double buffering."""
+        honest throughput under async double buffering.
+
+        A finite stream whose length is not a multiple of ``block_len``
+        leaves a tail in the ring: pass ``flush=True`` to zero-pad and
+        process it (see :meth:`flush` for the padding caveat), or read
+        ``.residual`` afterwards — it is never silently discarded
+        between runs."""
         n0 = self._nsub
         self.monitor.start()
         for chunk in source:
             self.push(chunk)
+        if flush:
+            self.flush()
         self.drain()
         self.monitor.stop(samples=(self._nsub - n0) * self.block_len)
         if self.sink is None and self._out:

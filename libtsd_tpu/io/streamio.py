@@ -31,10 +31,15 @@ def _build_native() -> bool:
     if not os.path.exists(src):
         return False
     try:
+        # compile to a process-unique temp path and rename into place
+        # (atomic on POSIX): two processes importing concurrently must
+        # never load a partially written .so
+        tmp = f"{_SO_PATH}.{os.getpid()}.tmp"
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
-             src, "-o", _SO_PATH],
+             src, "-o", tmp],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO_PATH)
         return True
     except Exception:
         return False
@@ -69,9 +74,15 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.rb_pop_block.restype = ctypes.c_int
     lib.rb_pop_block.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                  ctypes.c_int64]
-    for name in ["cs16_to_cf32", "cu8_to_cf32", "cf32_deinterleave",
-                 "cf32_interleave", "s16_to_f32", "f32_to_s16"]:
-        getattr(lib, name).restype = None
+    # full argtypes: without them ctypes passes the int64_t length as a
+    # default C int, silently truncating for arrays >= 2^31 elements
+    vp, i64 = ctypes.c_void_p, ctypes.c_int64
+    for name, nargs in [("cs16_to_cf32", 2), ("cu8_to_cf32", 2),
+                        ("cf32_deinterleave", 3), ("cf32_interleave", 3),
+                        ("s16_to_f32", 2), ("f32_to_s16", 2)]:
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = [vp] * nargs + [i64]
     lib.iq_open.restype = ctypes.c_void_p
     lib.iq_open.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int]
     lib.iq_next.restype = ctypes.c_int64
@@ -97,6 +108,10 @@ class RingBuffer:
         self._lib = _load()
         if self._lib is not None:
             self._h = self._lib.rb_create(capacity, self.channels)
+            if not self._h:
+                raise MemoryError(
+                    f"RingBuffer: cannot allocate {capacity} samples x "
+                    f"{self.channels} channels")
         else:
             self._buf = np.zeros((0, self.channels), np.float32)
 
@@ -302,11 +317,17 @@ class IqFileReader:
 
     def next_block(self) -> Optional[np.ndarray]:
         """Next block as (n_iq, 2) raw-dtype array; None at EOF.  The
-        final partial block is returned truncated."""
+        final partial block is returned truncated.  Raises OSError if the
+        stream ended on a read ERROR rather than EOF."""
+        if self._h is None and self._f is None:
+            raise ValueError("IqFileReader is closed")
         buf = np.empty(self.block_bytes, np.uint8)
         if self._lib is not None:
             got = int(self._lib.iq_next(
                 self._h, buf.ctypes.data_as(ctypes.c_void_p)))
+            if got < 0:
+                raise OSError("IqFileReader: read error (truncated "
+                              "stream is NOT a clean EOF)")
         else:
             raw = self._f.read(self.block_bytes)
             got = len(raw)

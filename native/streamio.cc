@@ -40,6 +40,11 @@ struct RingBuffer {
 };
 
 RingBuffer* rb_create(int64_t capacity, int channels) {
+    // reject sizes whose byte count would overflow (heap corruption via
+    // a wrapped malloc size) and obviously-invalid parameters
+    if (capacity <= 0 || channels <= 0 ||
+        capacity > (int64_t{1} << 56) / (channels * (int64_t)sizeof(float)))
+        return nullptr;
     RingBuffer* rb = new RingBuffer();
     rb->data = static_cast<float*>(
         std::malloc(sizeof(float) * capacity * channels));
@@ -61,14 +66,17 @@ int64_t rb_space(const RingBuffer* rb) {
 }
 
 // Push n samples; returns samples accepted (< n if full).
+// At most two contiguous memcpy spans (wrap point computed once) — the
+// per-sample modulo form defeated vectorization on the hottest path.
 int64_t rb_push(RingBuffer* rb, const float* src, int64_t n) {
     int64_t accept = std::min(n, rb_space(rb));
     const int c = rb->channels;
-    for (int64_t i = 0; i < accept; ++i) {
-        int64_t slot = (rb->head + i) % rb->capacity;
-        for (int ch = 0; ch < c; ++ch)
-            rb->data[slot * c + ch] = src[i * c + ch];
-    }
+    int64_t pos = rb->head % rb->capacity;
+    int64_t first = std::min(accept, rb->capacity - pos);
+    std::memcpy(rb->data + pos * c, src, sizeof(float) * first * c);
+    if (accept > first)
+        std::memcpy(rb->data, src + first * c,
+                    sizeof(float) * (accept - first) * c);
     rb->head += accept;
     return accept;
 }
@@ -79,11 +87,12 @@ int64_t rb_push(RingBuffer* rb, const float* src, int64_t n) {
 int rb_pop_block(RingBuffer* rb, float* dst, int64_t n) {
     if (rb_available(rb) < n) return 0;
     const int c = rb->channels;
-    for (int64_t i = 0; i < n; ++i) {
-        int64_t slot = (rb->tail + i) % rb->capacity;
-        for (int ch = 0; ch < c; ++ch)
-            dst[i * c + ch] = rb->data[slot * c + ch];
-    }
+    int64_t pos = rb->tail % rb->capacity;
+    int64_t first = std::min(n, rb->capacity - pos);
+    std::memcpy(dst, rb->data + pos * c, sizeof(float) * first * c);
+    if (n > first)
+        std::memcpy(dst + first * c, rb->data,
+                    sizeof(float) * (n - first) * c);
     rb->tail += n;
     return 1;
 }
@@ -140,6 +149,7 @@ struct IqReader {
     // ring of filled slots
     int64_t rd = 0, wr = 0;                   // slot sequence numbers
     bool eof = false;
+    bool err = false;                         // ferror seen on the stream
     std::atomic<bool> stop{false};
     std::mutex mu;
     std::condition_variable cv_can_read, cv_has_data;
@@ -156,10 +166,16 @@ static void iq_reader_loop(IqReader* r) {
         lk.unlock();
         int64_t got = static_cast<int64_t>(
             std::fread(r->bufs[slot].data(), 1, r->block_bytes, r->f));
+        bool io_err = got < r->block_bytes && std::ferror(r->f) != 0;
         lk.lock();
         r->fill[slot] = got;
         r->wr += 1;
-        if (got < r->block_bytes) { r->eof = true; }
+        if (got < r->block_bytes) {
+            r->eof = true;
+            // a short read from an IO error is NOT a clean EOF — flag it
+            // so the consumer raises instead of seeing a truncated file
+            r->err = io_err;
+        }
         r->cv_has_data.notify_all();
         if (r->eof) return;
     }
@@ -180,17 +196,19 @@ IqReader* iq_open(const char* path, int64_t block_bytes, int nbuf) {
 }
 
 // Blocking: copy the next block into dst; returns bytes delivered (0 at
-// EOF; may be < block_bytes for the final partial block).
+// EOF; may be < block_bytes for the final partial block; -1 if the
+// stream ended on a READ ERROR rather than EOF).
 int64_t iq_next(IqReader* r, uint8_t* dst) {
     std::unique_lock<std::mutex> lk(r->mu);
     r->cv_has_data.wait(lk, [r] { return r->wr > r->rd || r->eof; });
-    if (r->wr == r->rd) return 0;  // eof, fully drained
+    if (r->wr == r->rd) return r->err ? -1 : 0;  // fully drained
     int slot = static_cast<int>(r->rd % r->nbuf);
     int64_t got = r->fill[slot];
     std::memcpy(dst, r->bufs[slot].data(), got);
     r->rd += 1;
+    bool err_now = r->err && r->wr == r->rd && got == 0;
     r->cv_can_read.notify_all();
-    return got;
+    return err_now ? -1 : got;
 }
 
 void iq_close(IqReader* r) {

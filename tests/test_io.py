@@ -235,3 +235,82 @@ def test_stream_runner_oversize_chunks(tmp_path):
     nfull = (5000 // 128) * 128
     assert out.shape[-1] == nfull
     assert np.allclose(out, x[:nfull], atol=1e-5)
+
+
+def test_ringbuffer_wraparound_exactness():
+    """The two-span memcpy rewrite must be exact across many wrap points
+    (odd push/pop sizes against a small capacity)."""
+    from libtsd_tpu.io.streamio import RingBuffer
+    rng = np.random.default_rng(3)
+    rb = RingBuffer(257, complex_iq=True)
+    fed, got = [], []
+    k = 0
+    for it in range(200):
+        n = int(rng.integers(1, 97))
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+             ).astype(np.complex64)
+        acc = rb.push(x)
+        fed.append(x[:acc])
+        while True:
+            blk = rb.pop_block(61)
+            if blk is None:
+                break
+            got.append(blk)
+    tail = rb.pop_block(rb.available) if rb.available else None
+    if tail is not None:
+        got.append(tail)
+    a = np.concatenate(fed)
+    b = np.concatenate(got)
+    assert np.array_equal(a, b)
+
+
+def test_ringbuffer_alloc_failure_raises():
+    from libtsd_tpu.io.streamio import RingBuffer, native_available
+    if not native_available():
+        pytest.skip("native lib unavailable")
+    with pytest.raises(MemoryError):
+        RingBuffer(1 << 60, complex_iq=True)
+
+
+def test_iqreader_closed_raises(tmp_path):
+    from libtsd_tpu.io.streamio import IqFileReader
+    p = tmp_path / "cap.cs16"
+    p.write_bytes(np.arange(64, dtype=np.int16).tobytes())
+    rd = IqFileReader(str(p), "cs16", block_iq=8)
+    rd.close()
+    with pytest.raises(ValueError, match="closed"):
+        rd.next_block()
+
+
+def test_stream_runner_flush_processes_tail():
+    """A finite stream with a non-block-multiple length: flush() pads and
+    processes the tail instead of silently dropping it."""
+    import jax.numpy as jnp
+    from libtsd_tpu.io.runner import StreamRunner
+    from libtsd_tpu.ops import fir_design as FD
+    from libtsd_tpu.ops.filter_rt import Fir
+    h = FD.fir_lowpass(31, 0.2)
+    blk = Fir.create(np.asarray(h, np.complex128))
+    n = 4096 + 1000                     # 1000-sample tail
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+    r = StreamRunner(blk, 4096)
+    r.push(x)
+    assert r.residual == 1000
+    nvalid = r.flush()
+    assert nvalid == 1000 and r.residual == 0
+    out = np.concatenate(r._out, axis=-1)
+    # reference: one-shot filter over the zero-padded signal
+    xp = np.concatenate([x, np.zeros(4096 - 1000, np.complex64)])
+    _, ref = blk.step(blk.init_for(jnp.asarray(xp)), jnp.asarray(xp))
+    assert np.allclose(out, np.asarray(ref), atol=1e-5)
+
+
+def test_stream_runner_depth_validation():
+    from libtsd_tpu.io.runner import StreamRunner
+    from libtsd_tpu.ops.filter_rt import Fir
+    from libtsd_tpu.ops import fir_design as FD
+    blk = Fir.create(np.asarray(FD.fir_lowpass(7, 0.2), np.complex128))
+    with pytest.raises(ValueError, match="depth"):
+        StreamRunner(blk, 1024, depth=0)
