@@ -25,6 +25,7 @@ from ..config import complex_dtype, from_ri, real_dtype, to_ri
 from ..ops.filter_rt import Fir, FirDecim, Iir
 from ..ops.fir_design import fir_design_windowed
 from ..ops.iir_design import design_lexp
+from ..ops.signal import cycles
 from .carrier_rec import Cpll, CpllConfig
 from .clock_rec import ClockRec, ClockRecConfig
 from .clock_rec2 import ClockRec2
@@ -92,11 +93,11 @@ class FmReceiver(Block):
         cfg = self.cfg
         n = x.shape[-1]
         # (1) channelize: mix the selected channel to baseband — NCO
-        # phase in wrapped CYCLES (per-block increment reduced mod 1 in
-        # host float64; unreduced float32 radian ramps random-walk)
+        # phase in wrapped CYCLES, host-f64-exact within the block
+        # (signal.cycles; a raw f32 f*k ramp quantizes to ~2^-9 cycles by
+        # k ~ 1e6, breaking parity with the sharded fm chain at scale)
         f = cfg.channel_freq
-        k = jnp.arange(n, dtype=real_dtype)
-        cyc = state["nco"] + jnp.mod(jnp.asarray(f, real_dtype) * k, 1.0)
+        cyc = state["nco"] + cycles(f, n)
         xb = x.astype(complex_dtype) * jnp.exp(
             -2j * jnp.pi * cyc).astype(complex_dtype)
         nco = jnp.mod(state["nco"] + jnp.asarray((f * n) % 1.0, real_dtype),

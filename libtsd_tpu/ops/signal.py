@@ -54,8 +54,25 @@ def cycles(f, n: int) -> jax.Array:
     """
     import numpy as _np
     if isinstance(f, (int, float, _np.floating, _np.integer)):
-        c = _np.mod(_np.float64(f) * _np.arange(n, dtype=_np.float64), 1.0)
-        return jnp.asarray(c, real_dtype)
+        if n <= (1 << 16):
+            c = _np.mod(_np.float64(f) * _np.arange(n, dtype=_np.float64),
+                        1.0)
+            return jnp.asarray(c, real_dtype)
+        # large n: two host-f64-exact tables summed on device —
+        # mod(f*(q*L + r), 1) = mod(t1[q] + t0[r], 1) with both terms
+        # individually reduced in f64.  Keeps the baked trace constants
+        # tiny (~(n/L + L) floats instead of n) at the same ~1-ulp
+        # accuracy; the (nq, L) broadcast sum is output-sized work
+        L = 4096
+        nq = -(-n // L)
+        t0 = _np.mod(_np.float64(f) * _np.arange(L, dtype=_np.float64),
+                     1.0)
+        t1 = _np.mod(_np.float64(f) * L * _np.arange(nq,
+                                                     dtype=_np.float64),
+                     1.0)
+        c = jnp.mod(jnp.asarray(t1, real_dtype)[:, None]
+                    + jnp.asarray(t0, real_dtype)[None, :], 1.0)
+        return c.reshape(-1)[:n]
     return jnp.mod(jnp.asarray(f, real_dtype) * _k(n), 1.0)
 
 

@@ -22,10 +22,9 @@ distribution (SURVEY §2.11); there are no reference lines by construction.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax import lax
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.pallas.chain import fir_periodogram4096
 from .halo import halo_exchange_left

@@ -31,7 +31,9 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import complex_dtype, real_dtype
+from ..models.demod import quadrature_discriminator
 from ..ops.filter_rt import IirFrame
+from ..ops.signal import cycles
 from .halo import halo_exchange_left, iir_time_sharded
 
 __all__ = ["sharded_fm_receiver"]
@@ -58,20 +60,20 @@ def sharded_fm_receiver(mesh: Mesh, fm, x: jax.Array) -> jax.Array:
     # exact per-shard phase base: (f * n_local) mod 1 in host float64 —
     # the traced multiply by the small shard index stays accurate
     base_step = float(np.mod(np.float64(f) * n_local, 1.0))
-    kcyc = jnp.asarray(
-        np.mod(np.float64(f) * np.arange(n_local, dtype=np.float64), 1.0),
-        real_dtype)
 
     def local(xs):
         tidx = lax.axis_index("time").astype(real_dtype)
+        # shard-local wrapped ramp from signal.cycles: host-f64-exact,
+        # and for large shards it bakes only two small tables into the
+        # executable instead of an n_local-sized constant
+        kcyc = cycles(f, n_local)
         cyc = jnp.mod(base_step * tidx + kcyc, 1.0)
         xb = xs.astype(complex_dtype) * jnp.exp(
             -2j * jnp.pi * cyc).astype(complex_dtype)
         halo = halo_exchange_left(xb, hist)
         _, xd = chan.step(halo, xb)
         prev = halo_exchange_left(xd, 1)
-        xm1 = jnp.concatenate([prev, xd[..., :-1]], axis=-1)
-        d = jnp.angle(xd * jnp.conj(xm1))
+        d = quadrature_discriminator(xd, prev)
         audio = d / (2 * jnp.pi * dev)
         if has_deemph:
             audio = iir_time_sharded(deemph, audio)

@@ -16,8 +16,6 @@ delays compose correctly because each block carries its own state size
 """
 from __future__ import annotations
 
-import functools
-from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -157,16 +155,35 @@ def sharded_chain(mesh: Mesh, blocks_and_state_lens, x: jax.Array) -> jax.Array:
     (:func:`iir_time_sharded`) instead, so a chain with feedback stages
     time-shards end-to-end."""
     from ..block import Chain
-    from ..ops.filter_rt import IirFrame
+    from ..ops.filter_rt import (DcBlocker, ExpSmoother, Iir, IirFrame,
+                                 Sos)
+    # blocks whose state is a RECURSION variable, not an input-sample
+    # tail: the ppermute tail halo would be silently consumed as state
+    # (an order-1 Iir's state even has the right SHAPE for a 1-sample
+    # halo) — these must come through the affine composition instead
+    recursive = (Iir, Sos, DcBlocker, ExpSmoother)
 
     def run_stage(block, slen, xs):
         if isinstance(block, IirFrame):
             return iir_time_sharded(block, xs)
-        if isinstance(block, Chain) and all(
-                isinstance(b, IirFrame) for b in block.blocks):
-            for b in block.blocks:
-                xs = iir_time_sharded(b, xs)
-            return xs
+        if isinstance(block, Chain):
+            if all(isinstance(b, IirFrame) for b in block.blocks):
+                for b in block.blocks:
+                    xs = iir_time_sharded(b, xs)
+                return xs
+            if any(isinstance(b, (IirFrame,) + recursive)
+                   for b in block.blocks):
+                raise TypeError(
+                    "sharded_chain: a Chain mixing recursive stages with "
+                    "sample-tail stages cannot take the tail halo — pass "
+                    "the recursive stages as separate list entries "
+                    "(IirFrame / sos_frame_chain)")
+        if isinstance(block, recursive):
+            raise TypeError(
+                f"sharded_chain: {type(block).__name__} carries recursion "
+                f"state, which the sample-tail halo cannot seed — convert "
+                f"to the frame-parallel form (IirFrame.create(b, a) or "
+                f"sos_frame_chain) for exact cross-shard composition")
         halo = halo_exchange_left(xs, slen)
         _, y = block.step(halo, xs)
         return y

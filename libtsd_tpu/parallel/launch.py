@@ -77,6 +77,10 @@ def host_slice(mesh: Mesh, axis: str, n: int) -> slice:
     local = {d.id for d in jax.local_devices()}
     pos = sorted({idx[axis_idx] for idx, d in np.ndenumerate(dev_arr)
                   if d.id in local})
+    if not pos:
+        raise ValueError(
+            f"this process owns no device in the mesh along {axis!r} "
+            f"(mesh devices exclude all local devices)")
     assert pos == list(range(pos[0], pos[0] + len(pos))), \
         f"process devices not contiguous along {axis}: {pos}"
     return slice(pos[0] * per, (pos[-1] + 1) * per)

@@ -34,7 +34,14 @@ def make_mesh(chan: Optional[int] = None, time: int = 1,
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    if time < 1 or time > n:
+        raise ValueError(f"time={time} axis does not fit the {n} "
+                         f"available devices")
     if chan is None:
+        if n % time:
+            raise ValueError(
+                f"time={time} does not divide the {n} devices — pass "
+                f"chan explicitly to use a subset deliberately")
         chan = n // time
     need = chan * time
     assert need <= n, f"chan*time={need} exceeds device count ({n})"

@@ -315,3 +315,52 @@ def test_sharded_fm_receiver_matches_unsharded():
     assert d.max() < 2e-3, d.max()
     # the audio itself is meaningful (not comparing zeros)
     assert np.abs(np.asarray(y_ref)).max() > 0.1
+
+
+def test_sharded_chain_rejects_raw_recursive_blocks():
+    """A recursive block whose state is NOT an input-sample tail must be
+    rejected loudly (an order-1 Iir's state even has the right shape for
+    a 1-sample halo, so the fallback would be silently wrong)."""
+    from libtsd_tpu.ops import iir_design as ID
+    from libtsd_tpu.parallel import sharded_chain
+    mesh = make_mesh(chan=4, time=2)
+    b, a = ID.design_lexp(0.1)
+    iir = FR.Iir.create(b, a)
+    x = jnp.zeros((8, 256), jnp.float32)
+    with pytest.raises(TypeError, match="recursion"):
+        sharded_chain(mesh, [(iir, 1)], x)
+
+
+def test_make_mesh_validation():
+    with pytest.raises(ValueError, match="does not divide"):
+        make_mesh(time=3)            # 8 virtual devices
+    with pytest.raises(ValueError, match="does not fit"):
+        make_mesh(time=16)
+    m = make_mesh(chan=2, time=3)    # explicit subset is allowed
+    assert m.shape == {"chan": 2, "time": 3}
+
+
+def test_fm_receiver_sharded_matches_unsharded_long():
+    """Parity at a length where a raw f32 f*k ramp would have quantized
+    to ~2^-10-cycle steps (the sharded and unsharded NCOs must both use
+    the host-f64-exact wrapped ramp)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from libtsd_tpu.models.receivers import FmReceiver, FmReceiverConfig
+    from libtsd_tpu.parallel import sharded_fm_receiver
+    cfg = FmReceiverConfig(channel_freq=0.22, decim=4, deviation=0.05)
+    fm = FmReceiver.create(cfg)
+    mesh = make_mesh(chan=2, time=4)
+    C, N = 4, 1 << 18                # 262144 samples; f*k ~ 5.8e4
+    key = jax.random.PRNGKey(9)
+    kk = np.arange(N, dtype=np.float64)
+    mchirp = np.cumsum(0.03 * np.sin(2 * np.pi * 0.001 * kk))
+    ph = 2 * np.pi * (np.mod(0.22 * kk, 1.0) + 0.05 * mchirp)
+    x = jnp.tile(jnp.asarray(np.exp(1j * ph),
+                             jnp.complex64)[None, :], (C, 1))
+    xs = jax.device_put(x, NamedSharding(mesh, P("chan", "time")))
+    y_sh = np.asarray(sharded_fm_receiver(mesh, fm, xs))
+    _, y_un = fm.step(fm.init_for(x), x)
+    y_un = np.asarray(y_un)
+    # ignore the filter warm-up at the start
+    d = np.abs(y_sh[:, 16:] - y_un[:, 16:])
+    assert d.max() < 1e-4, d.max()
