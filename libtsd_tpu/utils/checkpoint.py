@@ -19,6 +19,25 @@ __all__ = ["save_state", "load_state", "state_bytes", "state_from_bytes",
            "save_stream_state", "load_stream_state"]
 
 
+_JIT_CACHE = {}
+
+
+def _to_ri_jit():
+    """Module-cached jit of config.to_ri: a fresh jax.jit wrapper per
+    checkpoint would re-trace/re-compile on every save."""
+    if "to" not in _JIT_CACHE:
+        from ..config import to_ri
+        _JIT_CACHE["to"] = jax.jit(to_ri)
+    return _JIT_CACHE["to"]
+
+
+def _from_ri_jit():
+    if "from" not in _JIT_CACHE:
+        from ..config import from_ri
+        _JIT_CACHE["from"] = jax.jit(from_ri)
+    return _JIT_CACHE["from"]
+
+
 def _flatten(state) -> dict:
     leaves, treedef = jax.tree.flatten(state)
     out = {}
@@ -27,8 +46,7 @@ def _flatten(state) -> dict:
             # move complex leaves as re/im PLANES: a raw complex
             # device<->host transfer is UNIMPLEMENTED on some TPU
             # runtimes (see config.to_ri)
-            from ..config import to_ri
-            out[f"leaf_{i}__ri"] = np.asarray(jax.jit(to_ri)(l))
+            out[f"leaf_{i}__ri"] = np.asarray(_to_ri_jit()(l))
         else:
             out[f"leaf_{i}"] = np.asarray(l)
     out["__treedef__"] = np.frombuffer(
@@ -62,18 +80,22 @@ def state_from_npz(data, like: Any) -> Any:
                 f"  saved: {saved}\n  like:  {treedef!r}")
     new_leaves = []
     for i, l in enumerate(leaves):
-        if f"leaf_{i}__ri" in data:
-            from ..config import from_ri
-            planes = jax.numpy.asarray(data[f"leaf_{i}__ri"])
-            arr = jax.jit(from_ri)(planes)
-            assert arr.shape == tuple(np.shape(l)), \
-                f"leaf {i}: shape {arr.shape} != expected {np.shape(l)}"
-            new_leaves.append(arr)
-            continue
-        arr = data[f"leaf_{i}"]
-        assert arr.shape == tuple(np.shape(l)), \
-            f"leaf {i}: shape {arr.shape} != expected {np.shape(l)}"
-        new_leaves.append(jax.numpy.asarray(arr))
+        key = f"leaf_{i}__ri" if f"leaf_{i}__ri" in data else f"leaf_{i}"
+        if key not in data:
+            raise ValueError(f"checkpoint is missing leaf {i}")
+        if key.endswith("__ri"):
+            planes = jax.numpy.asarray(data[key])
+            arr = _from_ri_jit()(planes)
+        else:
+            arr = data[key]
+        # a real check, not an assert: python -O must not let a
+        # wrong-shape checkpoint unflatten into the state tree
+        if arr.shape != tuple(np.shape(l)):
+            raise ValueError(
+                f"leaf {i}: checkpoint shape {arr.shape} != expected "
+                f"{np.shape(l)}")
+        new_leaves.append(arr if isinstance(arr, jax.Array)
+                          else jax.numpy.asarray(arr))
     return jax.tree.unflatten(treedef, new_leaves)
 
 

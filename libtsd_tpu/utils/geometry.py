@@ -68,14 +68,46 @@ def quat_to_rotmat(q: jax.Array) -> jax.Array:
 
 
 def rotmat_to_quat(R: jax.Array) -> jax.Array:
-    """3x3 rotation matrix -> unit quaternion (Shepperd's method, stable)."""
+    """3x3 rotation matrix -> unit quaternion (Shepperd's method — ALL
+    four branches, selected by the largest of (trace, R00, R11, R22): the
+    trace-only form collapses 180-degree rotations to the identity and
+    loses half the significant digits near them)."""
     R = jnp.asarray(R, real_dtype)
     t = jnp.trace(R)
-    w = jnp.sqrt(jnp.maximum(1 + t, 1e-12)) / 2
-    x = (R[2, 1] - R[1, 2]) / (4 * w)
-    y = (R[0, 2] - R[2, 0]) / (4 * w)
-    z = (R[1, 0] - R[0, 1]) / (4 * w)
-    return quat_normalize(jnp.stack([w, x, y, z]))
+
+    def via_w():
+        w = jnp.sqrt(jnp.maximum(1 + t, 1e-30)) / 2
+        return jnp.stack([w, (R[2, 1] - R[1, 2]) / (4 * w),
+                          (R[0, 2] - R[2, 0]) / (4 * w),
+                          (R[1, 0] - R[0, 1]) / (4 * w)])
+
+    def via_x():
+        x = jnp.sqrt(jnp.maximum(1 + R[0, 0] - R[1, 1] - R[2, 2],
+                                 1e-30)) / 2
+        return jnp.stack([(R[2, 1] - R[1, 2]) / (4 * x), x,
+                          (R[0, 1] + R[1, 0]) / (4 * x),
+                          (R[0, 2] + R[2, 0]) / (4 * x)])
+
+    def via_y():
+        y = jnp.sqrt(jnp.maximum(1 - R[0, 0] + R[1, 1] - R[2, 2],
+                                 1e-30)) / 2
+        return jnp.stack([(R[0, 2] - R[2, 0]) / (4 * y),
+                          (R[0, 1] + R[1, 0]) / (4 * y), y,
+                          (R[1, 2] + R[2, 1]) / (4 * y)])
+
+    def via_z():
+        z = jnp.sqrt(jnp.maximum(1 - R[0, 0] - R[1, 1] + R[2, 2],
+                                 1e-30)) / 2
+        return jnp.stack([(R[1, 0] - R[0, 1]) / (4 * z),
+                          (R[0, 2] + R[2, 0]) / (4 * z),
+                          (R[1, 2] + R[2, 1]) / (4 * z), z])
+
+    cand = jnp.stack([t, R[0, 0], R[1, 1], R[2, 2]])
+    idx = jnp.argmax(cand)
+    q = jax.lax.switch(idx, [via_w, via_x, via_y, via_z])
+    # canonical sign: w >= 0
+    q = jnp.where(q[0] < 0, -q, q)
+    return quat_normalize(q)
 
 
 def cardan_to_rotmat(phi, theta, psi) -> jax.Array:

@@ -6,7 +6,7 @@ macros with file/line, pluggable get_logger()), sink tsd_log_msg
 """
 from __future__ import annotations
 
-import inspect
+import sys
 import os
 import time
 from typing import Callable, Optional
@@ -49,8 +49,10 @@ def set_logger(sink: Optional[Callable[[LogRecord], None]] = None,
 def _emit(level: str, text: str):
     if _ORDER[level] < _ORDER[_min_level]:
         return
-    fr = inspect.stack()[2]
-    _sink(LogRecord(level, text, fr.filename, fr.lineno))
+    # sys._getframe walks two frames; inspect.stack() would materialize
+    # FrameInfo (incl. source lookup) for the ENTIRE stack per message
+    fr = sys._getframe(2)
+    _sink(LogRecord(level, text, fr.f_code.co_filename, fr.f_lineno))
 
 
 def msg(fmt: str, *args):

@@ -16,7 +16,8 @@ __all__ = [
     "year_is_valid", "year_month_valid",
     "is_leap_year", "days_in_month", "gregorian_to_jd", "jd_to_gregorian",
     "mjd", "j2000", "day_of_week", "sidereal_time", "local_sidereal_time",
-    "Calendar", "TimeOfDay", "DateTime",
+    "Calendar", "TimeOfDay", "DateTime", "Duration", "HourComposite",
+    "datetime_add", "datetime_diff",
 ]
 
 
@@ -46,13 +47,20 @@ def days_in_month(y: int, m: int) -> int:
 
 
 def gregorian_to_jd(y: int, m: int, d: float) -> float:
-    """Gregorian calendar -> Julian day (parity: temps.cc Gregorian->JD,
-    standard Fliegel-Van Flandern form)."""
+    """Calendar date -> Julian day (parity: temps.cc Gregorian->JD,
+    standard Fliegel-Van Flandern form).  Dates before the Gregorian
+    reform (1582-10-15) are interpreted in the JULIAN calendar (b = 0),
+    matching :func:`jd_to_gregorian`'s decoder branch — without this the
+    encoder/decoder pair did not roundtrip for pre-1582 dates."""
+    julian = (y, m, d) < (1582, 10, 15)
     if m <= 2:
         y -= 1
         m += 12
-    a = y // 100
-    b = 2 - a + a // 4
+    if julian:
+        b = 0
+    else:
+        a = y // 100
+        b = 2 - a + a // 4
     return (np.floor(365.25 * (y + 4716)) + np.floor(30.6001 * (m + 1))
             + d + b - 1524.5)
 

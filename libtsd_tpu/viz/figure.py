@@ -17,7 +17,8 @@ import matplotlib
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
-__all__ = ["Figure", "Figures", "plot_eye"]
+__all__ = ["Figure", "Figures", "plot_eye", "plot_plz",
+           "cic_analyse", "plot_covariance_ellipse"]
 
 
 _COLORS = {"b": "tab:blue", "g": "tab:green", "r": "tab:red",
@@ -64,8 +65,16 @@ class Figure:
             x = None
         y = np.asarray(y)
         if np.iscomplexobj(y):
-            self._ops.append(("plot", x, y.real, fmt, label + " (re)"))
-            self._ops.append(("plot", x, y.imag, fmt, label + " (im)"))
+            # distinguishable halves: imag gets a dashed variant of the
+            # fmt; suffix labels only when the caller labeled the curve
+            # (otherwise every unlabeled complex plot would sprout a
+            # legend of blank " (re)"/" (im)" entries)
+            lre = f"{label} (re)" if label else ""
+            lim = f"{label} (im)" if label else ""
+            fim = fmt.replace("-", "--") if "-" in fmt else \
+                (fmt + "--" if fmt else "--")
+            self._ops.append(("plot", x, y.real, fmt, lre))
+            self._ops.append(("plot", x, y.imag, fim, lim))
         else:
             self._ops.append(("plot", x, y, fmt, label))
         return self
@@ -90,9 +99,11 @@ class Figure:
         return self
 
     def titles(self, title: str = "", xlabel: str = "", ylabel: str = ""):
+        # empty arguments PRESERVE existing labels (titles("t") after
+        # plot_psd must not erase the frequency/PSD axis labels)
         self._title = title or self._title
-        self._xlabel = xlabel
-        self._ylabel = ylabel
+        self._xlabel = xlabel or self._xlabel
+        self._ylabel = ylabel or self._ylabel
         return self
 
     # alias parity with the reference naming

@@ -279,3 +279,75 @@ def test_cic_analyse_figures(tmp_path):
     assert "comp_ripple_db" in metrics
     figs.save(str(tmp_path / "cic.png"))
     assert (tmp_path / "cic.png").exists()
+
+
+def test_rotmat_to_quat_180_degree_branches():
+    """Shepperd's method must survive 180-degree rotations (the
+    trace-only branch collapsed them to the identity quaternion)."""
+    from libtsd_tpu.utils.geometry import (quat_to_rotmat, rotmat_to_quat)
+    cases = [np.diag([1.0, -1.0, -1.0]),     # 180 about x
+             np.diag([-1.0, 1.0, -1.0]),     # 180 about y
+             np.diag([-1.0, -1.0, 1.0])]     # 180 about z
+    for R in cases:
+        q = np.asarray(rotmat_to_quat(jnp.asarray(R, jnp.float32)))
+        R2 = np.asarray(quat_to_rotmat(jnp.asarray(q)))
+        assert np.max(np.abs(R2 - R)) < 1e-5, (R, q)
+    # near-180: the dominant axis component must be ~1, not ~0
+    th = np.pi - 1e-3
+    R = np.array([[1, 0, 0],
+                  [0, np.cos(th), -np.sin(th)],
+                  [0, np.sin(th), np.cos(th)]])
+    q = np.asarray(rotmat_to_quat(jnp.asarray(R, jnp.float32)))
+    assert abs(q[1]) > 0.999
+    R2 = np.asarray(quat_to_rotmat(jnp.asarray(q)))
+    assert np.max(np.abs(R2 - R)) < 1e-4
+
+
+def test_julian_calendar_roundtrip():
+    """Pre-1582 dates are Julian-calendar: encoder and decoder must
+    agree (they did not — the encoder always applied the Gregorian
+    correction)."""
+    from libtsd_tpu.utils.timedate import gregorian_to_jd, jd_to_gregorian
+    for ymd in [(1500, 1, 1), (1000, 6, 15), (4, 2, 29), (1582, 10, 4),
+                (1582, 10, 15), (2021, 2, 8)]:
+        y, m, d = ymd
+        jd = gregorian_to_jd(y, m, float(d))
+        y2, m2, d2 = jd_to_gregorian(jd)
+        assert (y2, m2, round(d2, 6)) == (y, m, float(d)), (ymd, (y2, m2, d2))
+    # the 10 skipped days of the reform: Oct 4 (Julian) + 1 day = Oct 15
+    assert gregorian_to_jd(1582, 10, 15.0) - gregorian_to_jd(
+        1582, 10, 4.0) == 1.0
+
+
+def test_wav_streaming_writer_reader(tmp_path):
+    """True streaming: the writer appends to disk per write (header
+    patched at close), the reader freads only what's asked."""
+    from libtsd_tpu.utils.wav import WavReader, WavWriter, wav_load
+    p = str(tmp_path / "s.wav")
+    rng = np.random.default_rng(0)
+    chunks = [rng.standard_normal(n).astype(np.float32) * 0.5
+              for n in (1000, 37, 4096)]
+    with WavWriter(p, rate=8000, dtype="float32") as w:
+        for c in chunks:
+            w.write(c)
+        # bytes are on disk BEFORE close (truncate-proof streaming)
+        import os
+        assert os.path.getsize(p) >= sum(len(c) for c in chunks) * 4
+    full, rate = wav_load(p)
+    assert rate == 8000
+    assert np.array_equal(full, np.concatenate(chunks))
+    with WavReader(p) as r:
+        assert r.nsamples == len(full)
+        got = []
+        while not r.eof:
+            got.append(r.read(777))
+        assert np.array_equal(np.concatenate(got), full)
+
+
+def test_figure_titles_preserve_axis_labels():
+    from libtsd_tpu.viz.figure import Figure
+    f = Figure()
+    f.plot_psd(np.random.default_rng(0).standard_normal(256))
+    f.titles("My PSD")
+    assert f._title == "My PSD"
+    assert f._xlabel == "Frequency" and f._ylabel == "PSD (dB)"
