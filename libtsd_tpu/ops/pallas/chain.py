@@ -33,9 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...config import real_dtype
-from ..filter_rt import fir_toeplitz_mats
-from .periodogram import _dft_mm, _factors, _N1, _N2, _NFFT
+from .periodogram import _dft_mm, _factors, _N1, _N2, _NFFT, _pack_factors
 
 __all__ = ["fir_periodogram4096"]
 
@@ -327,16 +325,9 @@ def fir_periodogram4096(x: jax.Array, G: jax.Array,
     assert hist0.shape == (C, H, _L), hist0.shape
     F32r, F32i, F128r, F128i, TWr, TWi = _factors()
     if tb % 4 == 0:
-        # pack 4 frames per MXU tile: block-diagonal F32 stage + tiled
-        # twiddles (numerically identical — the off-block zeros contribute
-        # exactly 0 in every precision mode)
-        pack = _N2 // _N1
-        z = np.zeros((_N1, _N1), np.float32)
-        blk = lambda M: np.block(
-            [[M if i == j else z for j in range(pack)]
-             for i in range(pack)])
-        F32r, F32i = blk(F32r), blk(F32i)
-        TWr, TWi = np.tile(TWr, (pack, 1)), np.tile(TWi, (pack, 1))
+        # pack 4 frames per MXU tile (shared helper — one copy of the
+        # block-diagonal/tile construction)
+        F32r, F32i, TWr, TWi = _pack_factors(F32r, F32i, TWr, TWi)
     F128s = F128r + F128i            # Karatsuba stage-B factor
     const = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     consts = (jnp.asarray(F32r), jnp.asarray(F32i),

@@ -99,6 +99,17 @@ def _taps_rows(kind: str, tau, nph: int, K: int):
     return jnp.concatenate(rows, axis=0)                 # (K, CT)
 
 
+def _pick_tb(nsb: int) -> int:
+    """Sub-blocks per grid step: the largest power-of-2 divisor of nsb
+    up to 8 (amortizes per-grid-step overhead; shared by the plain
+    kernel, fused_layout and the fused kernel so their grids can never
+    disagree)."""
+    tb = 1
+    while tb < 8 and nsb % (tb * 2) == 0:
+        tb *= 2
+    return tb
+
+
 def _kernel(fr_r_ref, fr_i_ref, st_in_ref, symr_ref, symi_ref,
             ysr_ref, ysi_ref, sidx_ref, valid_ref, stout_ref, st_ref, *,
             itrp: str, K: int, nph: int, osf: int, S: int, M: int,
@@ -311,12 +322,8 @@ def demod_sb_pallas(frames_r: jax.Array, frames_i: jax.Array,
     assert C % _CT == 0, C
     M = sym_r.shape[0]
     ntiles = C // _CT
-    # sub-blocks per grid step: amortizes the per-grid-step overhead
-    # (measured: 4096 tiny steps at C=4096/n=8192 cost ~half the kernel
-    # time); largest power-of-2 divisor of nsb up to 8
-    tb = 1
-    while tb < 8 and nsb % (tb * 2) == 0:
-        tb *= 2
+    # sub-blocks per grid step (see _pick_tb)
+    tb = _pick_tb(nsb)
     grid = (ntiles, nsb // tb)
     sym2_r = jnp.broadcast_to(sym_r[None, :, None], (1, M, _CT))
     sym2_i = jnp.broadcast_to(sym_i[None, :, None], (1, M, _CT))
@@ -388,9 +395,7 @@ def fused_layout(osf: int, S: int, K: int, n: int) -> dict:
     t*tb*S*osf."""
     hop = S * osf
     nsb = n // hop
-    tb = 1
-    while tb < 8 and nsb % (tb * 2) == 0:
-        tb *= 2
+    tb = _pick_tb(nsb)
     HOPT = tb * hop
     ML, MH = S * osf, 2 * osf
     F = (ML + MH + K) + (S - 1) * osf + osf // 2
@@ -530,9 +535,7 @@ def demod_sb_pallas_fused(xT_r: jax.Array, xT_i: jax.Array,
     ntiles = C // _CT
     hop = S * osf
     nsb = n // hop
-    tb = 1
-    while tb < 8 and nsb % (tb * 2) == 0:
-        tb *= 2
+    tb = _pick_tb(nsb)
     HOPT = tb * hop
     assert HOPT % 128 == 0, (
         "fused demod needs tb*S*osf % 128 == 0; use the non-fused engine")

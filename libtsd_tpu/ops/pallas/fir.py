@@ -104,6 +104,15 @@ def fir_pallas(h, x: jax.Array, interpret: Optional[bool] = None) -> jax.Array:
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if x.ndim != 1:
+        # a (C, N) batch would be silently corrupted: the scalar pad
+        # pair pads BOTH axes and the tile reshape interleaves channels.
+        # Batched filtering is ops.filter_rt.Fir (MXU Toeplitz) — this
+        # kernel is the single-stream streaming form
+        raise ValueError(
+            f"fir_pallas takes a 1-D signal, got shape {x.shape}; use "
+            f"ops.filter_rt.Fir / fir_filter for batched (C, N) input "
+            f"or vmap this kernel explicitly")
     h = np.asarray(h, np.float64)
     G = jnp.asarray(fir_toeplitz_mats(h), real_dtype)
     n = x.shape[-1]

@@ -248,6 +248,16 @@ class FmChainPallas:
                  interpret: bool = False) -> jax.Array:
         """xr/xi: (C, N) float32 planes; N % (tb*128*R) == 0.
         Returns audio (C, N // R) float32."""
+        if tb * self.R < self.hist:
+            # the kernel seeds its filter-history scratch from the LAST
+            # `hist` input frames of each grid step: the step must hold
+            # at least that many, or the scratch assignment would fail
+            # with an opaque trace-time shape error
+            raise ValueError(
+                f"chunk too small for the channel filter: tb*R = "
+                f"{tb * self.R} input frames/step < history {self.hist} "
+                f"(~ceil((len(chan_h)-1)/128) frames) — raise tb or "
+                f"shorten chan_h")
         return _fm_chain(xr, xi, self.G, self.T, self.S, self.W, self.M,
                          self.SH, self.INJ, f0=self.f0, R=self.R,
                          dev=self.dev, tb=tb, interpret=interpret,

@@ -39,7 +39,7 @@ _KP = 8      # padded state width (sublane-friendly; k <= _KP)
 
 
 def _kernel(x_ref, t_ref, s_ref, w_ref, m_ref, c0_ref, y_ref, cout_ref,
-            u_scr, sst_scr, carry_scr, *, nsec: int, k: int, rows: int,
+            u_scr, sst_scr, carry_scr, *, nsec: int, rows: int,
             nchunks: int):
     f = pl.program_id(1)
 
@@ -135,7 +135,7 @@ def iir_cascade_pallas(x, T, S, W, M, state=None, tb: int = 64,
     nchunks = N // chunk
     if state is None:
         state = jnp.zeros((C, nsec, _KP), jnp.float32)
-    kern = functools.partial(_kernel, nsec=nsec, k=_KP, rows=rows,
+    kern = functools.partial(_kernel, nsec=nsec, rows=rows,
                              nchunks=nchunks)
     const = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     y, cout = pl.pallas_call(

@@ -277,7 +277,12 @@ def ola_filter_stream(x: jax.Array, h, state, Nf: int | None = None,
                       interpret: bool | None = None):
     """Streaming fused overlap-save filtering: x (C, N) with N a multiple
     of the hop Ne (ola_plan), state = (C, V) complex input history (zeros
-    initially).  Returns (y, new_state) — exact continuation semantics."""
+    initially).  Returns (y, new_state) — exact continuation semantics.
+
+    NOTE: this convenience form recomputes the host-side tap FFT and
+    re-uploads H(f) on EVERY call — fine for one-shot use, wasteful in a
+    per-block serving loop.  For streaming, compute Hr/Hi once and call
+    :func:`ola_stream_planes` per block, as ``OlaFft.step`` does."""
     h = np.asarray(h)
     K = len(h)
     Nf, Ne, V = ola_plan(K, Nf)

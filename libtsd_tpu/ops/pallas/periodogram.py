@@ -22,7 +22,7 @@ order (tiny (32,128) arrays, XLA-side).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +30,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...config import real_dtype
 
 __all__ = ["periodogram4096_acc"]
 

@@ -354,3 +354,22 @@ def test_fused_chain_two_pass_fir():
     # the 2-pass tier may not be dramatically worse than 3-pass (the
     # bf16 DFT stages dominate both; measured ~1.5x on hardware)
     assert rel2 < 4 * max(rel3, 1e-4), (rel2, rel3)
+
+
+def test_fir_pallas_rejects_batched_input():
+    """(C, N) input was silently corrupted (both-axis pad + interleaving
+    reshape) — must raise with a pointer to the batched path."""
+    from libtsd_tpu.ops.pallas.fir import fir_pallas
+    h = np.ones(8) / 8
+    with pytest.raises(ValueError, match="1-D"):
+        fir_pallas(h, jnp.zeros((2, 4096), jnp.float32), interpret=True)
+
+
+def test_fm_chain_pallas_rejects_tiny_chunks():
+    """A grid step must hold at least the channel-filter history."""
+    from libtsd_tpu.ops.pallas.fm import FmChainPallas
+    fm = FmChainPallas(channel_freq=0.2, decim=1, chan_taps=1024,
+                       deviation=0.1, deemph_fc=0.0)
+    x = jnp.zeros((1, 128 * 4), jnp.float32)
+    with pytest.raises(ValueError, match="history"):
+        fm(x, x, tb=4, interpret=True)
