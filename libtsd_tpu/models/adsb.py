@@ -307,8 +307,11 @@ class AdsbStream:
                                   np.zeros((Ne - len(self._buf),),
                                            np.float32)])
             out = self._emit(blk)
+        # advance by the samples actually consumed, NOT the padded block
+        # size: a later push on this object must report absolute
+        # positions continuous with the true sample count
+        self._base += len(self._buf)
         self._buf = np.zeros((0,), np.float32)
-        self._base += Ne
         self._seen = set()
         return out
 

@@ -29,12 +29,13 @@ __all__ = [
 ]
 
 
-def fm_discriminator(x: jax.Array) -> jax.Array:
+def fm_discriminator(x: jax.Array, prev=None) -> jax.Array:
     """Polar quadrature discriminator: y[n] = arg(x[n] * conj(x[n-1]))
     (parity: FMDiscri, analogique.cc:18-66 — the reference's final polar
-    form)."""
-    xm1 = jnp.concatenate([x[..., :1], x[..., :-1]], axis=-1)
-    return jnp.angle(x * jnp.conj(xm1))
+    form).  Delegates to models.demod.quadrature_discriminator (one copy
+    of the primitive); ``prev`` enables streaming continuation."""
+    from .demod import quadrature_discriminator
+    return quadrature_discriminator(x, prev)
 
 
 def fm_modulate(audio: jax.Array, deviation: float = 0.1) -> jax.Array:
@@ -164,8 +165,7 @@ def _fm_broadcast_front(x: jax.Array, fe: float):
     a = fm_discriminator(y1) / 75e3          # reference scale factor
     h_fm = raised_cosine(255, 0.1, 65e3 / fe)
     a2 = fir_filter(h_fm, a)
-    R = int(np.floor(fe / (65e3 * 2))) if fe >= 200 else 1
-    R = max(R, 1)
+    R = max(int(np.floor(fe / (65e3 * 2))), 1)
     a3 = downsample(a2, R) if R > 1 else a2
     return a3, fe / R, R
 

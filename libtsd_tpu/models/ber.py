@@ -65,13 +65,17 @@ def cmp_bits_psk(tx: jax.Array, rx: jax.Array, k: int,
     from .waveform import bits_to_symbol_indices, symbol_indices_to_bits
     M = 1 << k
     a = np.asarray(tx, np.int8)
-    best = (1.0, 1 << 30, 0)
+    best = None
     rxi = np.asarray(bits_to_symbol_indices(jnp.asarray(rx), k))
     for rot in range(M):
         ri = (rxi + rot) % M
         rb = np.asarray(symbol_indices_to_bits(jnp.asarray(ri), k), np.int8)
         ber, errs, lag = cmp_bits(a, jnp.asarray(rb), max_lag)
-        if ber < best[0]:
+        # initialize from the FIRST measurement: a strict < against a
+        # sentinel returned a bogus 2^30 error count whenever every
+        # rotation measured BER exactly 1.0 (cmp_bits_rot's comment
+        # documents this very bug)
+        if best is None or ber < best[0]:
             best = (ber, errs, lag)
     return best
 

@@ -19,6 +19,7 @@ from flax import struct
 
 from ..block import Block
 from ..config import complex_dtype, real_dtype
+from ..ops.signal import cycles
 
 __all__ = [
     "LoopFilter1", "LoopFilter2", "ped_costas", "ped_ploop", "ped_tloop",
@@ -271,13 +272,10 @@ class Rpll(Block):
     def step(self, state, x: jax.Array):
         ph, fst, pst = state
         n = x.shape[-1]
-        k = jnp.arange(n, dtype=real_dtype)
-        # NCO phase kept in CYCLES with the in-block ramp reduced mod 1
-        # (freq and n are static, so the per-block increment is exact in
-        # host float64); an unreduced 2*pi*f*k ramp in float32 loses
-        # ~0.1 rad of phase accuracy by k ~ 1e6
-        cyc = ph / (2 * jnp.pi) + jnp.mod(
-            jnp.asarray(self.freq, real_dtype) * k, 1.0)
+        # NCO phase in CYCLES, host-f64-exact ramp (signal.cycles —
+        # the earlier on-device f32 product lost ~0.016 cycles by k~1e6
+        # despite this comment claiming otherwise)
+        cyc = ph / (2 * jnp.pi) + cycles(self.freq, n)
         lo = jnp.exp(-2j * jnp.pi * cyc)
         xb = x.astype(complex_dtype) * lo.astype(complex_dtype)
         ph = jnp.mod(ph + 2 * jnp.pi * ((self.freq * n) % 1.0),

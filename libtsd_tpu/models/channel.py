@@ -13,6 +13,7 @@ import numpy as np
 
 from ..config import complex_dtype, real_dtype
 from ..ops.fft import delay_signal
+from ..ops.signal import cycles
 
 __all__ = [
     "awgn_noise", "awgn", "ChannelConfig", "propagation_channel",
@@ -69,8 +70,7 @@ def propagation_channel(key, x: jax.Array, cfg: ChannelConfig) -> jax.Array:
     # unreduced float32 ramp loses accuracy past k ~ 1e5)
     f = cfg.freq_offset / cfg.fe
     if f != 0.0 or cfg.phase_offset != 0.0:
-        kk = jnp.arange(n, dtype=real_dtype)
-        cyc = jnp.mod(jnp.asarray(f, real_dtype) * kk, 1.0)
+        cyc = cycles(f, n)
         y = y * jnp.exp(1j * (cfg.phase_offset + 2 * jnp.pi * cyc)
                         ).astype(complex_dtype)
     # phase noise (random walk scaled from dBc/Hz)

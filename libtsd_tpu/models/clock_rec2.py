@@ -97,13 +97,19 @@ class ClockRec2(Block):
                                 0, nph)]
             return jnp.sum(win * taps.astype(win.dtype))
 
-        def body(st, _):
+        def body(st, t):
             p = st["ptr"]
             # a pointer past the block end must WAIT for the next block
             # (its samples haven't arrived): emit an invalid bubble and
-            # don't consume
-            ready = p < n
-            pc = jnp.where(ready, p, 0.0)   # bubble: placeholder index
+            # don't consume.  A pointer below the carried-tail depth
+            # (sustained negative drift: RX clock faster than fe/osf)
+            # would make the interpolation slice CLAMP and decode stale
+            # samples forever — re-anchor it to the nominal grid instead
+            # (one invalid symbol, then recovery)
+            inlow = p > -(1.0 * osf)
+            ready = (p < n) & inlow
+            nom = t.astype(real_dtype) * osf
+            pc = jnp.where(ready, p, jnp.where(inlow, 0.0, nom))
             y = interp_at(pc)
             ymid = interp_at(pc - osf / 2.0)
             yprev = (st["yprev_ri"][0] + 1j * st["yprev_ri"][1]
@@ -111,7 +117,8 @@ class ClockRec2(Block):
             e = ted_gardner(yprev, ymid, y)
             dec = jnp.clip(gain * e, -osf / 4.0, osf / 4.0)
             new = dict(
-                ptr=jnp.where(ready, p + osf - dec, p),
+                ptr=jnp.where(ready, p + osf - dec,
+                              jnp.where(inlow, p, nom + osf)),
                 yprev_ri=jnp.where(
                     ready, jnp.stack([jnp.real(y), jnp.imag(y)]),
                     st["yprev_ri"]),
@@ -119,8 +126,8 @@ class ClockRec2(Block):
             return new, (jnp.where(ready, y, 0.0 * y), ready)
 
         carry = dict(ptr=state["ptr"], yprev_ri=state["yprev_ri"])
-        carry, (syms, valid) = jax.lax.scan(body, carry, None,
-                                            length=nsym)
+        carry, (syms, valid) = jax.lax.scan(body, carry,
+                                            jnp.arange(nsym))
         # pointer and tail carried into the next block's coordinates
         return dict(ptr=carry["ptr"] - n, yprev_ri=carry["yprev_ri"],
                     tail=xp[n: n + T]), (syms, valid)

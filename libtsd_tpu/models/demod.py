@@ -25,6 +25,7 @@ from flax import struct
 from ..block import Block
 from ..config import complex_dtype, real_dtype
 from ..ops.filter_rt import Fir
+from ..ops.signal import cycles
 from .carrier_rec import Cpll, CpllConfig
 from .clock_rec import ClockRec, ClockRecConfig
 from .waveform import Waveform, symbol_indices_to_bits
@@ -134,8 +135,7 @@ class Demodulator(Block):
         # unreduced float32 ramp loses ~0.1 rad by k ~ 1e6)
         if cfg.fi != 0.0:
             f = cfg.fi / cfg.fe
-            k = jnp.arange(n, dtype=real_dtype)
-            cyc = st["nco"] + jnp.mod(jnp.asarray(f, real_dtype) * k, 1.0)
+            cyc = st["nco"] + cycles(f, n)
             x = x * jnp.exp(-2j * jnp.pi * cyc).astype(complex_dtype)
             st["nco"] = jnp.mod(st["nco"] + jnp.asarray((f * n) % 1.0,
                                                         real_dtype), 1.0)

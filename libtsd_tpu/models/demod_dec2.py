@@ -109,11 +109,17 @@ class DecisionDemod2(Block):
                                 0, nph)]
             return jnp.sum(win * taps.astype(win.dtype))
 
-        def body(st, _):
+        def body(st, t):
             p = st["ptr"]
-            # a pointer past the block end waits for the next block
-            ready = p < n
-            pc = jnp.where(ready, p, 0.0)   # bubble: placeholder index
+            # a pointer past the block end waits for the next block; a
+            # pointer below the carried-tail depth (sustained negative
+            # drift) would make the interpolation slice CLAMP and decode
+            # stale samples forever — re-anchor to the nominal grid
+            # instead (one invalid symbol, then recovery)
+            inlow = p > -(1.0 * osf)
+            ready = (p < n) & inlow
+            nom = t.astype(real_dtype) * osf
+            pc = jnp.where(ready, p, jnp.where(inlow, 0.0, nom))
             rot = jnp.exp(-1j * st["theta"]).astype(complex_dtype)
             y = interp_at(pc) * rot * st["gain"]
             ymid = interp_at(pc - osf / 2.0) * rot * st["gain"]
@@ -147,7 +153,7 @@ class DecisionDemod2(Block):
                 gain=jnp.where(ready, gain, st["gain"]),
                 ptr=jnp.where(
                     ready, p + osf - (dec if cfg.clock_active else 0.0),
-                    p),
+                    jnp.where(inlow, p, nom + osf)),
                 yprev_ri=jnp.where(
                     ready, jnp.stack([jnp.real(y), jnp.imag(y)]),
                     st["yprev_ri"]),
@@ -158,7 +164,7 @@ class DecisionDemod2(Block):
         scan_state = {k: state[k] for k in
                       ("lf", "theta", "gain", "ptr", "yprev_ri")}
         carry, (syms, sidx, valid) = jax.lax.scan(
-            body, scan_state, None, length=nsym)
+            body, scan_state, jnp.arange(nsym))
         new_state = dict(carry, mf=mf_state, ptr=carry["ptr"] - n,
                          tail=zp[n: n + T])
         bits = symbol_indices_to_bits(sidx, self.wf.info.k)

@@ -275,6 +275,13 @@ class DecisionDemodSB(Block):
                     jax.tree_util.tree_map(unflat, out))
         if x.ndim == 2:
             return self._step_batched(state, x)
+        if self.cfg.engine.startswith("pallas-fused"):
+            # the fused engine is batched-only (C a multiple of 128) and
+            # its state layout differs — _step_1d would KeyError on it
+            raise ValueError(
+                "engine='pallas-fused' is batched-only: pass x as "
+                "(C, n) with C a multiple of 128 (use engine='auto'/"
+                "'xla' for single-stream input)")
         return self._step_1d(state, x)
 
     def _step_batched(self, state, x: jax.Array):
@@ -702,12 +709,24 @@ class DecisionDemodSB(Block):
         idx_sym = jnp.asarray(j + k + h)
         jsym = jnp.arange(S, dtype=real_dtype)
 
-        def body(st, _):
+        def body(st, t):
             p = st["ptr"]
             # the whole sub-block must be inside the arrived samples;
-            # otherwise wait for the next block (S-symbol bubble)
-            ready = (p + (S - 1) * osf) < n
-            pc = jnp.where(ready, p, 0.0)
+            # otherwise wait for the next block (S-symbol bubble).
+            # ALSO guard the other direction: sustained NEGATIVE drift
+            # (RX symbol clock faster than fe/osf) walks the pointer
+            # below the carried tail, where dynamic_slice would CLAMP
+            # and silently interpolate stale samples forever — re-anchor
+            # to the nominal grid and flag the sub-block invalid, like
+            # the batched path's out-of-range handling
+            nom = t.astype(real_dtype) * (S * osf)
+            # absolute bound: the carried tail holds S*osf samples of
+            # history, so the interpolation slice is exact for
+            # p > -(S*osf) and CLAMPS (silently) below it
+            inlow = p > -(S * osf) * 1.0
+            ready = ((p + (S - 1) * osf) < n) & inlow
+            pc = jnp.where(ready, p, jnp.where(inlow, 0.0,
+                                               nom + osf / 2.0))
             ip = jnp.floor(pc).astype(jnp.int32)
             tau = pc - ip.astype(real_dtype)
             w = jax.lax.dynamic_slice(zp, (T + ip + 1 - K - h,), (W,))
@@ -753,7 +772,10 @@ class DecisionDemodSB(Block):
                 gain=jnp.where(ready, gain, st["gain"]),
                 ptr=jnp.where(
                     ready,
-                    p + S * osf - (dec if cfg.clock_active else 0.0), p),
+                    p + S * osf - (dec if cfg.clock_active else 0.0),
+                    # waiting: hold; fell-behind: continue from the
+                    # re-anchored nominal pointer
+                    jnp.where(inlow, p, pc + S * osf)),
                 yprev_ri=jnp.where(
                     ready, jnp.stack([jnp.real(y[-1]), jnp.imag(y[-1])]),
                     st["yprev_ri"]),
@@ -765,7 +787,7 @@ class DecisionDemodSB(Block):
         scan_state = {kk: state[kk] for kk in
                       ("lf", "theta", "gain", "ptr", "yprev_ri")}
         carry, (syms, sidx, valid) = jax.lax.scan(
-            body, scan_state, None, length=nsb)
+            body, scan_state, jnp.arange(nsb))
         syms = syms.reshape(nsb * S)
         sidx = sidx.reshape(nsb * S)
         valid = valid.reshape(nsb * S)

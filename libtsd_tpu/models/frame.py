@@ -26,6 +26,7 @@ from ..block import Block
 from ..config import complex_dtype, real_dtype
 from ..ops.filter_rt import Fir
 from ..ops.resample import Interpolator, make_interpolator
+from ..ops.signal import cycles
 from .carrier_rec import Cpll, CpllConfig
 from .detector import Detection, Detector, DetectorConfig
 from .modulator import ModConfig, Modulator
@@ -218,8 +219,9 @@ class Receiver(Block):
             # every block; the per-block increment is reduced mod 1 in
             # float64 on host (f and n are static), so no f32 accumulation.
             f = fi / self.fmt.modulation.fe
-            ph = state["phi0"] + jnp.asarray(f, real_dtype) * jnp.arange(
-                n, dtype=real_dtype)
+            # host-f64-exact wrapped ramp (the prior UNREDUCED f32 ramp
+            # scrambled the mixer phase for blocks past ~1e6 samples)
+            ph = state["phi0"] + cycles(f, n)
             x = x * jnp.exp(-2j * jnp.pi * ph).astype(complex_dtype)
             phi0 = jnp.mod(state["phi0"] + jnp.asarray((f * n) % 1.0,
                                                        real_dtype), 1.0)

@@ -14,6 +14,7 @@ from flax import struct
 
 from ..block import Block
 from ..config import complex_dtype, real_dtype
+from ..ops.signal import cycles
 from .waveform import Waveform
 
 __all__ = ["ModConfig", "Modulator"]
@@ -99,8 +100,7 @@ class Modulator(Block):
             # random-walks the carrier phase over long streams)
             n = y.shape[-1]
             f = cfg.fi / cfg.fe
-            k = jnp.arange(n, dtype=real_dtype)
-            cyc = ph + jnp.mod(jnp.asarray(f, real_dtype) * k, 1.0)
+            cyc = ph + cycles(f, n)
             y = y * jnp.exp(2j * jnp.pi * cyc).astype(complex_dtype)
             ph = jnp.mod(ph + jnp.asarray((f * n) % 1.0, real_dtype), 1.0)
         if cfg.real_output:

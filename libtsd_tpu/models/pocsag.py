@@ -324,11 +324,20 @@ class PocsagDecoder:
                          flip2.astype(jnp.int8))
         corrected = bits[..., :31] ^ flip
         bits = jnp.concatenate([corrected, bits[..., 31:]], -1)
-        # parity of the CORRECTED word: correction restores even overall
-        # parity in the 1- and 2-error cases alike, so even parity
-        # post-correction is required in every accepted case
-        parity_ok = jnp.sum(bits, -1) % 2 == 0
-        cw_ok = (clean | single | double) & parity_ok
+        # d=6 decision table over (syndrome class, PRE-correction overall
+        # parity par0).  The parity bit is OUTSIDE the syndrome, so under
+        # the <=2-error assumption:
+        #   clean  + par0 even -> 0 errors           : accept
+        #   clean  + par0 odd  -> parity-bit error   : accept (data fine)
+        #   single + par0 odd  -> 1 data error       : accept (corrected)
+        #   single + par0 even -> data+parity errors : accept (corrected)
+        #   double + par0 even -> 2 data errors      : accept (corrected)
+        #   double + par0 odd  -> >=3 errors         : reject
+        # (the earlier post-correction-parity gate wrongly rejected every
+        # correctable pattern that included the parity bit)
+        par0 = (jnp.sum(corrected ^ flip, -1)        # original 31 bits
+                + bits[..., 31].astype(jnp.int32)) % 2
+        cw_ok = clean | single | (double & (par0 == 0))
         return PocsagBatches(position=top_p.astype(jnp.int32),
                              score=top_s, bits=bits, cw_ok=cw_ok,
                              valid=valid)

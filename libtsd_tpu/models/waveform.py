@@ -225,7 +225,12 @@ class Waveform(struct.PyTreeNode):
         if self.info.is_fsk:
             om_max = jnp.pi * self.info.index / osf
             vr = jnp.real(y)
-            vf = vr * (om_max / (jnp.max(jnp.abs(vr)) + 1e-30))
+            # normalize by the CONSTELLATION extreme, not the per-call
+            # data maximum: a block using only inner FSK levels must not
+            # be stretched to full deviation (Modulator._post_shaper
+            # documents the same requirement)
+            vmax = jnp.max(jnp.abs(jnp.real(self.symbols)))
+            vf = vr * (om_max / (vmax + 1e-30))
             y = jnp.exp(1j * jnp.cumsum(vf)).astype(complex_dtype)
         return y, float(delay)
 

@@ -326,3 +326,22 @@ def test_fused_engine_honors_agc_off():
     for eng, s in sy.items():
         assert 2.0 < np.sqrt(np.mean(np.abs(s) ** 2)) < 4.5, (
             eng, np.sqrt(np.mean(np.abs(s) ** 2)))
+
+
+def test_1d_pointer_underrun_recovers():
+    """A pointer driven below the carried-tail depth (sustained negative
+    drift) must re-anchor to the nominal grid instead of silently
+    interpolating clamped stale samples forever."""
+    wf, bits, x = _qpsk_signal(nsym=600)
+    dd = DecisionDemodSB.create(wf, SBDemodConfig(osf=4, S=16,
+                                                  engine="xla"))
+    st = dd.init()
+    # poison the pointer far below the tail depth (T = K + 2 + 64)
+    st["ptr"] = jnp.asarray(-1000.0, jnp.float32)
+    st, (b, s, m, _) = dd.step(st, x[:2048])
+    # the re-anchored pointer must be back in a sane range...
+    p = float(st["ptr"])
+    assert -64.0 <= p <= 2048.0, p
+    # ...and a followup block must decode normally again
+    st, (b2, s2, m2, _) = dd.step(st, x[2048:4096])
+    assert float(jnp.mean(m2.astype(jnp.float32))) > 0.9

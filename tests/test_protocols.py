@@ -294,3 +294,24 @@ def test_cpr_global_pair():
     assert p is not None
     lat, lon = p
     assert abs(lat - 52.2572) < 2e-3 and abs(lon - 3.91937) < 2e-3
+
+
+def test_pocsag_parity_bit_error_patterns():
+    """d=6 decision table: errors involving the PARITY bit are
+    correctable (the old post-correction-parity gate rejected them)."""
+    from libtsd_tpu.models import pocsag as P
+    fe, baud = 38400.0, 1200
+    base = 576 + 32 + 5 * 32          # first message codeword (frame 2)
+    # (a) parity-bit-only error: data intact, must decode
+    bits = P.pocsag_encode(ric=42, function=3, text="PAR OK").copy()
+    bits[base + 31] ^= 1
+    msgs = P.PocsagDecoder(P.PocsagConfig(fe=fe, debit=baud)).decode(
+        P.pocsag_waveform(bits, fe=fe, debit=baud))
+    assert len(msgs) == 1 and msgs[0].text.startswith("PAR OK")
+    # (b) data + parity double error: data corrected, must decode
+    bits = P.pocsag_encode(ric=42, function=3, text="PAR OK").copy()
+    bits[base + 7] ^= 1
+    bits[base + 31] ^= 1
+    msgs = P.PocsagDecoder(P.PocsagConfig(fe=fe, debit=baud)).decode(
+        P.pocsag_waveform(bits, fe=fe, debit=baud))
+    assert len(msgs) == 1 and msgs[0].text.startswith("PAR OK")

@@ -280,3 +280,22 @@ def test_cpll_bpsk_noise_phase_doppler():
     tail = np.asarray(yc)[n // 2:]
     am = np.degrees(np.angle(tail ** 2).mean() / 2)
     assert abs(am) < 10.0, am
+
+
+def test_clock_rec2_pointer_underrun_recovers():
+    """clock_rec2: deep-negative pointer re-anchors (was: dynamic_slice
+    clamp -> permanent stale-sample decoding flagged valid)."""
+    import jax.numpy as jnp
+    from libtsd_tpu.models.clock_rec import ClockRecConfig
+    from libtsd_tpu.models.clock_rec2 import ClockRec2
+    rng = np.random.default_rng(0)
+    osf = 8
+    cr = ClockRec2.create(ClockRecConfig(osf=osf))
+    x = jnp.asarray(rng.standard_normal(1024)
+                    + 1j * rng.standard_normal(1024), jnp.complex64)
+    st = cr.init()
+    st["ptr"] = jnp.asarray(-500.0, jnp.float32)
+    st, (y, valid) = cr.step(st, x)
+    assert -osf <= float(st["ptr"]) <= 1024.0 + osf
+    st, (y2, v2) = cr.step(st, x)
+    assert float(jnp.mean(v2.astype(jnp.float32))) > 0.9

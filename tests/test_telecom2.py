@@ -288,3 +288,33 @@ def test_matzner_tracker_clamp_mode():
     _, (Sc, Nc) = jax.jit(trc.step)(trc.init(), nz)
     assert not np.isnan(np.asarray(Sc)).any()
     assert not np.isnan(np.asarray(Nc)).any()
+
+
+def test_cmp_bits_psk_degenerate_returns_real_counts():
+    """All-rotations-BER-1.0 input must return the actual measurement,
+    not the 2^30 sentinel."""
+    import numpy as np
+    from libtsd_tpu.models.ber import cmp_bits_psk
+    tx = jnp.asarray(np.zeros(32, np.int8))
+    rx = jnp.asarray(np.ones(32, np.int8))
+    ber, errs, lag = cmp_bits_psk(tx, rx, k=1, max_lag=4)
+    assert errs <= 32, (ber, errs, lag)
+
+
+def test_fsk_gen_samples_matches_modulator_scaling():
+    """gen_samples' FSK deviation must be normalized by the CONSTELLATION
+    extreme, not the per-call data max: a block using only inner 4-FSK
+    levels must NOT stretch to full deviation."""
+    import numpy as np
+    from libtsd_tpu.models import waveform as WF
+    from libtsd_tpu.models.demod import quadrature_discriminator
+    wf = WF.wf_fsk(4, index=1.0, shaping=WF.PulseShape.nrz())
+    osf = 8
+    # symbols 1 and 2 are the INNER +-1/3 levels of 4-FSK
+    bits_inner = jnp.asarray(np.tile([0, 1, 1, 0], 32), jnp.int32)
+    y, _ = wf.gen_samples(bits_inner, osf)
+    d = np.asarray(quadrature_discriminator(y))
+    # steady-state |inst freq| must be ~1/3 of the max deviation
+    om_max = np.pi * 1.0 / osf
+    mid = np.abs(d[5 * osf:-5 * osf])
+    assert mid.max() < 0.5 * om_max, (mid.max(), om_max)
