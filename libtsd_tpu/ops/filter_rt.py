@@ -45,13 +45,6 @@ __all__ = [
 _L = 128  # MXU lane width / frame size
 
 
-def _as_f32(h) -> jax.Array:
-    h = jnp.asarray(h)
-    if jnp.iscomplexobj(h):
-        return h.astype(complex_dtype)
-    return h.astype(real_dtype)
-
-
 def fir_toeplitz_mats(h: np.ndarray, L: int = _L) -> np.ndarray:
     """Precompute the banded Toeplitz tap matrices G_d (host, float64 in,
     float32 out).
@@ -139,8 +132,8 @@ def fir_filter(h, x: jax.Array) -> jax.Array:
     """
     h = np.asarray(h)
     x = jnp.asarray(x)
-    if jnp.iscomplexobj(x) and not np.iscomplexobj(h):
-        h = h.astype(np.complex64)
+    # real taps + complex x stays MIXED: Fir runs the re/im planes
+    # through one batched real matmul (half the passes of complex taps)
     blk = Fir.create(h)
     state = blk.init_for(x)
     _, y = blk.step(state, x)
@@ -218,7 +211,10 @@ class Fir(Block):
         # casting G to complex)
         yf = _fir_frames(xf, G, self.precision)
         y = yf.reshape(*x.shape[:-1], -1)[..., :n]
-        new_state = jnp.concatenate([state, x], axis=-1)[..., -(self.K - 1):]
+        xx2 = jnp.concatenate([state, x], axis=-1)
+        # NOT [-(K-1):]: for K=1 that slice is [-0:] = everything, and
+        # the carried state would grow by n every step
+        new_state = xx2[..., xx2.shape[-1] - (self.K - 1):]
         return new_state, y
 
 
@@ -316,19 +312,35 @@ class FirDecim(Block):
         Kp = self.P.shape[0]
         hist = Kp * R
         xx = jnp.concatenate([state, x], axis=-1)
-        # output m (global index m*R) needs x[m*R - k] for k in 0..K-1
-        # frame into (nout, R) where row m holds x[m*R + hist - R + 1 .. ]
-        # simpler: gather windows of length Kp*R ending at each kept sample
         nout = n // R
-        # y[m] = sum_k h[k] * x[m*R - k]  (kept phase 0, matching
-        # downsample(fir_filter(h, x), R)); x[j] lives at xx[hist + j]
-        m = jnp.arange(nout)[:, None]
-        k = jnp.arange(Kp * R)[None, :]
-        idx = hist + m * R - k
-        gath = xx[..., idx]  # (..., nout, Kp*R)
-        hflat = self.P.reshape(-1)  # h[k] with k = j*R+r
-        y = jnp.einsum("...nk,k->...n", gath, hflat.astype(gath.dtype),
-                       precision=jax.lax.Precision.HIGHEST)
+        # y[m] = sum_k h[k] x[mR - k], k = jR + r.  GATHER-FREE: one
+        # reshape gives frames Fr[t, s] = xx[1 + tR + s]; flipping s
+        # yields z[t, r] = xx[hist + (t-(Kp-1))R - r], and each polyphase
+        # lag j is a STATIC slice of z dotted with tap row P[j] — the
+        # fancy-index window gather this replaces lowered to an
+        # element-rate HBM gather (~35 Melem/s on v5e, the same pattern
+        # RationalResampler's comment measures)
+        Text = nout + Kp - 1
+        Fr = xx[..., 1:1 + Text * R].reshape(
+            *xx.shape[:-1], Text, R)[..., ::-1]
+        hp = jax.lax.Precision.HIGHEST
+
+        def accum(fr, P):
+            y = None
+            for j in range(Kp):
+                seg = jax.lax.slice_in_dim(fr, Kp - 1 - j,
+                                           Kp - 1 - j + nout, axis=-2)
+                term = jnp.einsum("...mr,r->...m", seg, P[j],
+                                  precision=hp)
+                y = term if y is None else y + term
+            return y
+
+        if jnp.iscomplexobj(Fr):
+            pl = jnp.stack([jnp.real(Fr), jnp.imag(Fr)])
+            out = accum(pl, self.P)
+            y = (out[0] + 1j * out[1]).astype(complex_dtype)
+        else:
+            y = accum(Fr, self.P.astype(Fr.dtype))
         new_state = xx[..., -hist:]
         return new_state, y
 
@@ -360,7 +372,9 @@ class MovingAverage(Block):
         zero = jnp.zeros_like(c[..., :1])
         c = jnp.concatenate([zero, c], axis=-1)
         y = (c[..., self.K:] - c[..., :-self.K]) / self.K
-        return xx[..., -(self.K - 1):], y.astype(x.dtype)
+        # xx.shape-based slice: [-(K-1):] would be [-0:] for K=1 and
+        # grow the state by n every step
+        return xx[..., xx.shape[-1] - (self.K - 1):], y.astype(x.dtype)
 
 
 class ExpSmoother(Block):
@@ -382,8 +396,8 @@ class ExpSmoother(Block):
 
 
 class DcBlocker(Block):
-    """DC blocker y[n] = x[n] - x[n-1] + r y[n-1] (parity: FiltreDC,
-    filtre-rt.cc:605-633)."""
+    """DC blocker y[n] = r*((x[n] - x[n-1]) + y[n-1]) (parity: FiltreDC,
+    filtre-rt.cc:605-633: y(i) = alpha*((x(i) - xp) + yp))."""
 
     r: jax.Array
 
@@ -401,7 +415,10 @@ class DcBlocker(Block):
         xd = x - jnp.concatenate(
             [jnp.broadcast_to(x_prev, x.shape[:-1] + (1,)), x[..., :-1]],
             axis=-1)
-        y = _first_order_scan(self.r, self.r * xd, y_prev / self.r)
+        # y[0] = r*y_prev + r*xd[0]: seed the scan with y_prev DIRECTLY
+        # (a y_prev/r seed gave y_prev + r*xd[0] at every block boundary
+        # — a (1-r)*y_prev streaming discontinuity vs the one-shot run)
+        y = _first_order_scan(self.r, self.r * xd, y_prev)
         return (x[..., -1], y[..., -1]), y
 
 
@@ -823,6 +840,14 @@ class OlaFft(Block):
         if self.engine == "pallas":
             from .pallas.ola import ola_stream_planes
             is_complex = jnp.iscomplexobj(x)
+            if x.ndim > 2:
+                # the kernel is (C, N): flatten leading batch axes and
+                # restore after (the xla engine accepts them natively)
+                lead = x.shape[:-1]
+                st2 = state.reshape((-1,) + state.shape[-1:])
+                s2, y2 = self.step(st2, x.reshape(-1, n))
+                return (s2.reshape(lead + s2.shape[-1:]),
+                        y2.reshape(lead + y2.shape[-1:]))
             squeeze = x.ndim == 1
             xc = (x[None] if squeeze else x).astype(complex_dtype)
             sc = state[None] if squeeze else state
@@ -857,7 +882,10 @@ class OlaFft(Block):
         ybm = jnp.moveaxis(yb, -2, 0)  # (nblk, ..., Nf)
         state, ys = jax.lax.scan(body, state, ybm)
         y = jnp.moveaxis(ys, 0, -2).reshape(*x.shape[:-1], n)
-        if not is_complex:
+        # complex TAPS on a real signal still produce a complex response
+        # (analytic/matched filters) — only drop the imaginary part when
+        # both signal and taps are real (matches the pallas engine)
+        if not is_complex and not self.complex_taps:
             y = jnp.real(y)
         return state, y
 

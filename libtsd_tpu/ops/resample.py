@@ -355,7 +355,12 @@ def cic_comp_design(config: CicConfig, fe: float, R2: int, fc: float,
                     ncoefs: int) -> np.ndarray:
     """FIR compensation filter for the CIC droop, by frequency sampling of
     the inverse CIC response with a cutoff at fc (parity: design_cic_comp,
-    cic.cc:238-331)."""
+    cic.cc:238-331).
+
+    ``R2`` (the post-compensation decimation ratio) is kept for signature
+    parity but does NOT affect the design — the reference's own
+    implementation ignores it too (cic.cc:238-331 derives everything from
+    fs = fe/R and fc; R2 only labels its analysis plots)."""
     from .fir_design import fir_design_freq_sampling
     fs = fe / config.R
     m = (ncoefs + 1) // 2
@@ -686,7 +691,11 @@ def resample(x: jax.Array, ratio: float) -> jax.Array:
     from ..block import pad_to_multiple
     xp = pad_to_multiple(x, q, axis=x.ndim - 1)
     _, y = blk.step(blk.init_for(xp), xp)
-    return y
+    # trim the zero-padding tail: for large-q residual ratios (e.g. pi/2
+    # -> q=226) the pad added up to q-1 input samples, whose resampled
+    # images are NOT signal — return ~n*ratio samples as documented
+    nout = int(round(n * blk.ratio))
+    return y[..., :nout] if y.shape[-1] > nout else y
 
 
 def interp_irregular(x: jax.Array, y: jax.Array, x2: jax.Array,

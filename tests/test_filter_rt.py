@@ -345,3 +345,71 @@ def test_stream_tail_safe(B):
     _, y_once = blk.step(blk.init_for(x), x)
     assert y_stream.shape == y_once.shape
     assert np.max(np.abs(np.asarray(y_stream) - np.asarray(y_once))) < 1e-5
+
+
+def test_single_tap_blocks_keep_state_bounded():
+    """K=1 degenerate: the [-(K-1):] slice was [-0:] (everything) and the
+    carried state grew by n every step."""
+    from libtsd_tpu.ops.filter_rt import Fir, MovingAverage
+    f = Fir.create([2.0])
+    st = f.init()
+    for _ in range(3):
+        st, y = f.step(st, jnp.arange(8.0))
+    assert st.shape == (0,) and y.shape == (8,)
+    assert np.allclose(np.asarray(y), 2.0 * np.arange(8.0))
+    ma = MovingAverage(K=1)
+    st = ma.init()
+    for _ in range(3):
+        st, y = ma.step(st, jnp.arange(4.0))
+    assert st.shape == (0,) and y.shape == (4,)
+
+
+def test_dc_blocker_streaming_matches_oneshot():
+    """The scan seed must reproduce y[0] = r*(xd[0] + y_prev) at block
+    boundaries (a y_prev/r seed left a (1-r)*y_prev discontinuity)."""
+    from libtsd_tpu.ops.filter_rt import DcBlocker
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(512), jnp.float32)
+    dc = DcBlocker.create(0.02)
+    _, y1 = dc.step(dc.init(), x)
+    st = dc.init()
+    parts = []
+    for lo, hi in ((0, 100), (100, 357), (357, 512)):
+        st, yb = dc.step(st, x[lo:hi])
+        parts.append(np.asarray(yb))
+    y2 = np.concatenate(parts)
+    assert np.max(np.abs(np.asarray(y1) - y2)) < 1e-6
+    # and the recurrence IS the reference's y = r*((x-xp) + yp)
+    r = float(dc.r)
+    xp = yp = 0.0
+    ref = []
+    for v in np.asarray(x[:50], np.float64):
+        yp = r * ((v - xp) + yp)
+        xp = v
+        ref.append(yp)
+    assert np.max(np.abs(np.asarray(y1[:50]) - np.asarray(ref))) < 1e-5
+
+
+def test_olafft_complex_taps_real_input_keeps_imag():
+    """A complex (analytic/matched) filter on a REAL signal must return
+    the complex response on the xla engine too."""
+    from libtsd_tpu.ops.filter_rt import OlaFft, fir_filter
+    rng = np.random.default_rng(1)
+    h = (rng.standard_normal(31)
+         + 1j * rng.standard_normal(31)).astype(np.complex64)
+    o = OlaFft.create(h, engine="xla")
+    x = jnp.asarray(rng.standard_normal(4 * o.Ne), jnp.float32)
+    _, y = o.step(o.init_for(x), x)
+    assert jnp.iscomplexobj(y)
+    ref = fir_filter(h, x)
+    assert float(jnp.max(jnp.abs(y - ref))) < 1e-4
+
+
+def test_resample_trims_padding_tail():
+    """Large-q residual ratios must not hand the caller resampled
+    zero-padding as signal."""
+    from libtsd_tpu.ops.resample import resample
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(1000),
+                    jnp.float32)
+    y = resample(x, np.pi / 2)
+    assert abs(y.shape[-1] - round(1000 * np.pi / 2)) <= 3, y.shape
