@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..config import complex_dtype, real_dtype
@@ -85,11 +86,29 @@ def xcorr(x: jax.Array, y: Optional[jax.Array] = None,
     return lags, c / overlap.astype(real_dtype)
 
 
-def coherence(x: jax.Array, y: jax.Array) -> jax.Array:
-    """Per-bin spectral coherence |X Y*| / (|X||Y|) (parity: fourier.cc:599-604)."""
-    X = jnp.fft.fft(_asc(x))
-    Y = jnp.fft.fft(_asc(y))
-    return jnp.abs(X * jnp.conj(Y)) / (jnp.abs(X) * jnp.abs(Y) + 1e-30)
+def coherence(x: jax.Array, y: jax.Array, N: int = 0) -> jax.Array:
+    """Magnitude-squared coherence |<X Y*>|^2 / (<|X|^2><|Y|^2>),
+    Welch-averaged over 50%-overlapped length-N segments (N=0: n//8).
+
+    DOCUMENTED REFERENCE DEFECT: the reference's coherence
+    (fourier.cc:599-604) computes |X Y*| / (|X| |Y|) over single
+    whole-signal FFTs — which is IDENTICALLY 1 for every input (the
+    numerator equals the denominator bin by bin), conveying nothing.
+    Coherence is only meaningful with cross/auto spectra AVERAGED over
+    segments before the ratio; this implements the standard estimator."""
+    n = x.shape[-1]
+    if N <= 0:
+        N = max(n // 8, 8)
+    starts = np.arange(0, n - N + 1, max(N // 2, 1))
+    Sxy = Sxx = Syy = 0.0
+    w = jnp.asarray(np.hanning(N), real_dtype)
+    for s0 in starts:
+        X = jnp.fft.fft(_asc(x[..., s0:s0 + N]) * w)
+        Y = jnp.fft.fft(_asc(y[..., s0:s0 + N]) * w)
+        Sxy = Sxy + X * jnp.conj(Y)
+        Sxx = Sxx + jnp.abs(X) ** 2
+        Syy = Syy + jnp.abs(Y) ** 2
+    return jnp.abs(Sxy) ** 2 / (Sxx * Syy + 1e-30)
 
 
 def estimate_delay(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -100,6 +119,9 @@ def estimate_delay(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array]:
     correlation.  Parity: estimation_délais,
     core/src/fourier/estimation-delais.cc:21-168 (same parabolic refinement).
     """
+    assert x.ndim == 1 and y.ndim == 1, (
+        "estimate_delay is single-signal (the argmax/refinement indexing "
+        "is 1-D); vmap it for batches")
     n = max(x.shape[-1], y.shape[-1])
     lags, c = xcorrb(x, y, n)
     a = jnp.abs(c)

@@ -318,7 +318,12 @@ def resample_freq(x: jax.Array, ratio: float) -> jax.Array:
     X = jnp.fft.fft(x) * (1.0 / np.sqrt(n))
     if ratio > 1:
         X2 = jnp.zeros(x.shape[:-1] + (n2,), complex_dtype)
-        X2 = X2.at[..., : n // 2].set(X[..., : n // 2])
+        # (n+1)//2 positive bins: the reference copies only n/2
+        # (fourier.cc:1406), which for ODD n drops positive bin (n-1)/2
+        # while keeping its negative-frequency conjugate — breaking
+        # conjugate symmetry and halving that component's amplitude
+        # (documented reference defect; verified numerically)
+        X2 = X2.at[..., : (n + 1) // 2].set(X[..., : (n + 1) // 2])
         X2 = X2.at[..., -(n // 2):].set(X[..., -(n // 2):])
     else:
         X2 = jnp.zeros(x.shape[:-1] + (n2,), complex_dtype)

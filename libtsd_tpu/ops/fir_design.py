@@ -57,33 +57,7 @@ def fir_design_windowed(n: int, typ: str, fcut: float, fen: str = "hn",
                         fcut2: float = 0.0) -> np.ndarray:
     """Windowed-sinc FIR: 'lp'/'hp'/'bp'/'sb' (parity: design_rif_fen,
     rif-fen.cc:83-116; lp is normalized to unit DC gain)."""
-    check_normalized_freq(fcut, "fir_design_windowed")
-    if typ in ("bp", "pm", "sb"):
-        check_normalized_freq(fcut2, "fir_design_windowed (fcut2)")
-    f = window(fen, n, sym=True)
-    no2 = (n - 1) // 2
-    if typ in ("lp", "pb"):
-        h = _sinc_taps(n, fcut)
-    elif typ in ("hp", "ph"):
-        h = -_sinc_taps(n, fcut)
-        h[no2] += 1.0
-    elif typ in ("bp", "pm"):
-        wc = np.pi * (fcut + fcut2)
-        df = (fcut2 - fcut) / 2
-        k = np.arange(n) - no2
-        h = _sinc_taps(n, df) * 2 * np.cos(wc * k)
-    elif typ == "sb":
-        wc = np.pi * (fcut + fcut2)
-        df = (fcut2 - fcut) / 2
-        k = np.arange(n) - no2
-        h = -_sinc_taps(n, df) * 2 * np.cos(wc * k)
-        h[no2] += 1.0
-    else:
-        raise ValueError(f"unknown FIR type {typ!r} (lp/hp/bp/sb)")
-    h2 = h * f
-    if typ in ("lp", "pb"):
-        h2 = h2 / h2.sum()
-    return h2
+    return _design_with_window(typ, fcut, window(fen, n, sym=True), fcut2)
 
 
 def fir_lowpass(n: int, fc: float, fen: str = "hn") -> np.ndarray:
@@ -109,6 +83,12 @@ def fir_design_chebyshev(n: int, typ: str, fcut: float, atten_db: float,
 
 def _design_with_window(typ: str, fcut: float, f: np.ndarray,
                         fcut2: float) -> np.ndarray:
+    """One copy of the lp/hp/bp/sb tap construction for all windowed
+    designs (plain / kaiser / chebyshev) — previously duplicated, and
+    the kaiser/chebyshev entry points skipped frequency validation."""
+    check_normalized_freq(fcut, "windowed FIR design")
+    if typ in ("bp", "pm", "sb"):
+        check_normalized_freq(fcut2, "windowed FIR design (fcut2)")
     n = len(f)
     no2 = (n - 1) // 2
     if typ in ("lp", "pb"):
@@ -145,6 +125,11 @@ def _lsi(A: np.ndarray, b: np.ndarray, w: np.ndarray,
     for _ in range(max_iter):
         e = A @ x - b
         Ea = np.abs(e) * w
+        # NOTE: min over ALL rows, like the reference's minCoeff — with
+        # zero-weight rows (half-band specs) emin==0 and the tolerance
+        # never fires, so both implementations run the full max_iter and
+        # reach the same fixpoint (the golden pins this to 3e-7); do not
+        # "fix" this to masked-min without re-pinning the golden
         emax, emin = Ea.max(), Ea.min()
         if emax <= 0 or (emax - emin) / emax < 1e-5:
             break
@@ -332,6 +317,11 @@ def fir_halfband(n: int, fc: float = 0.25) -> np.ndarray:
     center tap to 1/2 (parity: design_rif_demi_bande,
     core/src/reechan/hb.cc:6-96)."""
     assert n % 2 == 1, "half-band filter must have odd length (type I)"
+    if not 0.0 < fc <= 0.25:
+        raise ValueError(
+            f"half-band cutoff must be in (0, 0.25] (the stopband edge "
+            f"0.5 - fc cannot fall below the passband); got fc={fc} — "
+            f"the clipped design grid would silently fit a near-allpass")
     m = (n - 1) // 2
     pad = False
     if m % 2 == 0:

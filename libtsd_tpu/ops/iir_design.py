@@ -281,7 +281,10 @@ def design_iir(n: int, typ: str, proto: str, fcut: float,
         raise ValueError(
             f"design_iir: fcut={fcut} must be in (0, 0.5) "
             f"(normalized cycles/sample, Nyquist excluded)")
-    if typ in ("bp", "sb"):
+    if typ in ("bp", "pm", "sb"):   # "pm" = passe-milieu alias of "bp":
+        # the dispatch below accepts it, so it must NOT bypass the
+        # band-edge check (fcut2=0 degenerates lp_to_bp to a marginally
+        # unstable pole at z=1)
         if not (fcut < fcut2 < 0.5):
             raise ValueError(
                 f"design_iir: band edges need fcut < fcut2 < 0.5 "

@@ -97,8 +97,24 @@ def test_estimate_delay_fractional():
 
 def test_coherence(signals):
     x, _ = signals
+    # identical signals: MSC = 1 at every bin
     c = np.asarray(C.coherence(x, x))
     check_max_error(c, np.ones_like(c), 1e-4)
+    # INDEPENDENT signals: MSC must be far from 1 (the reference's own
+    # formula is identically 1 for ANY pair — documented defect; this
+    # pins that ours is the real Welch-averaged estimator)
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(rng.standard_normal(4096), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(4096), jnp.float32)
+    c2 = np.asarray(C.coherence(a, b))
+    assert np.mean(c2) < 0.5, np.mean(c2)
+    # and a shared narrowband component shows up as high local coherence
+    t = np.arange(4096)
+    tone = np.sin(2 * np.pi * 0.1 * t).astype(np.float32)
+    c3 = np.asarray(C.coherence(a + 5 * jnp.asarray(tone),
+                                b + 5 * jnp.asarray(tone), N=256))
+    k = int(round(0.1 * 256))
+    assert c3[k] > 0.9, c3[k]
 
 
 def test_align_int_zero_fill_not_circular():

@@ -192,3 +192,18 @@ def test_fft_pallas_engine_grad():
     gp = np.asarray(jax.grad(lambda v: loss(v, "pallas"))(jnp.asarray(x)))
     gx = np.asarray(jax.grad(lambda v: loss(v, "xla"))(jnp.asarray(x)))
     assert np.max(np.abs(gp - gx)) / (np.max(np.abs(gx)) + 1e-30) < 1e-5
+
+
+def test_resample_freq_odd_n_upsampling_amplitude():
+    """Odd-n upsampling must keep conjugate symmetry: the reference
+    copies only n//2 positive bins (fourier.cc:1406), halving the
+    near-Nyquist component — documented defect, fixed here."""
+    n = 15
+    k = np.arange(n)
+    x = jnp.asarray(np.cos(2 * np.pi * (7 / 15) * k), jnp.float32)
+    y = np.asarray(F.resample_freq(x, 2.0))
+    # the tone must come back at full amplitude at the doubled rate
+    k2 = np.arange(2 * n)
+    ref = np.cos(2 * np.pi * (7 / 30) * k2)
+    amp = np.max(np.abs(np.fft.fft(y))) / np.max(np.abs(np.fft.fft(ref)))
+    assert abs(amp - 1.0) < 0.05, amp

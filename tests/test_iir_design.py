@@ -168,3 +168,14 @@ def test_bilinear_vs_scipy():
     H1 = np.abs(H1) / np.abs(H1[0])
     H2 = np.abs(H2) / np.abs(H2[0])
     assert np.max(np.abs(H1 - H2)) < 1e-4
+
+
+def test_design_iir_pm_alias_validates_band_edges():
+    """'pm' (passe-milieu) must hit the same band-edge validation as
+    'bp' — it silently produced a marginally unstable filter."""
+    import pytest
+    from libtsd_tpu.ops.iir_design import design_iir
+    with pytest.raises(ValueError, match="band edges"):
+        design_iir(4, "pm", "butt", 0.2)
+    z = design_iir(4, "pm", "butt", 0.1, fcut2=0.2)
+    assert np.max(np.abs(z.p)) < 1.0     # stable
