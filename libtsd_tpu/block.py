@@ -70,8 +70,10 @@ class Block(struct.PyTreeNode):
         return self.step(state, x)
 
     def apply(self, x: jax.Array) -> jax.Array:
-        """One-shot: fresh state, single step over the whole signal."""
-        _, y = self.step(self.init(), x)
+        """One-shot: fresh state, single step over the whole signal.
+        Uses init_for so blocks whose state is batched by the input
+        shape/dtype (Fir, IirFrame, ...) work on batched input too."""
+        _, y = self.step(self.init_for(x), x)
         return y
 
 
@@ -101,7 +103,10 @@ class Chain(Block):
             s = b.init_for(xl)
             states.append(s)
             out = jax.eval_shape(b.step, s, xl)[1]
-            xl = jnp.zeros(out.shape, out.dtype)
+            # a ShapeDtypeStruct carries shape/dtype to the next
+            # init_for with ZERO device allocation (init_for only
+            # inspects .shape / .dtype / iscomplexobj)
+            xl = jax.ShapeDtypeStruct(out.shape, out.dtype)
         return tuple(states)
 
     def step(self, state: State, x: jax.Array):

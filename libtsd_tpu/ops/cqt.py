@@ -17,7 +17,9 @@ import numpy as np
 
 from ..config import real_dtype
 
-__all__ = ["CqtKernel", "cqt_kernel", "cqt", "cqt_freqs"]
+__all__ = ["CqtKernel", "cqt_kernel", "cqt", "cqt_freqs",
+           "CqtStreamKernel", "cqt_stream_kernel", "cqt_stream",
+           "cqt_interpolate"]
 
 
 @dataclasses.dataclass(frozen=True)

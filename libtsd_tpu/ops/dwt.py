@@ -64,6 +64,10 @@ def dwt_level(x: jax.Array, name: str = "haar"
               ) -> Tuple[jax.Array, jax.Array]:
     """One analysis level: returns (approx, detail), each half length
     (periodized)."""
+    if x.shape[-1] % 2:
+        raise ValueError(
+            f"dwt needs an even length at every level (periodized "
+            f"boundary); got n={x.shape[-1]}")
     lo, hi, _, _, _ = wavelet_filters(name)
     a = _conv_periodic(x, lo)[..., ::2]
     d = _conv_periodic(x, hi)[..., ::2]
@@ -90,6 +94,10 @@ def idwt_level(a: jax.Array, d: jax.Array, name: str = "haar") -> jax.Array:
 def dwt(x: jax.Array, name: str = "haar", levels: int = 1) -> List[jax.Array]:
     """Multi-level DWT: returns [a_L, d_L, d_{L-1}, ..., d_1] (parity:
     tod.cc dwt in-place layout, returned here as a coefficient list)."""
+    if x.shape[-1] % (1 << levels):
+        raise ValueError(
+            f"dwt: n={x.shape[-1]} must be a multiple of 2^levels="
+            f"{1 << levels} (each periodized level halves the length)")
     coeffs = []
     a = x
     for _ in range(levels):

@@ -398,6 +398,10 @@ def _apply_step(target: jax.Array, src: jax.Array, st: LiftStep,
 def lift_dwt_level(x: jax.Array, lift: Lift):
     """One analysis level: returns (approx, detail), each n/2 long
     (parity: OndeletteGen::lift_step, tod.cc:220-240, vectorized)."""
+    if x.shape[-1] % 2:
+        raise ValueError(
+            f"lift_dwt needs an even length at every level; got "
+            f"n={x.shape[-1]}")
     s, d = x[..., ::2], x[..., 1::2]
 
     def scale(s, d):
@@ -447,6 +451,10 @@ def lift_idwt_level(s: jax.Array, d: jax.Array, lift: Lift) -> jax.Array:
 def lift_dwt(x: jax.Array, lift: Lift, levels: int = 1):
     """Multi-level analysis: [d1, d2, ..., a_last] (parity: dwt,
     tod.cc:569-583)."""
+    if x.shape[-1] % (1 << levels):
+        raise ValueError(
+            f"lift_dwt: n={x.shape[-1]} must be a multiple of "
+            f"2^levels={1 << levels}")
     coeffs = []
     a = x
     for _ in range(levels):

@@ -158,8 +158,12 @@ class FRat:
     def __mul__(self, o) -> "FRat":
         if isinstance(o, (int, float, complex)):
             return FRat.make(self.num * o, self.den)
+        # NO auto-simplify: simplify() round-trips through np.roots,
+        # which scatters repeated/clustered roots (a (1-z)^2 cascaded 8x
+        # evaluated with 59x relative error after the round-trip) — the
+        # reference's 'simplifier' is an explicit call too
         return FRat.make(np.convolve(self.num, o.num),
-                         np.convolve(self.den, o.den)).simplify()
+                         np.convolve(self.den, o.den))
 
     __rmul__ = __mul__
 
@@ -168,7 +172,7 @@ class FRat:
             o = FRat.make([o])
         num = polyadd(np.convolve(self.num, o.den),
                       np.convolve(o.num, self.den))
-        return FRat.make(num, np.convolve(self.den, o.den)).simplify()
+        return FRat.make(num, np.convolve(self.den, o.den))
 
     def inv(self) -> "FRat":
         """Parity: FRat::inv."""
@@ -177,7 +181,11 @@ class FRat:
     # --- simplification (parity: frat.hpp 'simplifier') -----------------
     def simplify(self, tol: float = 1e-8) -> "FRat":
         """Cancel zero/pole pairs that match within ``tol`` (the factored
-        form's common-root elimination)."""
+        form's common-root elimination; parity: the reference's explicit
+        `simplifier`).  CAVEAT: works through np.roots/np.poly, which is
+        ill-conditioned for repeated/clustered roots — only call when a
+        cancellation is actually expected.  Returns self unchanged when
+        nothing cancels (skipping the lossy round-trip)."""
         z = list(self.zeros)
         p = list(self.poles)
         kept_z = []
@@ -191,6 +199,8 @@ class FRat:
                 kept_z.append(zz)
             else:
                 p.pop(hit)
+        if len(kept_z) == len(self.zeros):
+            return self          # nothing cancelled: skip the round-trip
         out = FRat.from_zpk(np.asarray(kept_z), np.asarray(p), 1.0)
         # rescale so the function value is preserved (probe away from
         # the remaining roots/poles)

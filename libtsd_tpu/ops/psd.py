@@ -151,7 +151,11 @@ def periodogram_cqt(x: jax.Array, fs: float, fmin: float, fmax: float,
     npad = (-n) % hop
     if npad:
         x = safe_pad(x, 0, npad, axis=-1)
-    times, mags, valid = cqt_stream(jnp.real(x), K)
+    # jit the scan: run EAGERLY, some TPU runtimes cannot transfer the
+    # resulting device arrays back for the host-side interpolation
+    # (UNIMPLEMENTED on certain kernel sizes — see verify notes)
+    times, mags, valid = jax.jit(lambda xx: cqt_stream(xx, K))(
+        jnp.real(x))
     hop_out = max(1, int(round(fs / ofs)))
     grid, freqs, A = cqt_interpolate(times, mags, valid, K, hop_out)
     return grid / fs, freqs * fs, A

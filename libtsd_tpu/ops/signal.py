@@ -29,7 +29,8 @@ __all__ = [
     "db2mag", "mag2db", "db2pow", "pow2db",
     "wrap_2pi", "wrap_pm_pi",
     "downsample", "upsample", "zero_pad", "rotate_vec",
-    "find", "find_first", "length_match",
+    "find", "find_first", "find_last", "find_first_local_max",
+    "length_match", "sample_hold", "trange",
     "sinc", "NCO", "nco_phase", "sliding_frames",
 ]
 
