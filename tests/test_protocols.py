@@ -315,3 +315,61 @@ def test_pocsag_parity_bit_error_patterns():
     msgs = P.PocsagDecoder(P.PocsagConfig(fe=fe, debit=baud)).decode(
         P.pocsag_waveform(bits, fe=fe, debit=baud))
     assert len(msgs) == 1 and msgs[0].text.startswith("PAR OK")
+
+
+@pytest.mark.slow
+def test_adsb_detection_probability_sweep():
+    """Statistical gate: P(decode) vs amplitude-to-noise ratio over many
+    random trials — the detection front end plus the CRC gate must turn
+    on sharply (the reference's test strategy for modems, SURVEY §4,
+    applied to the protocol decoder)."""
+    rng = np.random.default_rng(42)
+    osf = 2
+    dec = A.AdsbDecoder(A.AdsbConfig(fe=2e6, Ne=4096, max_frames=4))
+    wf = A.adsb_waveform(_hexbits(IDENT), osf=osf)
+    trials = 40
+    got = {}
+    for amp in (0.25, 0.5, 1.5):
+        ok = 0
+        for _ in range(trials):
+            x = 0.25 * np.abs(rng.standard_normal(4096)).astype(np.float32)
+            p = int(rng.integers(100, 4096 - len(wf) - 2))
+            x[p:p + len(wf)] += amp * wf
+            frames = dec.decode(x)
+            ok += any(np.array_equal(f.bits, _hexbits(IDENT))
+                      for f in frames)
+        got[amp] = ok / trials
+    # deep fades fail, strong pulses decode essentially always
+    assert got[1.5] >= 0.95, got
+    assert got[0.25] <= 0.5, got
+    # monotone turn-on
+    assert got[0.25] <= got[0.5] <= got[1.5] + 1e-9, got
+
+
+@pytest.mark.slow
+def test_pocsag_message_error_rate_vs_snr():
+    """POCSAG decode probability vs AWGN level at 1200 baud: clean decode
+    well above threshold, graceful loss below."""
+    from libtsd_tpu.models import pocsag as P
+    rng = np.random.default_rng(7)
+    fe, baud = 38400.0, 1200
+    bits = P.pocsag_encode(ric=777, function=3, text="SNR SWEEP")
+    x0 = P.pocsag_waveform(bits, fe=fe, debit=baud)
+    dec = P.PocsagDecoder(P.PocsagConfig(fe=fe, debit=baud))
+    trials = 12
+    rates = {}
+    for sigma in (0.2, 0.9):
+        ok = 0
+        for _ in range(trials):
+            nz = (rng.standard_normal(len(x0))
+                  + 1j * rng.standard_normal(len(x0)))
+            x = x0 + sigma * nz.astype(np.complex64)
+            msgs = dec.decode(x)
+            ok += bool(msgs and msgs[0].ric == 777
+                       and msgs[0].text.startswith("SNR SWEEP"))
+        rates[sigma] = ok / trials
+    # a full-text decode needs EVERY message codeword <= 2 bit errors,
+    # so the turn-on is sharper than the single-codeword tests suggest:
+    # ~11 dB decodes clean, ~-2.6 dB is lossy but must not crash
+    assert rates[0.2] == 1.0, rates
+    assert rates[0.9] < 1.0, rates
