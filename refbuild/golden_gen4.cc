@@ -64,6 +64,10 @@ static void npy_write_header(FILE *f, const char *descr, size_t n)
 static void save_f32(const std::string &path, const Vecf &x)
 {
   FILE *f = fopen(path.c_str(), "wb");
+  if (!f) {
+    fprintf(stderr, "cannot open %s for writing\n", path.c_str());
+    exit(1);
+  }
   npy_write_header(f, "<f4", x.rows());
   for (auto i = 0; i < x.rows(); i++) {
     float v = x(i);
@@ -76,6 +80,10 @@ static void save_f32(const std::string &path, const Vecf &x)
 static void save_f32v(const std::string &path, const std::vector<float> &x)
 {
   FILE *f = fopen(path.c_str(), "wb");
+  if (!f) {
+    fprintf(stderr, "cannot open %s for writing\n", path.c_str());
+    exit(1);
+  }
   npy_write_header(f, "<f4", x.size());
   fwrite(x.data(), 4, x.size(), f);
   fclose(f);
@@ -85,6 +93,10 @@ static void save_f32v(const std::string &path, const std::vector<float> &x)
 static void save_c64(const std::string &path, const Veccf &x)
 {
   FILE *f = fopen(path.c_str(), "wb");
+  if (!f) {
+    fprintf(stderr, "cannot open %s for writing\n", path.c_str());
+    exit(1);
+  }
   npy_write_header(f, "<c8", x.rows());
   for (auto i = 0; i < x.rows(); i++) {
     std::complex<float> v = x(i);
@@ -190,7 +202,15 @@ int main(int argc, char **argv)
       soit rif     = filtre_rif<float, cfloat>(hd);
       soit reechan = filtre_reechan<cfloat>(fe / fs2);
       auto gen_bruit = [&](entier nn) {
-        soit b = randcn(nn);
+        // the reference's CanalDispersif uses its FILE-LOCAL randnc
+        // (simulation.cc:14-20): all n real parts drawn first, then all
+        // n imaginary parts, each scaled 1/sqrt(2) (unit TOTAL
+        // variance).  The public randcn draws interleaved unit-variance
+        // pairs — different stream AND 2x the power, which halved the
+        // effective Rice K in the originally committed golden.
+        Veccf b(nn);
+        b.set_real(randn(nn) / sqrt(2.0f));
+        b.set_imag(randn(nn) / sqrt(2.0f));
         si (rice) {
           b += cfloat(sqrt(K), 0.0f);
           b /= sqrt(square(b).moyenne());

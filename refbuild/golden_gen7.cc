@@ -37,6 +37,10 @@ static void npy_write_header(FILE *f, const char *descr, size_t n)
 static void save_f32(const std::string &path, const Vecf &x)
 {
   FILE *f = fopen(path.c_str(), "wb");
+  if (!f) {
+    fprintf(stderr, "cannot open %s for writing\n", path.c_str());
+    exit(1);
+  }
   npy_write_header(f, "<f4", x.rows());
   for (auto i = 0; i < x.rows(); i++) {
     float v = x(i);

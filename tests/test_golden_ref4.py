@@ -131,14 +131,17 @@ def test_dispersive_rice_stats_match_reference():
     assert abs(gamma(ours) - expect) < 0.15, gamma(ours)
     # The reference's Rice process is measurably SUB-Rayleigh (LOS
     # present: gamma < the Rayleigh value of 1) but its effective K is
-    # heavily diluted (measured gamma ~0.78 ~ K_eff ~0.45, not 4): its
+    # still diluted (golden gamma ~0.57 ~ K_eff ~1.1, not 4): its
     # normalization divides by sqrt of the COMPLEX mean of b^2
     # (simulation.cc:84) and the Doppler filter + resampler rescale LOS
-    # and diffuse parts differently.  Ours implements the standard
-    # K/(K+1) split and hits the theoretical moment.  Assert both show
-    # a LOS (ordering), ours quantitatively.
+    # and diffuse parts differently.  (The golden is generated with the
+    # reference's FILE-LOCAL randnc — split draws, unit TOTAL variance,
+    # simulation.cc:14-20; an earlier generator used the public randcn,
+    # 2x power, which further halved K_eff to ~0.45.)  Ours implements
+    # the standard K/(K+1) split and hits the theoretical moment.
+    # Assert both show a LOS (ordering), ours quantitatively.
     ray = g("g4_disp_y")
-    assert gamma(ref) < 0.9 < gamma(ray) * 1.5, (gamma(ref), gamma(ray))
+    assert gamma(ref) < 0.75 < gamma(ray) * 1.5, (gamma(ref), gamma(ray))
 
 
 # ------------------------------------------------- rt_spectrum sweep
