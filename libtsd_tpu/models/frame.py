@@ -280,6 +280,16 @@ class Receiver(Block):
             taps = self.itp.taps(tau).astype(real_dtype)
             y = jnp.correlate(fr, taps.astype(complex_dtype), mode="valid")
             y = y[: self.frame_len]
+            if self.wf.info.is_fsk:
+                # FSK decodes the instantaneous FREQUENCY: quadrature
+                # discriminator normalized so the constellation levels
+                # come out directly (same scaling as Demodulator step 2;
+                # parity: the reference's receiver demod routes FSK
+                # through its discriminator too, demod-ndec.cc)
+                from .demod import quadrature_discriminator
+                om_max = np.pi * self.wf.info.index / osf
+                y = (quadrature_discriminator(y)
+                     / om_max).astype(complex_dtype)
             # matched filter (warm: y starts e samples before the pattern)
             _, z = self.mf.step(self.mf.init_for(y), y)
             # symbols at header-derived timing: pattern starts at y-index
@@ -289,7 +299,12 @@ class Receiver(Block):
                                                + self.nsym_payload)
             syms = z[sym_idx]
             # decision PLL over the whole frame tracks residual phase
-            _, syms_c = self.pll.step(self.pll.init(), syms)
+            # (meaningless after the FSK discriminator: the signal is a
+            # real frequency track, not a rotating constellation)
+            if self.wf.info.is_fsk:
+                syms_c = syms
+            else:
+                _, syms_c = self.pll.step(self.pll.init(), syms)
             pay = syms_c[self.nsym_header:]
             idx = self.wf.closest(pay)
             bits = symbol_indices_to_bits(idx, k)

@@ -160,7 +160,6 @@ def test_analysis_responses():
 
 
 def test_window_analysis():
-    a_hn = FA.analyze_window(FD.window("hann", 64, sym=True)) if hasattr(FD, 'window') else None
     from libtsd_tpu.ops.window import window
     a_hn = FA.analyze_window(window("hann", 64, sym=True))
     a_re = FA.analyze_window(window("rect", 64))

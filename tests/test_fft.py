@@ -64,9 +64,13 @@ def test_czt_matches_dft(n, m):
     y = np.asarray(F.czt(x, m, W, 1.0))
     # czt on the unit circle with W = exp(-2pi i/m) = unnormalized DFT (zero
     # padded to m)
-    expected = np.fft.fft(np.asarray(x, complex), m) if m >= n else None
-    if m >= n:
-        check_max_error(y, expected, 2e-3)
+    # brute-force chirp-Z reference works for ANY (m, n) — no silent
+    # no-assert path if an m < n case is ever parametrized
+    k = np.arange(m)[:, None]
+    j = np.arange(n)[None, :]
+    expected = (np.asarray(x, complex)[None, :]
+                * (1.0 * W ** (k * j))).sum(axis=1)
+    check_max_error(y, expected, 2e-3)
 
 
 def test_czt_zoom():

@@ -120,11 +120,14 @@ def test_halfband():
     assert abs(h[m] - 0.5) < 1e-9
     odd_taps = [h[k] for k in range(len(h)) if k != m and (k - m) % 2 == 0]
     assert np.max(np.abs(odd_taps)) < 1e-9
-    # half-band symmetry of response: H(f) + H(0.5-f) = 1
-    f, H = freq_resp(h, 1024)
+    # half-band complementarity: H(f) + H(0.5 - f) = 1 (the linear-
+    # phase amplitude, not power — an odd-tap zero-interleaved design
+    # with center 0.5 satisfies it structurally; ASSERT it, the dead
+    # 'rough check' vector never was)
     A = np.fft.rfft(h, 1024)
     mag = np.abs(A)
-    s = mag[:256] ** 2 + mag[512 - np.arange(256) - 0] ** 2  # rough check
+    comp = mag[:256] + mag[512 - np.arange(256)]
+    assert np.max(np.abs(comp - 1.0)) < 0.02, np.max(np.abs(comp - 1.0))
     # main property check: -6 dB at quarter band
     assert abs(mag[256] - 0.5) < 0.01
 

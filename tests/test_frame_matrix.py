@@ -1,9 +1,12 @@
 """Receiver configuration matrix (parity: test_recepteur,
 core/tests/test-telecom.cc:810-929 — the reference sweeps waveform x
 shaping x OSF x integer/fractional delay and requires every frame to
-decode).  Reduced matrix: 7 waveforms (incl. NRZ shaping and 8-PSK with
-a k-aligned sync word) x fractional/integer delay at OSF 4, plus an
-OSF 2 spot-check; gain 1.5, carrier phase 0.7 rad, light noise.
+decode).  Matrix: the reference's full 8-waveform list (bpsk, qpsk,
+pi4-qpsk, 8-psk with a k-aligned sync word, 2-FSK, 4-FSK index 1.0,
+QAM-4, QAM-16) plus an NRZ-shaping row, x fractional/integer delay at
+OSF 4, plus an OSF 2 spot-check; gain 1.5, carrier phase 0.7 rad,
+light noise.  FSK decodes through the receiver's discriminator branch
+(frame.py), like the reference's demod routing.
 """
 import numpy as np
 import jax
@@ -26,7 +29,10 @@ WFS = {
     "qpsk": lambda: WF.wf_qpsk(WF.PulseShape.rcs(0.5)),
     "pi4qpsk": lambda: WF.wf_pi4_qpsk(WF.PulseShape.rcs(0.5)),
     "psk8": lambda: WF.wf_psk(8, WF.PulseShape.rcs(0.5)),
+    "qam4": lambda: WF.wf_qam(4, WF.PulseShape.rcs(0.5)),
     "qam16": lambda: WF.wf_qam(16, WF.PulseShape.rcs(0.5)),
+    "fsk2": lambda: WF.wf_fsk(2, index=1.0, shaping=WF.PulseShape.nrz()),
+    "fsk4": lambda: WF.wf_fsk(4, index=1.0, shaping=WF.PulseShape.nrz()),
     "qpsk-nrz": lambda: WF.wf_qpsk(WF.PulseShape.nrz()),
 }
 

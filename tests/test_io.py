@@ -182,7 +182,6 @@ def test_stream_runner_matches_oneshot_real():
     # samples still counts the dispatched work
     assert runner.monitor.stats.count == 1
     assert runner.monitor.stats.samples == 768
-    assert runner.monitor.stats.samples == 768
 
 
 def test_stream_runner_complex_sink():

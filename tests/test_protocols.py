@@ -166,10 +166,8 @@ def test_pocsag_single_bit_error_correction():
     from libtsd_tpu.models import pocsag as P
     fe, baud = 38400.0, 1200
     bits = P.pocsag_encode(ric=42, function=3, text="BCH OK")
-    # flip one payload bit INSIDE a message codeword (past preamble+FSC)
-    k = 576 + 32 + 2 * 32 + 5   # frame 1 area... ensure message region
-    # find the first message codeword start: address is at frame (42&7)=2
-    # -> codeword slot 4; message follows in slot 5
+    # flip one payload bit inside the first MESSAGE codeword: address
+    # for ric=42 sits at frame (42&7)=2 -> slot 4; message is slot 5
     k = 576 + 32 + 5 * 32 + 7
     bits = bits.copy()
     bits[k] ^= 1

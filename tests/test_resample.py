@@ -130,7 +130,9 @@ def test_interpolator_delays_tone(kind, K):
     x = np.cos(2 * np.pi * f0 * np.arange(n))
     taus = np.array([0.0, 0.25, 0.5, 0.75])
     T = np.asarray(itrp.taps(jnp.asarray(taus, jnp.float32)))
-    K = itrp.K
+    # pin the declared kernel size — the parametrized K exists to catch
+    # a make_interpolator regression, not to be silently shadowed
+    assert itrp.K == K, (kind, itrp.K, K)
     base = 30
     for tau, taps in zip(taus, T):
         # window covering x[base .. base+K-1]; interpolation lands at

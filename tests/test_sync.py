@@ -255,11 +255,26 @@ def test_ped_detects_rotation(ped_name):
                                                ped_tloop)
     ped = {"ploop": ped_ploop(2), "tloop": ped_tloop(2),
            "costas": ped_costas(2)}[ped_name]
+    # (a) the reference's own case: constant phasor at phase 2*pi*f
+    # (test-crec.cc feeds exp(2*pi*i*f) at EVERY sample — parity)
     N, f = 512, 0.02
     x = np.exp(2j * np.pi * f * np.ones(N)).astype(np.complex64)
     phi = np.asarray(jax.vmap(ped)(jnp.asarray(x)))
     f_det = float(phi.mean()) / (2 * np.pi)
     assert abs(f_det - f) / f < 0.10, (ped_name, f_det)
+    # (b) BEYOND the reference: sweep the detector's whole M=2 decision
+    # sector — phi_det(exp(i*phi)) must track phi across (-pi/4, pi/4),
+    # catching sign/wrapping/modulation-removal errors the single
+    # static-phase case cannot
+    phis = np.linspace(-0.7, 0.7, 29)        # inside +-pi/4 ~ 0.785
+    xs = np.exp(1j * phis).astype(np.complex64)
+    det = np.asarray(jax.vmap(ped)(jnp.asarray(xs)))
+    # ploop/costas soften near the sector edge (sin(M phi)/M-type
+    # curves); demand monotone tracking and <10% error in the core
+    core = np.abs(phis) < 0.4
+    assert np.max(np.abs(det[core] - phis[core])
+                  / np.maximum(np.abs(phis[core]), 0.05)) < 0.25, ped_name
+    assert np.all(np.diff(det) > -1e-6), (ped_name, det)
 
 
 def test_cpll_bpsk_noise_phase_doppler():

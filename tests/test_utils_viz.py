@@ -251,9 +251,10 @@ def test_plot_plz_and_ellipse(tmp_path):
     from libtsd_tpu.viz.figure import (plot_plz, covariance_ellipse,
                                        plot_covariance_ellipse, Figure)
     from libtsd_tpu.ops import iir_design as ID
+    # plot a REAL designed filter (not dead hardcoded literals)
     zpk = ID.design_iir(4, "lp", "butt", 0.1)
-    b, a = ID.zpk_to_ba(zpk) if hasattr(ID, "zpk_to_ba") else (None, None)
-    f = plot_plz([1.0, -0.5], [1.0, -0.9])
+    b, a = ID.zpk_to_ba(zpk)
+    f = plot_plz(np.asarray(b), np.asarray(a))
     f.save(str(tmp_path / "plz.png"))
     assert (tmp_path / "plz.png").exists()
 
