@@ -120,14 +120,17 @@ def test_halfband():
     assert abs(h[m] - 0.5) < 1e-9
     odd_taps = [h[k] for k in range(len(h)) if k != m and (k - m) % 2 == 0]
     assert np.max(np.abs(odd_taps)) < 1e-9
-    # half-band complementarity: H(f) + H(0.5 - f) = 1 (the linear-
-    # phase amplitude, not power — an odd-tap zero-interleaved design
-    # with center 0.5 satisfies it structurally; ASSERT it, the dead
-    # 'rough check' vector never was)
-    A = np.fft.rfft(h, 1024)
-    mag = np.abs(A)
-    comp = mag[:256] + mag[512 - np.arange(256)]
-    assert np.max(np.abs(comp - 1.0)) < 0.02, np.max(np.abs(comp - 1.0))
+    # half-band complementarity: A(f) + A(0.5 - f) = 1 where A is the
+    # SIGNED zero-phase amplitude (remove the linear phase e^{-j2pi f m}
+    # first; |H| would add 2*|ripple| wherever the stopband amplitude
+    # goes negative).  Structural for an odd-tap zero-interleaved design
+    # with center 0.5, so the tolerance is float-level.
+    H = np.fft.rfft(h, 1024)
+    k = np.arange(513)
+    amp = np.real(H * np.exp(2j * np.pi * k * m / 1024))
+    comp = amp[:256] + amp[512 - np.arange(256)]
+    assert np.max(np.abs(comp - 1.0)) < 1e-9, np.max(np.abs(comp - 1.0))
+    mag = np.abs(H)
     # main property check: -6 dB at quarter band
     assert abs(mag[256] - 0.5) < 0.01
 

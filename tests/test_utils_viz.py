@@ -253,7 +253,7 @@ def test_plot_plz_and_ellipse(tmp_path):
     from libtsd_tpu.ops import iir_design as ID
     # plot a REAL designed filter (not dead hardcoded literals)
     zpk = ID.design_iir(4, "lp", "butt", 0.1)
-    b, a = ID.zpk_to_ba(zpk)
+    b, a = zpk.to_ba()
     f = plot_plz(np.asarray(b), np.asarray(a))
     f.save(str(tmp_path / "plz.png"))
     assert (tmp_path / "plz.png").exists()
