@@ -25,7 +25,7 @@ __all__ = [
     "AMConfig", "am_modulate", "am_demodulate", "hilbert_analytic",
     "hilbert_tfd",
     "fm_broadcast_mono", "fm_broadcast_demodulate",
-    "fm_broadcast_multiplex",
+    "fm_broadcast_multiplex", "fm_pilot_unit",
 ]
 
 
@@ -189,6 +189,31 @@ def fm_broadcast_mono(x: jax.Array, fe: float) -> jax.Array:
     return fir_filter(h_audio, a3)
 
 
+def fm_pilot_unit(a3: jax.Array, fech2: float) -> jax.Array:
+    """Recover the 19 kHz stereo pilot from a broadcast FM multiplex and
+    return it as a UNIT-magnitude analytic signal e^{i(2*pi*19k*t + phi)}.
+
+    This is the coherent reference for BOTH subcarriers of the multiplex:
+    its square is the 38 kHz L-R carrier (fm_broadcast_demodulate) and its
+    cube the 57 kHz RDS carrier (models/rds.py).  Pilot tracking = exact
+    downconversion to DC, 500 Hz lowpass, complex PLL; the loop phase
+    theta = arg(xb * conj(pll_out)) is re-applied because the CPLL output
+    itself is derotated to zero phase by construction."""
+    from ..ops.fir_design import raised_cosine
+    from .carrier_rec import Cpll, CpllConfig
+    f19 = 19e3 / fech2
+    n = a3.shape[-1]
+    lo = jnp.exp(-2j * jnp.pi * cycles(f19, n)).astype(complex_dtype)
+    h_bb = raised_cosine(127, 0.1, (500.0 / fech2) / 2)
+    xb = fir_filter(h_bb, a3.astype(complex_dtype) * lo)
+    cpll = Cpll(cfg=CpllConfig(ped="tloop", M=1, order=2,
+                               BL=250.0 / fech2))
+    _, x3 = cpll.step(cpll.init(), xb)
+    rot = xb * jnp.conj(x3)
+    zu = rot / jnp.maximum(jnp.abs(rot), 1e-12)   # e^{i theta_loop}
+    return zu * jnp.conj(lo)            # unit analytic 19 kHz pilot
+
+
 def fm_broadcast_demodulate(x: jax.Array, fe: float
                             ) -> Tuple[jax.Array, jax.Array]:
     """Full broadcast FM STEREO receiver -> (L, R) audio.
@@ -210,42 +235,35 @@ def fm_broadcast_demodulate(x: jax.Array, fe: float
     phase-shifts the regenerated subcarrier (the reference's own TODO,
     analogique.cc:587-589) — we compensate the known linear phase."""
     from ..ops.fir_design import raised_cosine
-    from .carrier_rec import Cpll, CpllConfig
     a3, fech2, _ = _fm_broadcast_front(x, fe)
     h_audio = raised_cosine(255, 0.1, 15e3 / fech2)
     x_lpr = fir_filter(h_audio, a3)
-    # pilot recovery: downconvert 19 kHz -> DC, narrow lowpass, CPLL
-    f19 = 19e3 / fech2
-    n = a3.shape[-1]
-    lo = jnp.exp(-2j * jnp.pi * cycles(f19, n)).astype(complex_dtype)
-    ncoefs_bb = 127
-    h_bb = raised_cosine(ncoefs_bb, 0.1, (500.0 / fech2) / 2)
-    xb = fir_filter(h_bb, a3.astype(complex_dtype) * lo)
-    cpll = Cpll(cfg=CpllConfig(ped="tloop", M=1, order=2,
-                               BL=250.0 / fech2))
-    _, x3 = cpll.step(cpll.init(), xb)
-    # The CPLL's OUTPUT is derotated to zero phase by construction — the
-    # locked pilot phase is theta = arg(xb * conj(x3)).  (The reference's
-    # RPLL regeneration conj(osc)*x3, carrier-rec.cc:242-253, discards
-    # exactly this phase — the third defect of its stereo path.)
-    rot = xb * jnp.conj(x3)
-    zu = rot / jnp.maximum(jnp.abs(rot), 1e-12)   # e^{i theta_loop}
-    z19 = zu * jnp.conj(lo)                 # unit analytic 19 kHz pilot
+    # Pilot recovery (fm_pilot_unit): downconvert 19 kHz -> DC, narrow
+    # lowpass, CPLL.  (The reference's RPLL regeneration conj(osc)*x3,
+    # carrier-rec.cc:242-253, discards the loop phase — the third defect
+    # of its stereo path.)
+    z19 = fm_pilot_unit(a3, fech2)          # unit analytic 19 kHz pilot
     sub38 = jnp.real(z19 * z19)             # cos(2 * (2 pi 19k t + phi))
     x_lmr = fir_filter(h_audio, a3 * 2.0 * sub38)
     return x_lpr + x_lmr, x_lpr - x_lmr
 
 
 def fm_broadcast_multiplex(audio_l: jax.Array, audio_r: jax.Array,
-                           fe: float, pilot_level: float = 0.1
+                           fe: float, pilot_level: float = 0.1,
+                           rds: Optional[jax.Array] = None
                            ) -> jax.Array:
     """Build a broadcast FM stereo IF signal (test/bench source): the
     standard multiplex m = 0.5(L+R) + pilot*cos(2 pi 19k t) +
-    0.5(L-R)cos(2 pi 38k t), FM-modulated at 75 kHz excursion."""
+    0.5(L-R)cos(2 pi 38k t) [+ rds], FM-modulated at 75 kHz excursion.
+
+    ``rds``: an optional pre-built 57 kHz RDS component at rate fe
+    (models/rds.rds_subcarrier — phase-locked to the same pilot)."""
     n = audio_l.shape[-1]
     c19 = jnp.cos(2 * jnp.pi * cycles(19e3 / fe, n))
     c38 = jnp.cos(2 * jnp.pi * cycles(38e3 / fe, n))
     m = (0.5 * (audio_l + audio_r) + pilot_level * c19
          + 0.5 * (audio_l - audio_r) * c38)
+    if rds is not None:
+        m = m + rds
     ph = 2 * jnp.pi * (75e3 / fe) * jnp.cumsum(m, axis=-1)
     return jnp.exp(1j * ph).astype(complex_dtype)

@@ -1,0 +1,97 @@
+"""RDS (IEC 62106) encoder/decoder tests.
+
+The reference's RDS decode is dead code (analogique.cc:528-560: `nerrs`
+never accumulated, data blocks never extracted) so no binary golden is
+possible; validation is against the public standard's code structure
+(self-consistent GF(2) derivations two independent ways) plus full
+loopback through the broadcast FM chain.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from libtsd_tpu.models import rds as R
+from libtsd_tpu.models.analog import fm_broadcast_multiplex
+
+
+def test_code_structure():
+    # Two independent derivations of the (26,16) code must agree:
+    # polynomial long division (rds_checkword) vs the syndrome matrix
+    # built from x^k mod g(x) (_HT): every systematic codeword's
+    # syndrome must be zero, and every offset block's syndrome must be
+    # the offset word's own syndrome.
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        m = int(rng.integers(0, 1 << 16))
+        cw = (m << 10) | R.rds_checkword(m)
+        assert R._synd_int(cw) == 0
+        for off in ("A", "B", "C", "Cp", "D"):
+            blk = R.rds_encode_block(m, off)
+            assert R._synd_int(blk) == R._OFFSET_SYND[off]
+    # offset syndromes are pairwise distinct (unambiguous block sync)
+    ss = list(R._OFFSET_SYND.values())
+    assert len(set(ss)) == len(ss)
+
+
+def test_burst_correction():
+    # any single burst of <= 5 bits is corrected exactly
+    rng = np.random.default_rng(3)
+    for _ in range(60):
+        m = int(rng.integers(0, 1 << 16))
+        blk = R.rds_encode_block(m, "B")
+        length = int(rng.integers(1, 6))
+        start = int(rng.integers(0, 26 - length + 1))
+        if length == 1:
+            e = 1 << (25 - start)
+        else:
+            mid = int(rng.integers(0, 1 << max(0, length - 2)))
+            e = ((1 << (length - 1)) | 1 | (mid << 1)) << (26 - length - start)
+        r = blk ^ e
+        s = R._synd_int(r) ^ R._OFFSET_SYND["B"]
+        assert R._BURST.get(s) == e, (length, start)
+
+
+def _test_groups():
+    pi, pty = 0xF201, 4
+    groups = [R.rds_group_0a(pi, pty, seg, "TSD TPU!"[2 * seg: 2 * seg + 2])
+              for seg in range(4)]
+    groups += [R.rds_group_2a(pi, pty, a, "TPU NATIVE DSP! "[4 * a: 4 * a + 4])
+               for a in range(4)]
+    return pi, pty, groups
+
+
+def test_mpx_loopback():
+    # pilot + RDS multiplex synthesized directly at the multiplex rate,
+    # decoded coherently off the recovered pilot
+    fs = 1.024e6 / 7            # the broadcast front end's fech2
+    pi, pty, groups = _test_groups()
+    bits = R.rds_encode_groups(groups * 3)
+    n = int(len(bits) / R._BITRATE * fs) + 4096
+    from libtsd_tpu.ops.signal import cycles
+    pilot = 0.1 * jnp.cos(2 * jnp.pi * cycles(19e3 / fs, n))
+    mpx = pilot + R.rds_subcarrier(bits, fs, n)
+    got = R.rds_decode_mpx(mpx, fs)
+    ok = [g for g in got if g.errors[0] == 0 and g.pi == pi]
+    assert len(ok) >= 8, f"{len(got)} groups, {len(ok)} with PI"
+    assert R.rds_station_name(got) == "TSD TPU!"
+    assert R.rds_radiotext(got) == "TPU NATIVE DSP!"
+    assert all(g.pty == pty for g in ok)
+
+
+@pytest.mark.slow
+def test_fm_if_loopback():
+    # full chain: stereo audio + RDS -> FM IF at 1.024 MHz -> front end
+    # -> coherent RDS decode; the stereo path must be unaffected
+    fe = 1.024e6
+    pi, _, groups = _test_groups()
+    bits = R.rds_encode_groups(groups * 3)
+    n = int(len(bits) / R._BITRATE * fe) + 65536
+    from libtsd_tpu.ops.signal import cycles
+    al = 0.3 * jnp.sin(2 * jnp.pi * cycles(440.0 / fe, n))
+    ar = 0.3 * jnp.sin(2 * jnp.pi * cycles(1000.0 / fe, n))
+    rds_c = R.rds_subcarrier(bits, fe, n)
+    x = fm_broadcast_multiplex(al, ar, fe, rds=rds_c)
+    got = R.rds_decode(x, fe)
+    ok = [g for g in got if g.errors[0] == 0 and g.pi == pi]
+    assert len(ok) >= 8, f"{len(got)} groups, {len(ok)} with PI"
+    assert R.rds_station_name(got) == "TSD TPU!"
