@@ -75,6 +75,33 @@ def pocsag_demo():
         print(f"  RIC {m.ric}  fn {m.function}  text: {m.text!r}")
 
 
+def rds_demo():
+    print("== RDS ==")
+    import jax.numpy as jnp
+    from libtsd_tpu.models import rds as R
+    from libtsd_tpu.models.analog import fm_broadcast_multiplex
+    from libtsd_tpu.ops.signal import cycles
+    fe = 1.024e6
+    pi, pty = 0xF201, 10
+    groups = [R.rds_group_0a(pi, pty, s, "TSD TPU!"[2 * s:2 * s + 2])
+              for s in range(4)]
+    groups += [R.rds_group_2a(pi, pty, a, "TPU NATIVE DSP! "[4 * a:4 * a + 4])
+               for a in range(4)]
+    bits = R.rds_encode_groups(groups * 3)
+    n = int(len(bits) / R._BITRATE * fe) + 65536
+    al = 0.3 * jnp.sin(2 * jnp.pi * cycles(440.0 / fe, n))
+    ar = 0.3 * jnp.sin(2 * jnp.pi * cycles(1000.0 / fe, n))
+    x = fm_broadcast_multiplex(al, ar, fe,
+                               rds=R.rds_subcarrier(bits, fe, n))
+    got = R.rds_decode(x, fe)     # full FM front end + coherent decode
+    ok = [g for g in got if g.errors[0] == 0]
+    print(f"  groups decoded: {len(got)} ({len(ok)} clean)")
+    print(f"  PI: 0x{ok[0].pi:04X}  PTY: {ok[0].pty}")
+    print(f"  PS name:   {R.rds_station_name(got)!r}")
+    print(f"  RadioText: {R.rds_radiotext(got)!r}")
+
+
 if __name__ == "__main__":
     adsb_demo()
     pocsag_demo()
+    rds_demo()
