@@ -78,6 +78,28 @@ def test_mpx_loopback():
     assert all(g.pty == pty for g in ok)
 
 
+def test_mpx_loopback_noisy():
+    # wideband AWGN at 2.5x the subcarrier amplitude: the burst-error
+    # corrector must actually fire (calibrated: seed 5 / sigma 0.15
+    # yields ~9 corrected blocks) and the PS name must survive intact
+    fs = 1.024e6 / 7
+    pi, pty, groups = _test_groups()
+    groups = [g for g in groups if (g[1] >> 12) == 0]     # 0A only
+    bits = R.rds_encode_groups(groups * 4)
+    n = int(len(bits) / R._BITRATE * fs) + 4096
+    from libtsd_tpu.ops.signal import cycles
+    pilot = 0.1 * jnp.cos(2 * jnp.pi * cycles(19e3 / fs, n))
+    mpx = pilot + R.rds_subcarrier(bits, fs, n)
+    rng = np.random.default_rng(5)
+    noisy = mpx + jnp.asarray(rng.standard_normal(n) * 0.15, jnp.float32)
+    got = R.rds_decode_mpx(noisy, fs)
+    corrected = sum(1 for g in got for e in g.errors if e > 0)
+    bad = sum(1 for g in got for e in g.errors if e < 0)
+    assert corrected >= 3, corrected        # correction exercised
+    assert bad == 0
+    assert R.rds_station_name(got) == "TSD TPU!"
+
+
 @pytest.mark.slow
 def test_fm_if_loopback():
     # full chain: stereo audio + RDS -> FM IF at 1.024 MHz -> front end
