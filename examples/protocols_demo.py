@@ -96,7 +96,10 @@ def rds_demo():
     got = R.rds_decode(x, fe)     # full FM front end + coherent decode
     ok = [g for g in got if g.errors[0] == 0]
     print(f"  groups decoded: {len(got)} ({len(ok)} clean)")
-    print(f"  PI: 0x{ok[0].pi:04X}  PTY: {ok[0].pty}")
+    if ok:
+        print(f"  PI: 0x{ok[0].pi:04X}  PTY: {ok[0].pty}")
+    else:
+        print("  no clean PI block decoded (all groups carry errors)")
     print(f"  PS name:   {R.rds_station_name(got)!r}")
     print(f"  RadioText: {R.rds_radiotext(got)!r}")
 

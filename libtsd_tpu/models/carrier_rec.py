@@ -235,6 +235,35 @@ class Cpll(Block):
         state, y = jax.lax.scan(body, state, (x, valid))
         return state, y
 
+    def step_aided(self, state, x: jax.Array, ref: jax.Array,
+                   ref_mask: jax.Array):
+        """PLL step with per-symbol data-aided phase errors where
+        ``ref_mask`` is True: e = arg(y * conj(ref)) against the KNOWN
+        symbol ``ref`` (e.g. a frame's sync header), falling back to the
+        configured PED elsewhere.  Used by the frame receiver when the
+        header rides a different waveform than the payload (fo_entete,
+        telecom.hpp:1214): the payload-constellation PED would compute
+        nonsense decisions on the header symbols, but the header symbols
+        are known exactly — data-aided tracking there is strictly
+        better."""
+        lf = self._lf
+        ped = self._ped
+
+        def body(st, inp):
+            xi, r, use_r = inp
+            theta = st[0] if isinstance(st, tuple) else st
+            y = xi * jnp.exp(-1j * theta).astype(complex_dtype)
+            e_dd = ped(y)
+            # guard |ref| ~ 0 (angle(0) is 0 but keep the branch safe)
+            e_da = jnp.angle(y * jnp.conj(r)
+                             + jnp.asarray(1e-30, complex_dtype))
+            e = jnp.where(use_r, e_da, e_dd)
+            st, _ = lf.step(st, e)
+            return st, y
+
+        state, y = jax.lax.scan(body, state, (x, ref, ref_mask))
+        return state, y
+
 
 class Rpll(Block):
     """Real-input PLL: downconvert by a nominal frequency, baseband image

@@ -38,24 +38,45 @@ __all__ = ["FrameFormat", "Transmitter", "Receiver", "FrameRx",
 
 @dataclasses.dataclass(frozen=True)
 class FrameFormat:
-    """Parity: TrameFormat, telecom.hpp:1181-1220."""
+    """Parity: TrameFormat, telecom.hpp:1205-1218.
+
+    ``header_wf``: optional distinct waveform for the sync header
+    (parity: fo_entete, telecom.hpp:1214 — robust-header mode, e.g. a
+    BPSK header in front of a QAM payload).  It must share the payload
+    waveform's pulse shape: the reference's emitter shapes both through
+    ONE filter (emetteur.cc:80-95, def_forme_onde swaps only the symbol
+    mapper).  Rotating payload waveforms (pi/4-QPSK) are not supported
+    together with a distinct header (the payload's rotation parity would
+    need to continue through the header's symbol count)."""
     modulation: ModConfig = None
     header_bits: tuple = ()        # sync word (entête)
     payload_bits: int = 256        # nbits payload per frame
+    header_wf: object = None       # fo_entete (None = payload waveform)
 
 
 class Transmitter(Block):
     """header + payload -> modulated frame samples (parity: Émetteur,
-    emetteur.cc:14-125)."""
+    emetteur.cc:14-125; distinct header waveform per emetteur.cc:80-95)."""
 
     mod: Modulator
+    hdr_wf: Optional[Waveform]
     fmt: FrameFormat = struct.field(pytree_node=False)
 
     @classmethod
     def create(cls, fmt: FrameFormat) -> "Transmitter":
+        hdr_wf = fmt.header_wf
+        if hdr_wf is not None:
+            if fmt.modulation.wf.rotating:
+                raise ValueError("distinct header waveform + rotating "
+                                 "payload waveform is unsupported")
+            if len(fmt.header_bits) % hdr_wf.info.k:
+                raise ValueError("header bit count must be a multiple of "
+                                 "the header waveform's bits/symbol")
         fmt_static = dataclasses.replace(
-            fmt, modulation=dataclasses.replace(fmt.modulation, wf=None))
-        return cls(mod=Modulator.create(fmt.modulation), fmt=fmt_static)
+            fmt, header_wf=None,
+            modulation=dataclasses.replace(fmt.modulation, wf=None))
+        return cls(mod=Modulator.create(fmt.modulation), hdr_wf=hdr_wf,
+                   fmt=fmt_static)
 
     def init(self):
         return self.mod.init()
@@ -66,8 +87,17 @@ class Transmitter(Block):
 
     def step(self, state, payload_bits: jax.Array):
         hdr = jnp.asarray(self.fmt.header_bits, jnp.int8)
-        bits = jnp.concatenate([hdr, payload_bits.astype(jnp.int8)])
-        return self.mod.step(state, bits)
+        if self.hdr_wf is None:
+            bits = jnp.concatenate([hdr, payload_bits.astype(jnp.int8)])
+            return self.mod.step(state, bits)
+        # fo_entete: header symbols from the header waveform, payload
+        # symbols from the payload waveform, ONE shared shaping filter
+        # (symbol-stream concatenation == the reference's two step()
+        # calls on one modulator, emetteur.cc:88-94)
+        syms = jnp.concatenate([
+            self.hdr_wf.make_symbols(hdr),
+            self.mod.wf.make_symbols(payload_bits.astype(jnp.int8))])
+        return self.mod.step_symbols(state, syms)
 
     def transmit(self, payload_bits: jax.Array) -> jax.Array:
         """One-shot: frame samples including modulator flush."""
@@ -103,6 +133,7 @@ class Receiver(Block):
     mf: Fir
     pll: Cpll
     wf: Waveform
+    hdr_wf: Optional[Waveform]     # distinct header waveform (fo_entete)
     itp: Interpolator
     fmt: FrameFormat = struct.field(pytree_node=False)
     nsym_header: int = struct.field(pytree_node=False)
@@ -116,6 +147,10 @@ class Receiver(Block):
     def create(cls, fmt: FrameFormat,
                det_cfg: DetectorConfig = DetectorConfig()) -> "Receiver":
         wf = fmt.modulation.wf
+        hdr_wf = fmt.header_wf if fmt.header_wf is not None else wf
+        if fmt.header_wf is not None and wf.rotating:
+            raise ValueError("distinct header waveform + rotating "
+                             "payload waveform is unsupported")
         osf = fmt.modulation.osf
         # header reference waveform (shaped), generated at BASEBAND: for an
         # IF signal (fi != 0) the receiver mixes to baseband first
@@ -129,20 +164,28 @@ class Receiver(Block):
         # which some TPU runtimes cannot read back); eager op-by-op
         # execution is also unsupported there, and complex64 device->host
         # transfers are UNIMPLEMENTED — move real/imag planes separately
-        def _hdr(m, b):
-            w = m.modulate(b)[0]
+        def _hdr(m, hw, b):
+            # header symbols come from the HEADER waveform; the shaping
+            # filter is the payload modulator's (the emitter's single
+            # shared filter, emetteur.cc:80-95)
+            st = m.init()
+            st, y1 = m.step_symbols(st, hw.make_symbols(b))
+            _, y2 = m.flush(st)
+            w = jnp.concatenate([y1, y2])
             return jnp.stack([jnp.real(w), jnp.imag(w)])
-        planes = np.asarray(jax.jit(_hdr)(mod, hdr_bits))
+        planes = np.asarray(jax.jit(_hdr)(mod, hdr_wf, hdr_bits))
         hdr_wave = planes[0] + 1j * planes[1]
         k = wf.info.k
-        if len(fmt.header_bits) % k or fmt.payload_bits % k:
+        k_hdr = hdr_wf.info.k
+        if len(fmt.header_bits) % k_hdr or fmt.payload_bits % k:
             raise ValueError(
-                f"header ({len(fmt.header_bits)}) and payload "
-                f"({fmt.payload_bits}) bit counts must be multiples of "
-                f"k={k} bits/symbol for this waveform — a partial symbol "
-                f"would silently shift every following symbol (pad the "
-                f"sync word: e.g. 66 header bits for 8-PSK)")
-        nsym_header = len(fmt.header_bits) // k
+                f"header ({len(fmt.header_bits)}) bits must be a multiple "
+                f"of the header waveform's k={k_hdr} and payload "
+                f"({fmt.payload_bits}) of the payload waveform's k={k} "
+                f"bits/symbol — a partial symbol would silently shift "
+                f"every following symbol (pad the sync word: e.g. 66 "
+                f"header bits for 8-PSK)")
+        nsym_header = len(fmt.header_bits) // k_hdr
         nsym_payload = fmt.payload_bits // k
         d = int(round(mod.delay))
         # non-integer modulator latency: the pattern starts dt_mod samples
@@ -159,13 +202,15 @@ class Receiver(Block):
         itp = make_interpolator("sinc", ncoefs=15, nphases=256,
                                 fcut=0.45 if osf > 1 else 0.5)
         fmt_static = dataclasses.replace(
-            fmt, modulation=dataclasses.replace(fmt.modulation, wf=None))
+            fmt, header_wf=None,
+            modulation=dataclasses.replace(fmt.modulation, wf=None))
         # history budget: a deferred detection (frame cut by the block
         # edge) is re-extracted next block starting up to
         # frame_len + 2K + int(mf.delay) samples back — keep that much
         # plus the detector's own M-sample lag
         hist_len = frame_len + det.M + 3 * itp.K + int(mf.delay)
-        return cls(det=det, mf=mf, pll=pll, wf=wf, itp=itp, fmt=fmt_static,
+        return cls(det=det, mf=mf, pll=pll, wf=wf,
+                   hdr_wf=fmt.header_wf, itp=itp, fmt=fmt_static,
                    nsym_header=nsym_header,
                    nsym_payload=nsym_payload, frame_len=frame_len,
                    hist_len=hist_len,
@@ -301,10 +346,24 @@ class Receiver(Block):
             # decision PLL over the whole frame tracks residual phase
             # (meaningless after the FSK discriminator: the signal is a
             # real frequency track, not a rotating constellation)
+            hw = self.wf if self.hdr_wf is None else self.hdr_wf
+            ref_h = hw.make_symbols(
+                jnp.asarray(self.fmt.header_bits, jnp.int8))
             if self.wf.info.is_fsk:
                 syms_c = syms
-            else:
+            elif self.hdr_wf is None:
                 _, syms_c = self.pll.step(self.pll.init(), syms)
+            else:
+                # fo_entete: the payload PED would mis-decide the header
+                # constellation — track the header data-aided (the sync
+                # word is known), then decision-directed on the payload
+                nsym = self.nsym_header + self.nsym_payload
+                refs = jnp.concatenate([
+                    ref_h.astype(complex_dtype),
+                    jnp.zeros((self.nsym_payload,), complex_dtype)])
+                aided = jnp.arange(nsym) < self.nsym_header
+                _, syms_c = self.pll.step_aided(self.pll.init(), syms,
+                                                refs, aided)
             pay = syms_c[self.nsym_header:]
             idx = self.wf.closest(pay)
             bits = symbol_indices_to_bits(idx, k)
@@ -312,8 +371,6 @@ class Receiver(Block):
             # plus decision-directed payload (many more samples than the
             # header alone, so the estimate doesn't floor at high SNR);
             # EsN0 -> /k bits per symbol
-            ref_h = self.wf.make_symbols(
-                jnp.asarray(self.fmt.header_bits, jnp.int8))
             ref_p = self.wf.symbols[idx]
             ref = jnp.concatenate([ref_h, ref_p])
             evm2 = jnp.mean(jnp.abs(syms_c - ref) ** 2)

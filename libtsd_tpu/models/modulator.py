@@ -108,8 +108,17 @@ class Modulator(Block):
         return y, ph, fsk_ph
 
     def step(self, state, bits: jax.Array):
+        return self.step_symbols(state, self.wf.make_symbols(bits))
+
+    def step_symbols(self, state, symbs: jax.Array):
+        """Feed already-mapped symbols through the shared shaping filter +
+        IF chain.  This is the hook for a distinct header waveform
+        (fo_entete): the reference swaps only the symbol mapper mid-frame
+        (Modulateur::def_forme_onde, modulateur.cc:43-46) while the
+        shaping filter and NCO keep their state — here the caller maps
+        header and payload bits with their own waveforms and concatenates
+        the symbol streams."""
         sh_state, ph, fsk_ph = state
-        symbs = self.wf.make_symbols(bits)
         sh_state, y = self.shaper.step(sh_state, symbs)
         y, ph, fsk_ph = self._post_shaper(y, ph, fsk_ph)
         return (sh_state, ph, fsk_ph), y

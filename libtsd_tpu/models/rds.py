@@ -192,7 +192,12 @@ def rds_subcarrier(bits: np.ndarray, fe: float, n: int,
     pm = 1.0 - 2.0 * d[idx]
     wave = jnp.asarray(np.where(half, -pm, pm) *
                        (t < len(d)), real_dtype)
-    h = fir_lowpass(255, 2400.0 / fe)
+    # Tap count scales with fe so the windowed-sinc transition width
+    # (~3.3/N normalized) stays ~1.5 kHz in absolute terms — a fixed
+    # 255 taps at fe ~ 1 MHz would leave the biphase sidebands nearly
+    # unattenuated out to the 53 kHz edge of the L-R stereo band.
+    nt = min(4095, int(np.ceil(3.3 * fe / 1500.0)) | 1)
+    h = fir_lowpass(nt, 2400.0 / fe)
     bb = fir_filter(h, wave)
     c57 = jnp.cos(2 * jnp.pi * 3.0 * cycles(19e3 / fe, n))
     return level * bb * c57
@@ -252,9 +257,18 @@ def _sync_and_decode(bits: np.ndarray) -> Tuple[int, List[RdsGroup]]:
             word = int(w @ (1 << np.arange(_NBLK - 1, -1, -1,
                                            dtype=np.int64)))
             s = _synd_int(word)
-            expect = [_OFFSET_SYND[off]]
             if off == "C":
-                expect.append(_OFFSET_SYND["Cp"])
+                # The group's version bit (block B bit 11, decoded at
+                # k==1 before we get here) selects offset C vs C'.  Try
+                # the expected offset FIRST: a corrupted block 3 whose
+                # syndrome lands in the 367-entry burst table for the
+                # WRONG offset (~36 % chance) would otherwise be
+                # silently miscorrected against it.
+                expect = ([_OFFSET_SYND["Cp"], _OFFSET_SYND["C"]]
+                          if version_b else
+                          [_OFFSET_SYND["C"], _OFFSET_SYND["Cp"]])
+            else:
+                expect = [_OFFSET_SYND[off]]
             if s in expect:
                 blks.append(word >> _NCHECK)
                 errs.append(0)
