@@ -24,7 +24,7 @@ __all__ = [
     "fm_discriminator", "fm_modulate", "fm_demodulate",
     "AMConfig", "am_modulate", "am_demodulate", "hilbert_analytic",
     "hilbert_tfd",
-    "fm_broadcast_mono", "fm_broadcast_demodulate",
+    "fm_broadcast_mono", "fm_broadcast_demodulate", "fm_broadcast_debug",
     "fm_broadcast_multiplex", "fm_pilot_unit",
 ]
 
@@ -210,7 +210,16 @@ def fm_pilot_unit(a3: jax.Array, fech2: float) -> jax.Array:
                                BL=250.0 / fech2))
     _, x3 = cpll.step(cpll.init(), xb)
     rot = xb * jnp.conj(x3)
-    zu = rot / jnp.maximum(jnp.abs(rot), 1e-12)   # e^{i theta_loop}
+    # RELATIVE magnitude floor: |rot| = |xb|^2 scales with the SQUARE of
+    # the (already tiny — the discriminator leaves the multiplex at
+    # m*2pi/fe) pilot amplitude, ~1e-13 at fe ~ 1 MHz.  An absolute
+    # 1e-12 floor silently disabled the unit normalization there, which
+    # collapsed the regenerated 38 kHz subcarrier (and with it the
+    # stereo separation) at high front-end rates — found by the
+    # fm_broadcast_debug pilot-magnitude check.
+    mag = jnp.abs(rot)
+    floor = 1e-3 * jnp.max(mag) + 1e-30
+    zu = rot / jnp.maximum(mag, floor)            # e^{i theta_loop}
     return zu * jnp.conj(lo)            # unit analytic 19 kHz pilot
 
 
@@ -267,3 +276,24 @@ def fm_broadcast_multiplex(audio_l: jax.Array, audio_r: jax.Array,
         m = m + rds
     ph = 2 * jnp.pi * (75e3 / fe) * jnp.cumsum(m, axis=-1)
     return jnp.exp(1j * ph).astype(complex_dtype)
+
+
+def fm_broadcast_debug(x: jax.Array, fe: float):
+    """``fm_broadcast_demodulate`` + named per-stage intermediates
+    (parity: the reference's debug_actif observability — FMDemod plots
+    its discriminator/multiplex/pilot stages when enabled).  Returns
+    (L, R, debug) where debug maps stage names to signals at their
+    native rates: ``mpx`` (demodulated multiplex at fech2), ``pilot``
+    (unit analytic 19 kHz), ``sub38`` (regenerated L-R subcarrier),
+    ``lpr`` / ``lmr`` (the two audio-band components).  Render with
+    viz.debug.debug_report."""
+    from ..ops.fir_design import raised_cosine
+    a3, fech2, _ = _fm_broadcast_front(x, fe)
+    h_audio = raised_cosine(255, 0.1, 15e3 / fech2)
+    x_lpr = fir_filter(h_audio, a3)
+    z19 = fm_pilot_unit(a3, fech2)
+    sub38 = jnp.real(z19 * z19)
+    x_lmr = fir_filter(h_audio, a3 * 2.0 * sub38)
+    dbg = dict(mpx=a3, pilot=z19, sub38=sub38, lpr=x_lpr, lmr=x_lmr,
+               fech2=jnp.full((16,), fech2, real_dtype))
+    return x_lpr + x_lmr, x_lpr - x_lmr, dbg

@@ -126,9 +126,16 @@ class Demodulator(Block):
             par=jnp.asarray(-1, jnp.int32),
         )
 
-    def step(self, state, x: jax.Array):
+    def step(self, state, x: jax.Array, debug: bool = False):
+        """``debug=True`` additionally returns a dict of per-stage
+        intermediate signals (parity: DemodConfig.debug_actif and the
+        reference's demod debug figures, demod-ndec.cc/demod-dec.cc:
+        347-371): post-transposition, post-discriminator (FSK),
+        post-matched-filter, clock-recovery symbols, AGC output, PLL
+        output + phase trajectory."""
         cfg = self.cfg
         n = x.shape[-1]
+        dbg = {}
         st = dict(state)
         # (1) baseband transposition — NCO phase in wrapped CYCLES (the
         # per-block increment is reduced mod 1 in host float64; an
@@ -139,16 +146,25 @@ class Demodulator(Block):
             x = x * jnp.exp(-2j * jnp.pi * cyc).astype(complex_dtype)
             st["nco"] = jnp.mod(st["nco"] + jnp.asarray((f * n) % 1.0,
                                                         real_dtype), 1.0)
+        if debug:
+            dbg["post_transpo"] = x
         # (2) FSK: quadrature discriminator -> real frequency signal
         if self.wf.info.is_fsk:
             d = quadrature_discriminator(x, st["prev"])
             st["prev"] = x[..., -1:]
             om_max = jnp.pi * self.wf.info.index / cfg.osf
             x = (d / om_max).astype(complex_dtype)
+            if debug:
+                dbg["post_discri"] = x
         # (3) matched filter
         st["mf"], z = self.mf.step(st["mf"], x)
+        if debug:
+            dbg["post_mf"] = z
         # (4) clock recovery
         st["cr"], (syms, mask) = self.cr.step(st["cr"], z)
+        if debug:
+            dbg["clockrec_syms"] = syms
+            dbg["clockrec_mask"] = mask
         # (5) amplitude normalization (block AGC, parity: demod AGC
         # stage) — to the CONSTELLATION's RMS, not unit RMS: decisions
         # compare against the unnormalized constellation (QAM16 rms
@@ -158,10 +174,18 @@ class Demodulator(Block):
         power = jnp.sum(jnp.where(mask, jnp.abs(syms) ** 2, 0.0)) / nvalid
         rms_ref = jnp.sqrt(jnp.mean(jnp.abs(self.wf.symbols) ** 2))
         syms = syms * (rms_ref / jnp.sqrt(power + 1e-20))
+        if debug:
+            dbg["agc_syms"] = syms
         # (6) carrier recovery (not needed for FSK); the loop freezes on
         # the zero-padded invalid slots of the clock-recovery output
         if not self.wf.info.is_fsk and cfg.carrier_active:
+            pre_pll = syms
             st["pll"], syms = self.pll.step(st["pll"], syms, valid=mask)
+            if debug:
+                dbg["pll_syms"] = syms
+                dbg["pll_phase"] = jnp.angle(
+                    pre_pll * jnp.conj(syms)
+                    + jnp.asarray(1e-30, complex_dtype))
         # (7) decisions; rotating constellations carry the rotation parity
         # across blocks (detected once, then advanced by the number of
         # valid symbols emitted)
@@ -174,6 +198,8 @@ class Demodulator(Block):
             idx = self.wf.closest(syms)
         bits = symbol_indices_to_bits(idx, self.wf.info.k)
         bmask = jnp.repeat(mask, self.wf.info.k)
+        if debug:
+            return st, (bits, syms, mask, bmask), dbg
         return st, (bits, syms, mask, bmask)
 
     def demodulate(self, x: jax.Array):

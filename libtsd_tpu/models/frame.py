@@ -285,11 +285,16 @@ class Receiver(Block):
             lambda a, b: jnp.concatenate([a, b]), state["pending"], cur)
         new_state = dict(det=dstate, hist=buf[-self.hist_len:],
                          phi0=phi0, pending=pend)
-        return new_state, alldets, buf
+        return new_state, alldets, buf, score
 
-    def _extract_all(self, buf, dets):
+    def _extract_all(self, buf, dets, debug: bool = False):
         """Stage 2 (mon 'recepteur/demod'): per-detection frame extraction,
-        fractional-delay correction, matched filter, decisions."""
+        fractional-delay correction, matched filter, decisions.
+
+        ``debug=True`` additionally returns a pytree of per-stage
+        intermediate signals per detection (parity: the reference's
+        debug_actif figures, recepteur.cc:589-618 buffer/zoom/sub-buffer
+        and 726-757 x/x1/y/y1/y2/y3 + constellation)."""
         cfg = self.fmt
         osf = cfg.modulation.osf
         k = self.wf.info.k
@@ -315,9 +320,10 @@ class Receiver(Block):
             # and e early for MF warm-up
             start = pos + H + fshift.astype(jnp.int32) - K // 2 - e
             start = jnp.clip(start, 0, buf.shape[0] - (self.frame_len + K))
-            fr = jax.lax.dynamic_slice_in_dim(buf, start, self.frame_len + K)
+            raw = jax.lax.dynamic_slice_in_dim(buf, start,
+                                               self.frame_len + K)
             # RF corrections from the header detection
-            fr = fr * jnp.exp(-1j * theta).astype(complex_dtype) / \
+            fr = raw * jnp.exp(-1j * theta).astype(complex_dtype) / \
                 jnp.maximum(gain, 1e-6)
             # fractional-delay interpolation: y[n] = buf(pos - e + n + eff)
             # via the windowed-sinc phase LUT (parity: regle_delais +
@@ -377,17 +383,53 @@ class Receiver(Block):
             sig = jnp.mean(jnp.abs(ref) ** 2)
             esn0 = sig / jnp.maximum(evm2, 1e-12)
             ebn0_db = 10 * jnp.log10(esn0 / k + 1e-12)
-            return bits, pay, ebn0_db
+            if not debug:
+                return bits, pay, ebn0_db
+            # per-stage capture, named after the reference's debug plots
+            # (recepteur.cc:726-757: x, x1, y(itrp), y1(fa), y3(decim))
+            dbg = dict(
+                x=raw,                  # extracted frame, uncorrected
+                x1=fr,                  # gain/phase corrected
+                y=y,                    # after fractional-delay interp
+                z=z,                    # after matched filter
+                syms=syms,              # symbols at header timing
+                syms_c=syms_c,          # after the decision/aided PLL
+                pll_phase=jnp.angle(syms * jnp.conj(syms_c)
+                                    + jnp.asarray(1e-30, complex_dtype)),
+                err=syms_c - ref,       # per-symbol error vs decisions
+            )
+            return bits, pay, ebn0_db, dbg
 
-        bits, pays, ebn0s = jax.vmap(extract)(
+        outs = jax.vmap(extract)(
             dets.position, dets.position_frac, dets.gain, dets.theta)
-        return FrameRx(bits=bits, symbols=pays, detection=dets,
-                       EbN0_db=ebn0s, valid=dets.valid)
+        if debug:
+            bits, pays, ebn0s, dbg = outs
+        else:
+            bits, pays, ebn0s = outs
+        frames = FrameRx(bits=bits, symbols=pays, detection=dets,
+                         EbN0_db=ebn0s, valid=dets.valid)
+        return (frames, dbg) if debug else frames
 
     def step(self, state, x: jax.Array):
-        new_state, dets, buf = self._front(state, x)
+        new_state, dets, buf, _ = self._front(state, x)
         frames = self._extract_all(buf, dets)
         return new_state, frames
+
+    def step_debug(self, state, x: jax.Array):
+        """``step`` + named per-stage intermediate signals (parity: the
+        reference's debug_actif observability — recepteur.cc:144-150,
+        589-618, 726-757 and the demod debug arrays, demod-dec.cc:
+        347-371).  Returns (state, frames, debug) where ``debug`` holds
+        the block's normalized correlation score and, for the FIRST
+        valid detection of the block, every extraction stage (raw /
+        corrected / interpolated / matched-filtered / symbols / PLL
+        trajectory).  Render with viz.debug.debug_report."""
+        new_state, dets, buf, score = self._front(state, x)
+        frames, dbg = self._extract_all(buf, dets, debug=True)
+        i = jnp.argmax(dets.valid)
+        dbg1 = jax.tree_util.tree_map(lambda a: a[i], dbg)
+        dbg1["corr_score"] = score
+        return new_state, frames, dbg1
 
     def step_jit(self, state, x: jax.Array):
         """`step` through a module-level jit cache: host-driven streaming
@@ -582,7 +624,7 @@ class MonitoredReceiver:
     def step(self, state, x: jax.Array):
         m = self.monitors["recepteur/ola"]
         m.start()
-        new_state, dets, buf = self._front(self.rx, state, x)
+        new_state, dets, buf, _ = self._front(self.rx, state, x)
         jax.block_until_ready(dets.position)
         m.stop(samples=int(x.shape[-1]))
 
