@@ -59,14 +59,21 @@ def make_stream(fmt, C: int, n: int, spacing: int = 8192):
     return x, int(cnt)
 
 
-def bench(C: int, n: int, spacing: int = 8192, reps: int = 3):
+def bench(C: int, n: int, spacing: int = 8192, reps: int = 3,
+          engine: str = "fused", stride: int = 8):
     """HONEST throughput: max_peaks is sized to the frame density so the
     receiver must catch EVERY frame present (an earlier revision placed a
     frame per 1024 samples against max_peaks=4, silently dropping most
-    frames at large n — the throughput then excluded extraction work)."""
+    frames at large n — the throughput then excluded extraction work).
+
+    Default engine: the fused Pallas detector front (detfront.py — the
+    XLA front end was 75 % of the step) + the stride-8 grouped residual
+    PLL (Cpll.step_grouped)."""
     fmt = make_setup()
     mp = max(4, n // spacing + 1)
-    rx = Receiver.create(fmt, DetectorConfig(threshold=0.5, max_peaks=mp))
+    rx = Receiver.create(fmt, DetectorConfig(threshold=0.5, max_peaks=mp,
+                                             engine=engine),
+                         pll_stride=stride)
     n = max(rx.det.Ne, (n // rx.det.Ne) * rx.det.Ne)  # OLA granularity
     x, nper = make_stream(fmt, C, n, spacing)
 
@@ -111,13 +118,13 @@ def bench_stages(n: int, reps: int = 3):
     front = jax.jit(lambda r, s, xx: Receiver._front(r, s, xx))
     extract = jax.jit(lambda r, b, d: Receiver._extract_all(r, b, d))
     st = jax.jit(type(rx).init)(rx)
-    st2, dets, buf = front(rx, st, x)
+    st2, dets, buf, _ = front(rx, st, x)
     frames = extract(rx, buf, dets)
     jax.block_until_ready(frames.bits)
     tf = te = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        _, dets, buf = front(rx, st, x)
+        _, dets, buf, _ = front(rx, st, x)
         jax.block_until_ready(dets.position)
         tf = min(tf, time.perf_counter() - t0)
         t0 = time.perf_counter()
@@ -132,8 +139,8 @@ def main():
     tf, te = bench_stages(4096)
     print(f"stage split @4096 x1: front={tf * 1e3:.2f} ms "
           f"extract={te * 1e3:.2f} ms")
-    for C, n in ((1, 4096), (1, 16384), (1, 65536), (1, 131072),
-                 (16, 65536), (64, 65536), (256, 65536)):
+    for C, n in ((1, 4096), (1, 16384), (1, 131072), (1, 1048576),
+                 (16, 65536), (64, 131072), (256, 131072)):
         r, t, nval, npres, mp = bench(C, n)
         flag = "" if nval == npres else "  <-- MISSED FRAMES"
         print(f"C={C:4d} n={n:6d} mp={mp:3d}: {r:9.1f} Msamp/s  "

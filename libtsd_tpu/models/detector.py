@@ -34,11 +34,17 @@ class DetectorConfig:
     Ne: int = 0                  # OLA input block (0 = auto)
     mode: str = "ola"            # "ola" (FFT) | "rif" (direct MXU FIR)
                                  # (parity: MODE_OLA / MODE_RIF)
-    engine: str = "xla"          # OLA engine: "xla" | "pallas" (fused
-                                 # overlap-save MXU kernel)
-    precision: str = "highest"   # pallas engine tier ("split" = bf16 DFT
-                                 # stages, ~5e-3 — ample for a normalized
-                                 # detection score, ~20%+ faster)
+    engine: str = "xla"          # correlation engine: "xla" | "pallas"
+                                 # (fused overlap-save MXU kernel) |
+                                 # "fused" (Pallas Toeplitz kernel
+                                 # computing correlation AND window
+                                 # energy in one pass — the fast path:
+                                 # the XLA front end measured 12.5 ms at
+                                 # C=64 x 131k vs ~1 ms fused)
+    precision: str = "highest"   # pallas/fused engine tier ("split" =
+                                 # bf16 hi/lo, ~1e-5; "bf16" single
+                                 # pass ~2.5e-3 — ample for a normalized
+                                 # detection score, fastest)
 
 
 class Detection(struct.PyTreeNode):
@@ -80,6 +86,11 @@ class Detector(Block):
             # choice for short patterns (parity: MODE_RIF,
             # detection.cc:68-96)
             corr = Fir.create(taps)
+        elif cfg.engine == "fused":
+            from ..ops.pallas.detfront import DetFront
+            prec = cfg.precision if cfg.precision in ("split", "bf16") \
+                else "split"
+            corr = DetFront.create(taps, precision=prec)
         else:
             corr = OlaFft.create(taps, Ne=cfg.Ne if cfg.Ne else None,
                                  engine=cfg.engine, precision=cfg.precision)
@@ -87,9 +98,16 @@ class Detector(Block):
                    pattern_norm=norm, M=M, cfg=cfg)
 
     @property
+    def _fused(self) -> bool:
+        from ..ops.pallas.detfront import DetFront
+        return isinstance(self.corr, DetFront)
+
+    @property
     def Ne(self) -> int:
         """Streaming block granularity (1 in RIF mode)."""
-        return self.corr.Ne if isinstance(self.corr, OlaFft) else 1
+        if isinstance(self.corr, OlaFft):
+            return self.corr.Ne
+        return 1024 if self._fused else 1
 
     @property
     def uses_pallas(self) -> bool:
@@ -99,7 +117,9 @@ class Detector(Block):
     def init(self):
         return dict(
             corr=self.corr.init(),
-            en=jnp.zeros((self.M - 1,), real_dtype),
+            # fused engine: the energy window is computed in-kernel from
+            # the carried complex input tail — no separate |x|^2 state
+            en=jnp.zeros((0 if self._fused else self.M - 1,), real_dtype),
             # carried tail of correlation/energy for boundary peaks
             tail_c=jnp.zeros((self.M,), complex_dtype),
             tail_e=jnp.zeros((self.M,), real_dtype),
@@ -118,14 +138,32 @@ class Detector(Block):
     def step(self, state, x: jax.Array):
         M = self.M
         n = x.shape[-1]
-        cstate, c = self.corr.step(state["corr"], x.astype(complex_dtype))
-        estate, en = self.energy.step(state["en"], jnp.abs(x) ** 2)
-        en = en * M  # MovingAverage divides by K; we need the sum
-
-        # extended buffers: [prev tail | this block]
-        cx = jnp.concatenate([state["tail_c"], c])
-        ex = jnp.concatenate([state["tail_e"], en])
-        score = jnp.abs(cx) / jnp.sqrt(ex * 1.0 + 1e-20)
+        if self._fused:
+            # ONE Pallas pass: correlation planes + summed window energy
+            # + raw normalized score; the complex correlation is never
+            # materialized over the block (planes are gathered at peak
+            # positions only)
+            cstate, (cr, ci, en, sc) = self.corr.step(
+                state["corr"], x.astype(complex_dtype))
+            estate = state["en"]
+            tail_c = state["tail_c"]
+            tr, ti = jnp.real(tail_c), jnp.imag(tail_c)
+            cxr = jnp.concatenate([tr, cr])
+            cxi = jnp.concatenate([ti, ci])
+            ex = jnp.concatenate([state["tail_e"], en])
+            sc_tail = jnp.sqrt((tr * tr + ti * ti)
+                               / (state["tail_e"] + 1e-20))
+            score = jnp.concatenate([sc_tail, sc])
+        else:
+            cstate, c = self.corr.step(state["corr"],
+                                       x.astype(complex_dtype))
+            estate, en = self.energy.step(state["en"], jnp.abs(x) ** 2)
+            en = en * M  # MovingAverage divides by K; we need the sum
+            # extended buffers: [prev tail | this block]
+            cx = jnp.concatenate([state["tail_c"], c])
+            ex = jnp.concatenate([state["tail_e"], en])
+            cxr, cxi = jnp.real(cx), jnp.imag(cx)
+            score = jnp.abs(cx) / jnp.sqrt(ex * 1.0 + 1e-20)
         # guard against near-zero-energy regions (e.g. zero padding), where
         # FFT roundoff residue in corr would otherwise explode the
         # normalized score; a true detection needs real window energy
@@ -140,11 +178,13 @@ class Detector(Block):
         # consider peaks with extended index in [M/2, M/2 + n)
         lo = M // 2
         nseg = (n + M - 1) // M
-        det, seg_prev = self._extract_peaks(cx, score, lo, n, nseg,
+        det, seg_prev = self._extract_peaks(cxr, cxi, score, lo, n, nseg,
                                             state["seg_prev"])
 
         new_state = dict(corr=cstate, en=estate,
-                         tail_c=cx[-M:], tail_e=ex[-M:],
+                         tail_c=(cxr[-M:] + 1j * cxi[-M:]
+                                 ).astype(complex_dtype),
+                         tail_e=ex[-M:],
                          seg_prev=seg_prev)
         # score track aligned to WINDOW-END positions: track[i] is the
         # normalized score of the correlation window ending at block
@@ -152,7 +192,7 @@ class Detector(Block):
         # of block position p's window end is p + M
         return new_state, (det, score[M:M + n])
 
-    def _extract_peaks(self, cx, score, lo, n, nseg, prev):
+    def _extract_peaks(self, cxr, cxi, score, lo, n, nseg, prev):
         M = self.M
         P = self.cfg.max_peaks
         region = jax.lax.dynamic_slice_in_dim(score, lo, n)
@@ -161,12 +201,12 @@ class Detector(Block):
         seg = jnp.pad(region, (0, pad)).reshape(nseg, M)
         seg_max = jnp.max(seg, axis=1)
         seg_argr = jnp.argmax(seg, axis=1) + jnp.arange(nseg) * M
-        # per-segment refinement data from the complex correlation
+        # per-segment refinement data from the correlation planes
         exi = seg_argr + lo
-        c1 = cx[exi]
+        c1r, c1i = cxr[exi], cxi[exi]
         s0 = score[jnp.maximum(exi - 1, 0)]
         s1 = score[exi]
-        s2 = score[jnp.minimum(exi + 1, cx.shape[0] - 1)]
+        s2 = score[jnp.minimum(exi + 1, score.shape[0] - 1)]
         # window-end BLOCK position of each segment's peak (extended index
         # e maps to block position e - M: the tail holds M positions)
         pe = (seg_argr + lo - M).astype(jnp.int32)
@@ -176,10 +216,10 @@ class Detector(Block):
         # segment's right neighborhood extends into the next block, so
         # its decision is deferred — peaks within distance M straddling
         # the block edge then always see each other.
-        cp = (prev["c1_ri"][0] + 1j * prev["c1_ri"][1]).astype(cx.dtype)
         em = jnp.concatenate([prev["m"][None], seg_max[:-1]])
         epe = jnp.concatenate([prev["pe"][None], pe[:-1]])
-        ec1 = jnp.concatenate([cp[None], c1[:-1]])
+        ec1r = jnp.concatenate([prev["c1_ri"][0:1], c1r[:-1]])
+        ec1i = jnp.concatenate([prev["c1_ri"][1:2], c1i[:-1]])
         es0 = jnp.concatenate([prev["s012"][0:1], s0[:-1]])
         es1 = jnp.concatenate([prev["s012"][1:2], s1[:-1]])
         es2 = jnp.concatenate([prev["s012"][2:3], s2[:-1]])
@@ -203,7 +243,8 @@ class Detector(Block):
             z = P - nseg
             masked = jnp.concatenate([masked, jnp.full(z, -1.0)])
             epe = jnp.concatenate([epe, jnp.zeros(z, epe.dtype)])
-            ec1 = jnp.concatenate([ec1, jnp.zeros(z, ec1.dtype)])
+            ec1r = jnp.concatenate([ec1r, jnp.zeros(z, ec1r.dtype)])
+            ec1i = jnp.concatenate([ec1i, jnp.zeros(z, ec1i.dtype)])
             es0 = jnp.concatenate([es0, jnp.zeros(z, es0.dtype)])
             es1 = jnp.concatenate([es1, jnp.zeros(z, es1.dtype)])
             es2 = jnp.concatenate([es2, jnp.zeros(z, es2.dtype)])
@@ -217,7 +258,8 @@ class Detector(Block):
         reorder = jnp.argsort(tkey)
         order = order[reorder]
         val = val[reorder]
-        c1o, s0o = ec1[order], es0[order]
+        c1or, c1oi = ec1r[order], ec1i[order]
+        s0o = es0[order]
         s1o, s2o = es1[order], es2[order]
 
         # sub-sample refinement + gain/theta from the complex correlation
@@ -226,8 +268,8 @@ class Detector(Block):
                          0.5 * (s0o - s2o) / denom, 0.0)
         frac = jnp.clip(frac, -0.5, 0.5)
         # if window = g*e^{i theta}*pattern: corr = g*e^{i theta}*||pattern||
-        gain = jnp.abs(c1o) / self.pattern_norm
-        theta = jnp.angle(c1o)
+        gain = jnp.sqrt(c1or * c1or + c1oi * c1oi) / self.pattern_norm
+        theta = jnp.arctan2(c1oi, c1or)
         s1c = jnp.clip(s1o, 0.0, 0.999999)
         snr = s1c ** 2 / (1 - s1c ** 2)
         snr_db = 10.0 * jnp.log10(snr + 1e-12)
@@ -245,8 +287,7 @@ class Detector(Block):
         ok_left_new = ~((em[-1] > seg_max[-1]) & (pe[-1] - epe[-1] < M))
         seg_prev_new = dict(
             m=seg_max[-1], pe=pe[-1] - n, ok_left=ok_left_new,
-            c1_ri=jnp.stack([jnp.real(c1[-1]), jnp.imag(c1[-1])
-                             ]).astype(real_dtype),
+            c1_ri=jnp.stack([c1r[-1], c1i[-1]]).astype(real_dtype),
             s012=jnp.stack([s0[-1], s1[-1], s2[-1]]).astype(real_dtype))
         return det, seg_prev_new
 

@@ -142,10 +142,15 @@ class Receiver(Block):
     hist_len: int = struct.field(pytree_node=False)
     mod_delay: float = struct.field(pytree_node=False)
     dt_mod: float = struct.field(pytree_node=False)  # δt_modulateur
+    # residual-phase PLL update stride (1 = per-symbol exact loop;
+    # G > 1 = one update per G symbols via Cpll.step_grouped — ~G x
+    # shorter sequential chain per extracted frame)
+    pll_stride: int = struct.field(pytree_node=False, default=1)
 
     @classmethod
     def create(cls, fmt: FrameFormat,
-               det_cfg: DetectorConfig = DetectorConfig()) -> "Receiver":
+               det_cfg: DetectorConfig = DetectorConfig(),
+               pll_stride: int = 1) -> "Receiver":
         wf = fmt.modulation.wf
         hdr_wf = fmt.header_wf if fmt.header_wf is not None else wf
         if fmt.header_wf is not None and wf.rotating:
@@ -214,7 +219,8 @@ class Receiver(Block):
                    nsym_header=nsym_header,
                    nsym_payload=nsym_payload, frame_len=frame_len,
                    hist_len=hist_len,
-                   mod_delay=mod.delay, dt_mod=dt_mod)
+                   mod_delay=mod.delay, dt_mod=dt_mod,
+                   pll_stride=pll_stride)
 
     @property
     def uses_pallas(self) -> bool:
@@ -358,7 +364,11 @@ class Receiver(Block):
             if self.wf.info.is_fsk:
                 syms_c = syms
             elif self.hdr_wf is None:
-                _, syms_c = self.pll.step(self.pll.init(), syms)
+                if self.pll_stride > 1:
+                    _, syms_c = self.pll.step_grouped(
+                        self.pll.init(), syms, self.pll_stride)
+                else:
+                    _, syms_c = self.pll.step(self.pll.init(), syms)
             else:
                 # fo_entete: the payload PED would mis-decide the header
                 # constellation — track the header data-aided (the sync

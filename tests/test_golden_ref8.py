@@ -216,3 +216,33 @@ def test_d2_nondecision_demod_matches_reference():
     _, errs, _ = BER.cmp_bits_psk(jnp.asarray(ref[512:]),
                                   jnp.asarray(mine[512:]), 2, max_lag=64)
     assert int(errs) == 0
+
+
+def test_rx1_fused_detector_fast_path_bit_exact():
+    """The fused Pallas detector front (DetectorConfig.engine="fused",
+    ops/pallas/detfront.py) + stride-8 grouped residual PLL — the TPU
+    serving fast path — decodes the same golden signal with the same
+    bits and near-identical metadata as the default engines."""
+    import dataclasses
+    from libtsd_tpu.models.detector import DetectorConfig
+    from libtsd_tpu.models.frame import FrameFormat, Receiver
+    from libtsd_tpu.models.modulator import ModConfig
+    from libtsd_tpu.models.waveform import wf_qpsk
+    fmt = FrameFormat(modulation=ModConfig(wf=wf_qpsk(_ps()),
+                                           fe=4.0, fsymb=1.0),
+                      header_bits=tuple(int(b) for b in HDR),
+                      payload_bits=512)
+    rx = Receiver.create(fmt, DetectorConfig(threshold=0.6,
+                                             engine="fused"),
+                         pll_stride=8)
+    fr = rx.receive(jnp.asarray(g("g8_rx1_x")))
+    idx = np.nonzero(np.asarray(fr.valid))[0]
+    assert len(idx) == 3
+    meta = g("g8_rx1_meta").reshape(-1, 8)
+    for j, i in enumerate(idx):
+        tx = lcg_bits([1001, 1002, 1003][j], 512)
+        assert np.array_equal(np.asarray(fr.bits)[i], tx)
+        assert abs(float(np.asarray(fr.detection.gain)[i])
+                   - meta[j, 2]) < 0.015
+        assert abs(float(np.asarray(fr.detection.theta)[i])
+                   - meta[j, 3]) < 0.015
