@@ -30,7 +30,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 C = 4                 # channels
-N_PER = 1 << 23       # samples per time shard (per process) — weak scaling
+# samples per time shard (per process) — weak scaling; env override lets
+# the slow-tier gate (tests/test_scaling.py) run a shorter sweep
+N_PER = int(os.environ.get("LIBTSD_SCALING_NPER", 1 << 23))
 ITERS = 3
 TAPS = 256
 
@@ -81,7 +83,7 @@ def worker(coordinator, nproc, pid):
               flush=True)
 
 
-def run_sweep(counts):
+def run_sweep(counts, json_path=None):
     rows = []
     for n in counts:
         with socket.socket() as s:
@@ -115,7 +117,17 @@ def run_sweep(counts):
     for r in rows:
         eff = base_dt / r["dt"]          # ideal weak scaling: flat wall-clock
         effs[r["nproc"]] = eff
+        r["weak_efficiency"] = eff
         print(f"{r['nproc']:>6}{r['msps']:>12.0f}{eff:>9.0%}")
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump({
+                "metric": "weak-scaling efficiency, time-sharded 256-tap "
+                          "FIR chain over N processes (gloo collectives)",
+                "channels": C, "samples_per_shard": N_PER,
+                "rows": rows,
+            }, f, indent=1)
+        print(f"wrote {json_path}")
     return effs
 
 
@@ -125,13 +137,15 @@ def main():
     ap.add_argument("--coordinator", default=None)
     ap.add_argument("--nproc", type=int, default=1)
     ap.add_argument("--pid", type=int, default=0)
+    ap.add_argument("--json", default=None,
+                    help="write the sweep result as a JSON artifact")
     a = ap.parse_args()
     if a.worker:
         worker(a.coordinator, a.nproc, a.pid)
         return
     ncores = os.cpu_count() or 4
     counts = [c for c in (1, 2, 4, 8) if c <= ncores]
-    run_sweep(counts)
+    run_sweep(counts, json_path=a.json)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,30 @@
+"""Weak-scaling efficiency gate (BASELINE.md north star #2: >=80 %
+samples/s scaling efficiency at N>=2 hosts).
+
+Runs the REAL multi-process sweep of examples/scaling_bench.py (one OS
+process per "host", jax.distributed over gloo, the ("chan","time") mesh
+spanning processes, the 256-tap FIR halo riding the inter-process
+collective) at a reduced shard size, and asserts the measured weak
+efficiency.  The committed SCALING_r5.json artifact records the
+full-size sweep (N_PER = 2^23): 99 % at 2 and 4 processes.
+"""
+import os
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.mark.skipif((os.cpu_count() or 1) < 4,
+                    reason="needs 4 cores for a 4-process sweep")
+def test_weak_scaling_efficiency_gate():
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    os.environ["LIBTSD_SCALING_NPER"] = str(1 << 22)
+    import importlib
+    import scaling_bench
+    importlib.reload(scaling_bench)      # pick up the env override
+    effs = scaling_bench.run_sweep([1, 2, 4])
+    assert effs[2] >= 0.8, effs
+    assert effs[4] >= 0.8, effs
