@@ -243,18 +243,8 @@ def fm_broadcast_demodulate(x: jax.Array, fe: float
     unit subcarrier; (c) the baseband-filter group delay at 19 kHz
     phase-shifts the regenerated subcarrier (the reference's own TODO,
     analogique.cc:587-589) — we compensate the known linear phase."""
-    from ..ops.fir_design import raised_cosine
-    a3, fech2, _ = _fm_broadcast_front(x, fe)
-    h_audio = raised_cosine(255, 0.1, 15e3 / fech2)
-    x_lpr = fir_filter(h_audio, a3)
-    # Pilot recovery (fm_pilot_unit): downconvert 19 kHz -> DC, narrow
-    # lowpass, CPLL.  (The reference's RPLL regeneration conj(osc)*x3,
-    # carrier-rec.cc:242-253, discards the loop phase — the third defect
-    # of its stereo path.)
-    z19 = fm_pilot_unit(a3, fech2)          # unit analytic 19 kHz pilot
-    sub38 = jnp.real(z19 * z19)             # cos(2 * (2 pi 19k t + phi))
-    x_lmr = fir_filter(h_audio, a3 * 2.0 * sub38)
-    return x_lpr + x_lmr, x_lpr - x_lmr
+    L, R, _ = fm_broadcast_debug(x, fe)
+    return L, R
 
 
 def fm_broadcast_multiplex(audio_l: jax.Array, audio_r: jax.Array,

@@ -276,7 +276,7 @@ class Cpll(Block):
         return state, yg.reshape(-1)[:n]
 
     def step_aided(self, state, x: jax.Array, ref: jax.Array,
-                   ref_mask: jax.Array):
+                   ref_mask: jax.Array, G: int = 1):
         """PLL step with per-symbol data-aided phase errors where
         ``ref_mask`` is True: e = arg(y * conj(ref)) against the KNOWN
         symbol ``ref`` (e.g. a frame's sync header), falling back to the
@@ -285,20 +285,58 @@ class Cpll(Block):
         telecom.hpp:1214): the payload-constellation PED would compute
         nonsense decisions on the header symbols, but the header symbols
         are known exactly — data-aided tracking there is strictly
-        better."""
-        lf = self._lf
+        better.
+
+        ``G > 1``: one loop update per group of G symbols (mean error
+        over the group, per-update bandwidth scaled by G) — the
+        step_grouped treatment, so Receiver(pll_stride=G) shortens the
+        sequential chain on fo_entete frames too."""
+        if G > 1:
+            cfg = self.cfg
+            lf = (LoopFilter2(min(0.2, cfg.BL * G), cfg.eta)
+                  if cfg.order == 2 else LoopFilter1(max(1.0, cfg.tau / G)))
+        else:
+            lf = self._lf
         ped = self._ped
+
+        def err(y, r, use_r):
+            e_dd = ped(y)
+            # guard |ref| ~ 0 (angle(0) is 0 but keep the branch safe)
+            e_da = jnp.angle(y * jnp.conj(r)
+                             + jnp.asarray(1e-30, complex_dtype))
+            return jnp.where(use_r, e_da, e_dd)
+
+        if G > 1:
+            n = x.shape[-1]
+            ng = -(-n // G)
+            pad = ng * G - n
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.broadcast_to(x[..., -1:], (pad,))])
+                ref = jnp.concatenate(
+                    [ref, jnp.broadcast_to(ref[..., -1:], (pad,))])
+                ref_mask = jnp.concatenate(
+                    [ref_mask, jnp.broadcast_to(ref_mask[..., -1:],
+                                                (pad,))])
+
+            def gbody(st, inp):
+                xs, rs, ms = inp
+                theta = st[0] if isinstance(st, tuple) else st
+                y = xs * jnp.exp(-1j * theta).astype(complex_dtype)
+                e = jnp.mean(jax.vmap(err)(y, rs, ms))
+                st, _ = lf.step(st, e)
+                return st, y
+
+            state, yg = jax.lax.scan(
+                gbody, state, (x.reshape(ng, G), ref.reshape(ng, G),
+                               ref_mask.reshape(ng, G)))
+            return state, yg.reshape(-1)[:n]
 
         def body(st, inp):
             xi, r, use_r = inp
             theta = st[0] if isinstance(st, tuple) else st
             y = xi * jnp.exp(-1j * theta).astype(complex_dtype)
-            e_dd = ped(y)
-            # guard |ref| ~ 0 (angle(0) is 0 but keep the branch safe)
-            e_da = jnp.angle(y * jnp.conj(r)
-                             + jnp.asarray(1e-30, complex_dtype))
-            e = jnp.where(use_r, e_da, e_dd)
-            st, _ = lf.step(st, e)
+            st, _ = lf.step(st, err(y, r, use_r))
             return st, y
 
         state, y = jax.lax.scan(body, state, (x, ref, ref_mask))

@@ -81,6 +81,15 @@ class Detector(Block):
         # correlation as FIR with taps conj(reversed normalized pattern)
         # (parity: detection.cc:178-188); run through the OLA engine
         taps = np.conj(pn[::-1])
+        if cfg.mode == "rif" and cfg.engine == "fused":
+            raise ValueError(
+                "DetectorConfig(mode='rif', engine='fused') conflicts: "
+                "the fused engine IS a direct-form Toeplitz kernel — use "
+                "mode='ola' (default) with engine='fused'")
+        if cfg.engine == "fused" and cfg.Ne and cfg.Ne % 128:
+            raise ValueError(
+                f"engine='fused' needs Ne to be a multiple of 128 "
+                f"(lane width), got {cfg.Ne}")
         if cfg.mode == "rif":
             # direct-form correlation on the MXU Toeplitz FIR — the better
             # choice for short patterns (parity: MODE_RIF,
@@ -104,10 +113,14 @@ class Detector(Block):
 
     @property
     def Ne(self) -> int:
-        """Streaming block granularity (1 in RIF mode)."""
+        """Streaming block granularity (1 in RIF mode; the fused kernel
+        honors a configured Ne — multiple of 128 — and defaults to
+        1024)."""
         if isinstance(self.corr, OlaFft):
             return self.corr.Ne
-        return 1024 if self._fused else 1
+        if self._fused:
+            return self.cfg.Ne if self.cfg.Ne else 1024
+        return 1
 
     @property
     def uses_pallas(self) -> bool:

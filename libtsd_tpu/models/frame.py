@@ -379,7 +379,8 @@ class Receiver(Block):
                     jnp.zeros((self.nsym_payload,), complex_dtype)])
                 aided = jnp.arange(nsym) < self.nsym_header
                 _, syms_c = self.pll.step_aided(self.pll.init(), syms,
-                                                refs, aided)
+                                                refs, aided,
+                                                G=self.pll_stride)
             pay = syms_c[self.nsym_header:]
             idx = self.wf.closest(pay)
             bits = symbol_indices_to_bits(idx, k)
@@ -439,6 +440,10 @@ class Receiver(Block):
         i = jnp.argmax(dets.valid)
         dbg1 = jax.tree_util.tree_map(lambda a: a[i], dbg)
         dbg1["corr_score"] = score
+        # no valid detection in the block -> slot 0's captures are the
+        # extraction of a clipped buffer-start slice (meaningless);
+        # consumers (viz.debug.debug_report) must check this flag
+        dbg1["has_detection"] = dets.valid[i]
         return new_state, frames, dbg1
 
     def step_jit(self, state, x: jax.Array):

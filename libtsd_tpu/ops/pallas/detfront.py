@@ -113,9 +113,9 @@ def detfront_plan(n_rows: int, max_T: int = 128) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("K", "interpret", "precision"))
+                   static_argnames=("interpret", "precision"))
 def _detfront_jit(x_main_r, x_main_i, x_hist_r, x_hist_i,
-                  Gr, Gi, Gs, Ge, K: int, interpret: bool,
+                  Gr, Gi, Gs, Ge, interpret: bool,
                   precision: str):
     nsteps, T, _ = x_main_r.shape
     D = Gr.shape[0]
@@ -223,7 +223,7 @@ class DetFront(struct.PyTreeNode):
         cr, ci, en, sc = _detfront_jit(
             x_main_r, x_main_i, x_hist_r, x_hist_i,
             self.Gr, self.Gi, self.Gs, self.Ge,
-            self.M, interpret, self.precision)
+            interpret, self.precision)
         new_state = xc[-self.V:] if n >= self.V else jnp.concatenate(
             [state[n:], xc])
         return new_state, (cr.reshape(-1), ci.reshape(-1),

@@ -60,6 +60,11 @@ def debug_report(name: str, signals: dict, outdir: str) -> str:
     import os
     rep = Report(outdir)
     rep.printf(f"Debug capture: {name}")
+    if "has_detection" in signals and not bool(
+            np.asarray(signals["has_detection"])):
+        rep.printf("WARNING: the block contained NO valid detection — "
+                   "the per-stage captures below are the extraction of "
+                   "an arbitrary (invalid) slot and carry no signal.")
     rep.printf(f"{len(signals)} stages: {', '.join(sorted(signals))}")
     for fig, title in debug_figures(signals):
         rep.add_figure(fig, title)

@@ -18,13 +18,18 @@ pytestmark = pytest.mark.slow
 
 @pytest.mark.skipif((os.cpu_count() or 1) < 4,
                     reason="needs 4 cores for a 4-process sweep")
-def test_weak_scaling_efficiency_gate():
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
-                                    "examples"))
-    os.environ["LIBTSD_SCALING_NPER"] = str(1 << 22)
+def test_weak_scaling_efficiency_gate(monkeypatch):
+    monkeypatch.syspath_prepend(os.path.join(os.path.dirname(__file__),
+                                             "..", "examples"))
+    monkeypatch.setenv("LIBTSD_SCALING_NPER", str(1 << 22))
     import importlib
     import scaling_bench
-    importlib.reload(scaling_bench)      # pick up the env override
-    effs = scaling_bench.run_sweep([1, 2, 4])
+    scaling_bench = importlib.reload(scaling_bench)  # pick up the env
+    try:
+        effs = scaling_bench.run_sweep([1, 2, 4])
+    finally:
+        # drop the reduced-N_PER module so later importers re-import
+        # fresh (monkeypatch restores env + sys.path at teardown)
+        sys.modules.pop("scaling_bench", None)
     assert effs[2] >= 0.8, effs
     assert effs[4] >= 0.8, effs
