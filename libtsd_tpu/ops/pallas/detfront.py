@@ -202,24 +202,25 @@ class DetFront(struct.PyTreeNode):
         assert n % _L == 0, n
         nv = self.D - 1
         xc = x.astype(complex_dtype)
-        rows_r = jnp.concatenate(
-            [jnp.real(state).astype(jnp.float32).reshape(nv, _L),
-             jnp.real(xc).astype(jnp.float32).reshape(-1, _L)])
-        rows_i = jnp.concatenate(
-            [jnp.imag(state).astype(jnp.float32).reshape(nv, _L),
-             jnp.imag(xc).astype(jnp.float32).reshape(-1, _L)])
+        xr = jnp.real(xc).astype(jnp.float32).reshape(-1, _L)
+        xi = jnp.imag(xc).astype(jnp.float32).reshape(-1, _L)
         nrows = n // _L
         T = detfront_plan(nrows)
         nsteps = nrows // T
-        x_main_r = rows_r[nv:].reshape(nsteps, T, _L)
-        x_main_i = rows_i[nv:].reshape(nsteps, T, _L)
-        # left-context rows per step (static strided slices, gather-free)
-        x_hist_r = jnp.stack([jax.lax.slice_in_dim(rows_r, f * T,
-                                                   f * T + nv)
-                              for f in range(nsteps)])
-        x_hist_i = jnp.stack([jax.lax.slice_in_dim(rows_i, f * T,
-                                                   f * T + nv)
-                              for f in range(nsteps)])
+        x_main_r = xr.reshape(nsteps, T, _L)
+        x_main_i = xi.reshape(nsteps, T, _L)
+        # left-context rows per step: step 0 reads the carried state, the
+        # rest read the preceding tile's last rows — built from SMALL
+        # static slices of x (no full-signal [state | x] concat: that
+        # copy cost a measurable fraction of the kernel call at C=64)
+        sr = jnp.real(state).astype(jnp.float32).reshape(nv, _L)
+        si = jnp.imag(state).astype(jnp.float32).reshape(nv, _L)
+        x_hist_r = jnp.stack([sr] + [
+            jax.lax.slice_in_dim(xr, f * T - nv, f * T)
+            for f in range(1, nsteps)])
+        x_hist_i = jnp.stack([si] + [
+            jax.lax.slice_in_dim(xi, f * T - nv, f * T)
+            for f in range(1, nsteps)])
         cr, ci, en, sc = _detfront_jit(
             x_main_r, x_main_i, x_hist_r, x_hist_i,
             self.Gr, self.Gi, self.Gs, self.Ge,
