@@ -384,11 +384,21 @@ class Receiver(Block):
             pay = syms_c[self.nsym_header:]
             idx = self.wf.closest(pay)
             bits = symbol_indices_to_bits(idx, k)
+            if self.wf.rotating:
+                # EVM reference on the UNION constellation: closest()
+                # de-rotates internally, so symbols[idx] lives in the
+                # de-rotated domain while pay does not — comparing them
+                # directly would inflate the EVM 45 deg on odd symbols
+                # (caught by the pi/4-QPSK receiver golden's EbN0 gate)
+                cpts = self.wf.constellation()
+                du = jnp.abs(pay[..., None] - cpts[None, :]) ** 2
+                ref_p = cpts[jnp.argmin(du, axis=-1)]
+            else:
+                ref_p = self.wf.symbols[idx]
             # Eb/N0 from the full-frame error vector: known header symbols
             # plus decision-directed payload (many more samples than the
             # header alone, so the estimate doesn't floor at high SNR);
             # EsN0 -> /k bits per symbol
-            ref_p = self.wf.symbols[idx]
             ref = jnp.concatenate([ref_h, ref_p])
             evm2 = jnp.mean(jnp.abs(syms_c - ref) ** 2)
             sig = jnp.mean(jnp.abs(ref) ** 2)

@@ -272,6 +272,97 @@ int main(int argc, char **argv)
     run_rx(dir, "g8_rxh", rc, y);
   }
 
+  // ------------------- RP: pi/4-QPSK framed receiver (rotation parity)
+  {
+    TrameFormat fmt;
+    fmt.modulation.forme_onde = forme_onde_π4_qpsk(filtre);
+    fmt.modulation.fe = 4;
+    fmt.modulation.fsymb = 1;
+    fmt.modulation.sortie_reelle = non;
+    fmt.entete = to_bs(hdr_bits);
+    fmt.nbits = 512;
+    ÉmetteurConfig ec;
+    ec.format = fmt;
+    soit em = émetteur_création(ec);
+    std::vector<std::vector<uint8_t>> payloads = {
+      lcg_bits(5001u, 512), lcg_bits(5002u, 512)};
+    for (size_t i = 0; i < payloads.size(); i++)
+      save_u8(P(("g8_rxp_tx_f" + std::to_string(i) + ".npy").c_str()),
+              payloads[i]);
+    soit x = build_signal(em, payloads, {650, 1000}, 4000);
+    soit y = impair(x, 0.25f, 0.85f, 0.3f);
+    save_c64(P("g8_rxp_x.npy"), y);
+    RécepteurConfig rc;
+    rc.format = fmt;
+    rc.seuil = 0.6f;
+    run_rx(dir, "g8_rxp", rc, y);
+  }
+
+  // ------------------- RF: 2-FSK framed receiver (discriminator branch)
+  {
+    TrameFormat fmt;
+    fmt.modulation.forme_onde = forme_onde_fsk(2, 1.0f,
+                                               SpecFiltreMiseEnForme::nrz());
+    fmt.modulation.fe = 4;
+    fmt.modulation.fsymb = 1;
+    fmt.modulation.sortie_reelle = non;
+    fmt.entete = to_bs(hdr_bits);
+    fmt.nbits = 512;
+    ÉmetteurConfig ec;
+    ec.format = fmt;
+    soit em = émetteur_création(ec);
+    std::vector<std::vector<uint8_t>> payloads = {
+      lcg_bits(6001u, 512), lcg_bits(6002u, 512)};
+    for (size_t i = 0; i < payloads.size(); i++)
+      save_u8(P(("g8_rxf_tx_f" + std::to_string(i) + ".npy").c_str()),
+              payloads[i]);
+    soit x = build_signal(em, payloads, {700, 1100}, 4000);
+    // FSK decodes FREQUENCY: amplitude/phase impairments are benign by
+    // construction; keep the fractional delay to exercise the timing
+    soit y = impair(x, 0.3f, 1.0f, 0.0f);
+    save_c64(P("g8_rxf_x.npy"), y);
+    RécepteurConfig rc;
+    rc.format = fmt;
+    rc.seuil = 0.55f;
+    run_rx(dir, "g8_rxf", rc, y);
+  }
+
+  // -------- RN: NOISY statistical receiver comparison (identical data)
+  // 12 QPSK frames under deterministic (seeded) AWGN at sigma=0.35 —
+  // Es/N0 ~ 4 dB at the 0.8 gain, Eb/N0 ~ 7 dB: the reference receiver
+  // decodes most-but-not-all frames cleanly; the comparison test runs
+  // OUR receiver on the SAME noisy samples and gates on at-least-parity
+  // clean-frame count.
+  {
+    TrameFormat fmt;
+    fmt.modulation.forme_onde = forme_onde_qpsk(filtre);
+    fmt.modulation.fe = 4;
+    fmt.modulation.fsymb = 1;
+    fmt.modulation.sortie_reelle = non;
+    fmt.entete = to_bs(hdr_bits);
+    fmt.nbits = 512;
+    ÉmetteurConfig ec;
+    ec.format = fmt;
+    soit em = émetteur_création(ec);
+    std::vector<std::vector<uint8_t>> payloads;
+    std::vector<int> gaps;
+    for (int f = 0; f < 12; f++) {
+      payloads.push_back(lcg_bits(7001u + f, 512));
+      gaps.push_back(600 + 37 * f);
+      save_u8(P(("g8_rxn_tx_f" + std::to_string(f) + ".npy").c_str()),
+              payloads.back());
+    }
+    soit x = build_signal(em, payloads, gaps, 4000);
+    soit y = impair(x, 0.35f, 0.8f, 0.4f);
+    tsd::generateur_aleatoire.seed(0xC0FFEE);
+    y = bruit_awgn(y, 0.35f);
+    save_c64(P("g8_rxn_x.npy"), y);
+    RécepteurConfig rc;
+    rc.format = fmt;
+    rc.seuil = 0.5f;
+    run_rx(dir, "g8_rxn", rc, y);
+  }
+
   // ----------------- D1/D2: stand-alone demodulator architectures
   {
     ModConfig mc;

@@ -246,3 +246,89 @@ def test_rx1_fused_detector_fast_path_bit_exact():
                    - meta[j, 2]) < 0.015
         assert abs(float(np.asarray(fr.detection.theta)[i])
                    - meta[j, 3]) < 0.015
+
+
+def test_rxp_pi4_qpsk_receiver_matches_reference():
+    """pi/4-QPSK framed reception: the rotating-constellation parity
+    logic (reference: demod->reset(nb_symb_entete), recepteur.cc:487)
+    against the binary — bits bit-exact, metadata toleranced."""
+    from libtsd_tpu.models.waveform import wf_pi4_qpsk
+    host = _receive("rxp", wf_pi4_qpsk(_ps()))
+    _check_frames("rxp", host, [5001, 5002], traj_tol=0.15)
+
+
+def test_rxf_fsk_receiver_decodes_reference_frames():
+    """2-FSK (index 1.0, NRZ) framed reception — the receiver's
+    discriminator branch.  CONVENTION DELTA (documented): the reference
+    detects the header on the DISCRIMINATED real signal
+    (recepteur.cc:412-425); we detect on the complex IQ, whose
+    constant-envelope autocorrelation has higher sidelobes — threshold
+    0.7 rejects them (the reference's 0.55 works on its discriminated
+    pattern).  Gain conventions differ for the same reason (ours is an
+    IQ amplitude, its is post-discriminator); bits + positions gate."""
+    from libtsd_tpu.models.detector import DetectorConfig
+    from libtsd_tpu.models.frame import FrameFormat, Receiver
+    from libtsd_tpu.models.modulator import ModConfig
+    from libtsd_tpu.models.waveform import PulseShape, wf_fsk
+    wf = wf_fsk(2, index=1.0, shaping=PulseShape.nrz())
+    fmt = FrameFormat(modulation=ModConfig(wf=wf, fe=4.0, fsymb=1.0),
+                      header_bits=tuple(int(b) for b in HDR),
+                      payload_bits=512)
+    rx = Receiver.create(fmt, DetectorConfig(threshold=0.7))
+    fr = rx.receive(jnp.asarray(g("g8_rxf_x")))
+    idx = np.nonzero(np.asarray(fr.valid))[0]
+    meta = g("g8_rxf_meta").reshape(-1, 8)
+    assert len(idx) == meta.shape[0] == 2
+    for j, i in enumerate(idx):
+        tx = lcg_bits([6001, 6002][j], 512)
+        assert np.array_equal(g(f"g8_rxf_bits_f{j}"), tx)
+        assert np.array_equal(np.asarray(fr.bits)[i], tx)
+        # positions: constant convention offset (+3 here: the
+        # discriminator path shifts the reference's pattern by one)
+        d = int(np.asarray(fr.detection.position)[i]) - meta[j, 0]
+        assert 1 <= d <= 4, d
+
+
+def test_rxn_noisy_receiver_at_least_reference_parity():
+    """12 QPSK frames under seeded AWGN (Eb/N0 ~ 7 dB) — BOTH receivers
+    decode the IDENTICAL noisy samples.  The golden records the
+    reference's outcome: 7/12 frames clean, 7 errored payload bits on
+    real frames, 1 spurious detection (its frame 11 at position 20954
+    matches no transmitted payload).  Gate: our receiver decodes AT
+    LEAST as many clean frames with no more total bit errors and no
+    more spurious detections (measured: 8 clean, 6 errored bits, 1
+    spurious)."""
+    from libtsd_tpu.models.detector import DetectorConfig
+    from libtsd_tpu.models.frame import FrameFormat, Receiver
+    from libtsd_tpu.models.modulator import ModConfig
+    from libtsd_tpu.models.waveform import wf_qpsk
+    tx_all = [lcg_bits(7001 + f, 512) for f in range(12)]
+
+    def classify(bits_list):
+        clean = errbits = spurious = 0
+        for bits in bits_list:
+            best = min(int((bits != tx).sum()) for tx in tx_all)
+            if best == 0:
+                clean += 1
+            elif best > 50:
+                spurious += 1
+            else:
+                errbits += best
+        return clean, errbits, spurious
+
+    meta = g("g8_rxn_meta").reshape(-1, 8)
+    ref = classify([g(f"g8_rxn_bits_f{j}")
+                    for j in range(meta.shape[0])])
+    assert ref == (7, 7, 1), ref      # the recorded reference outcome
+
+    fmt = FrameFormat(
+        modulation=ModConfig(wf=wf_qpsk(_ps()), fe=4.0, fsymb=1.0),
+        header_bits=tuple(int(b) for b in HDR), payload_bits=512)
+    rx = Receiver.create(fmt, DetectorConfig(threshold=0.5,
+                                             max_peaks=24))
+    fr = rx.receive(jnp.asarray(g("g8_rxn_x")))
+    idx = np.nonzero(np.asarray(fr.valid))[0]
+    mine = classify([np.asarray(fr.bits)[i] for i in idx])
+    assert mine[0] >= ref[0], (mine, ref)     # clean frames
+    assert mine[1] <= ref[1], (mine, ref)     # errored bits
+    assert mine[2] <= ref[2], (mine, ref)     # spurious detections
