@@ -4,9 +4,11 @@ samples/s scaling efficiency at N>=2 hosts).
 Runs the REAL multi-process sweep of examples/scaling_bench.py (one OS
 process per "host", jax.distributed over gloo, the ("chan","time") mesh
 spanning processes, the 256-tap FIR halo riding the inter-process
-collective) at a reduced shard size, and asserts the measured weak
-efficiency.  The committed SCALING_r5.json artifact records the
-full-size sweep (N_PER = 2^23): 99 % at 2 and 4 processes.
+collective) at the artifact shard size (2^23 — smaller shards let
+per-process fixed costs masquerade as scaling loss: 2^22 measured
+74-78 % where 2^23 holds 97-105 %), and asserts the measured weak
+efficiency.  The committed SCALING_r5.json artifact records the same
+sweep: 97-105 % at 2 and 4 processes.
 """
 import os
 import sys
@@ -26,7 +28,7 @@ pytestmark = pytest.mark.slow
 def test_weak_scaling_efficiency_gate(monkeypatch):
     monkeypatch.syspath_prepend(os.path.join(os.path.dirname(__file__),
                                              "..", "examples"))
-    monkeypatch.setenv("LIBTSD_SCALING_NPER", str(1 << 22))
+    monkeypatch.setenv("LIBTSD_SCALING_NPER", str(1 << 23))
     import importlib
     import scaling_bench
     scaling_bench = importlib.reload(scaling_bench)  # pick up the env
