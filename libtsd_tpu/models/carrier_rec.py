@@ -235,44 +235,68 @@ class Cpll(Block):
         state, y = jax.lax.scan(body, state, (x, valid))
         return state, y
 
-    def step_grouped(self, state, x: jax.Array, G: int):
-        """PLL with one loop update per GROUP of ``G`` symbols: the
-        current phase is applied to the whole group, the PED error is
-        averaged over it, and the loop filter advances once.  Sequential
-        scan length drops from n to ceil(n/G) — the lever that makes the
-        frame receiver's residual-phase tracking ~G× shorter in its
-        sequential dependency chain (the dominant per-step cost at small
-        batch).  The per-symbol loop bandwidth is preserved by scaling
-        the per-update bandwidth by G (capped for stability); within a
-        group the phase is a zero-order hold, so a residual frequency
-        offset f leaves a bounded staircase error ~pi*G*f (choose G so
-        G*f << 1 — frame receivers apply this AFTER the header-derived
-        phase correction, where f is the small uncorrected residue)."""
-        if G <= 1:
-            return self.step(state, x)
+    def _grouped_lf(self, G: int):
+        """Loop filter with the per-update bandwidth rescaled by the
+        group size (one shared definition for the PED and data-aided
+        grouped paths — the stability cap must not diverge between
+        them)."""
         cfg = self.cfg
-        lf = (LoopFilter2(min(0.2, cfg.BL * G), cfg.eta)
-              if cfg.order == 2 else LoopFilter1(max(1.0, cfg.tau / G)))
+        return (LoopFilter2(min(0.2, cfg.BL * G), cfg.eta)
+                if cfg.order == 2 else LoopFilter1(max(1.0, cfg.tau / G)))
+
+    def step_grouped(self, state, x: jax.Array, G: int,
+                     err_fn=None, aux: tuple = ()):
+        """PLL with one loop update per GROUP of ``G`` symbols: the
+        current phase is applied to the whole group, the per-symbol
+        errors are averaged, and the loop filter advances once.
+        Sequential scan length drops from n to ceil(n/G) — the lever
+        that makes the frame receiver's residual-phase tracking ~G x
+        shorter in its sequential dependency chain (the dominant
+        per-step cost at small batch).  The per-symbol loop bandwidth is
+        preserved by scaling the per-update bandwidth by G (capped for
+        stability); within a group the phase is a zero-order hold, so a
+        residual frequency offset f leaves a bounded staircase error
+        ~pi*G*f (choose G so G*f << 1 — frame receivers apply this AFTER
+        the header-derived phase correction, where f is the small
+        uncorrected residue).
+
+        ``err_fn(y, *aux_elems)``: optional per-symbol error function
+        replacing the configured PED (used by step_aided); ``aux`` are
+        same-length arrays zipped alongside x (padded/grouped with it).
+        """
+        if G <= 1 and err_fn is None:
+            return self.step(state, x)
+        lf = self._grouped_lf(G) if G > 1 else self._lf
         ped = self._ped
+        if err_fn is None:
+            err_fn = lambda y: ped(y)
         n = x.shape[-1]
         ng = -(-n // G)
-        # pad by repeating the last symbol: PED(edge value) keeps the
+        # pad by repeating the last entry: err_fn(edge value) keeps the
         # mean error sane (zeros would inject a bogus error term)
         pad = ng * G - n
-        xp = jnp.concatenate([x, jnp.broadcast_to(x[..., -1:], (pad,))]) \
-            if pad else x
-        xg = xp.reshape(ng, G)
 
-        def body(st, xs):
+        def prep(a):
+            if pad:
+                a = jnp.concatenate(
+                    [a, jnp.broadcast_to(a[..., -1:], (pad,))])
+            return a.reshape(ng, G)
+
+        xs = prep(x)
+        auxs = tuple(prep(a) for a in aux)
+
+        def body(st, inp):
+            xg = inp[0]
+            ag = inp[1:]
             theta = st[0] if isinstance(st, tuple) else st
-            y = xs * jnp.exp(-1j * theta).astype(complex_dtype)
+            y = xg * jnp.exp(-1j * theta).astype(complex_dtype)
             # vmap: the PEDs are written for scalar symbols (the
             # decision PED broadcasts against the constellation)
-            e = jnp.mean(jax.vmap(ped)(y))
+            e = jnp.mean(jax.vmap(err_fn)(y, *ag))
             st, _ = lf.step(st, e)
             return st, y
 
-        state, yg = jax.lax.scan(body, state, xg)
+        state, yg = jax.lax.scan(body, state, (xs,) + auxs)
         return state, yg.reshape(-1)[:n]
 
     def step_aided(self, state, x: jax.Array, ref: jax.Array,
@@ -287,16 +311,9 @@ class Cpll(Block):
         are known exactly — data-aided tracking there is strictly
         better.
 
-        ``G > 1``: one loop update per group of G symbols (mean error
-        over the group, per-update bandwidth scaled by G) — the
-        step_grouped treatment, so Receiver(pll_stride=G) shortens the
+        ``G > 1`` delegates to step_grouped (one update per G symbols,
+        bandwidth rescaled) so Receiver(pll_stride=G) shortens the
         sequential chain on fo_entete frames too."""
-        if G > 1:
-            cfg = self.cfg
-            lf = (LoopFilter2(min(0.2, cfg.BL * G), cfg.eta)
-                  if cfg.order == 2 else LoopFilter1(max(1.0, cfg.tau / G)))
-        else:
-            lf = self._lf
         ped = self._ped
 
         def err(y, r, use_r):
@@ -307,30 +324,9 @@ class Cpll(Block):
             return jnp.where(use_r, e_da, e_dd)
 
         if G > 1:
-            n = x.shape[-1]
-            ng = -(-n // G)
-            pad = ng * G - n
-            if pad:
-                x = jnp.concatenate(
-                    [x, jnp.broadcast_to(x[..., -1:], (pad,))])
-                ref = jnp.concatenate(
-                    [ref, jnp.broadcast_to(ref[..., -1:], (pad,))])
-                ref_mask = jnp.concatenate(
-                    [ref_mask, jnp.broadcast_to(ref_mask[..., -1:],
-                                                (pad,))])
-
-            def gbody(st, inp):
-                xs, rs, ms = inp
-                theta = st[0] if isinstance(st, tuple) else st
-                y = xs * jnp.exp(-1j * theta).astype(complex_dtype)
-                e = jnp.mean(jax.vmap(err)(y, rs, ms))
-                st, _ = lf.step(st, e)
-                return st, y
-
-            state, yg = jax.lax.scan(
-                gbody, state, (x.reshape(ng, G), ref.reshape(ng, G),
-                               ref_mask.reshape(ng, G)))
-            return state, yg.reshape(-1)[:n]
+            return self.step_grouped(state, x, G, err_fn=err,
+                                     aux=(ref, ref_mask))
+        lf = self._lf
 
         def body(st, inp):
             xi, r, use_r = inp

@@ -97,8 +97,21 @@ class Detector(Block):
             corr = Fir.create(taps)
         elif cfg.engine == "fused":
             from ..ops.pallas.detfront import DetFront
-            prec = cfg.precision if cfg.precision in ("split", "bf16") \
-                else "split"
+            if cfg.precision in ("split", "bf16"):
+                prec = cfg.precision
+            else:
+                # the fused kernel has no fp32-emulation tier; 'highest'
+                # (also the dataclass default) runs the ~1e-5 split tier.
+                # Say so when the user asked for something else by name —
+                # a tight-tolerance consumer should use engine='xla'.
+                prec = "split"
+                if cfg.precision != "highest":
+                    from ..utils.log import msg_warn
+                    msg_warn(
+                        f"DetectorConfig(engine='fused'): precision "
+                        f"{cfg.precision!r} is not available on the "
+                        f"fused kernel — running 'split' (~1e-5); use "
+                        f"engine='xla' for full fp32")
             corr = DetFront.create(taps, precision=prec)
         else:
             corr = OlaFft.create(taps, Ne=cfg.Ne if cfg.Ne else None,

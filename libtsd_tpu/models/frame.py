@@ -403,7 +403,14 @@ class Receiver(Block):
             evm2 = jnp.mean(jnp.abs(syms_c - ref) ** 2)
             sig = jnp.mean(jnp.abs(ref) ** 2)
             esn0 = sig / jnp.maximum(evm2, 1e-12)
-            ebn0_db = 10 * jnp.log10(esn0 / k + 1e-12)
+            # bits per symbol averaged over the frame: with a distinct
+            # header waveform the header symbols carry k_hdr bits each
+            # (dividing by the payload k alone would bias EbN0 by
+            # ~10*log10(k/k_eff) dB on fo_entete frames)
+            nsym = self.nsym_header + self.nsym_payload
+            k_eff = (self.nsym_header * hw.info.k
+                     + self.nsym_payload * k) / nsym
+            ebn0_db = 10 * jnp.log10(esn0 / k_eff + 1e-12)
             if not debug:
                 return bits, pay, ebn0_db
             # per-stage capture, named after the reference's debug plots

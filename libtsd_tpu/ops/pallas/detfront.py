@@ -105,11 +105,14 @@ def _kernel(xr_ref, xi_ref, hr_ref, hi_ref,
 
 
 def detfront_plan(n_rows: int, max_T: int = 128) -> int:
-    """Rows per grid step: the largest divisor of n_rows <= max_T."""
-    T = min(max_T, n_rows)
-    while n_rows % T:
-        T -= 1
-    return T
+    """Rows per grid step.  The caller PADS n_rows up to a multiple of
+    the returned T (trailing zero rows are discarded from the outputs),
+    so T stays at max_T regardless of the block length — an exact-divisor
+    rule would collapse to tiny tiles (T=8 for nrows=1048) and multiply
+    the grid-step count ~16x on awkward lengths.  T is ALWAYS max_T:
+    this also guarantees nv = D-1 <= 127 < T, so the left-context slice
+    starts stay non-negative for any supported pattern length."""
+    return max_T
 
 
 @functools.partial(jax.jit,
@@ -176,6 +179,12 @@ class DetFront(struct.PyTreeNode):
         h = np.asarray(pattern_taps)
         Gr, Gi, Gs, Ge = _taps_mats(h)
         D = Gr.shape[0]
+        if D - 1 > _L - 1:
+            raise ValueError(
+                f"pattern too long for the fused detector engine: "
+                f"M={len(h)} needs {D - 1} context rows (max {_L - 1}) "
+                f"— use the XLA/pallas OLA engines for patterns this "
+                f"long")
         return cls(Gr=jnp.asarray(Gr), Gi=jnp.asarray(Gi),
                    Gs=jnp.asarray(Gs), Ge=jnp.asarray(Ge),
                    M=len(h), D=D, V=(D - 1) * _L, precision=precision)
@@ -206,13 +215,25 @@ class DetFront(struct.PyTreeNode):
         xi = jnp.imag(xc).astype(jnp.float32).reshape(-1, _L)
         nrows = n // _L
         T = detfront_plan(nrows)
-        nsteps = nrows // T
+        # pad the row count up to a multiple of T with zero rows
+        # (outputs beyond n are sliced away below).  Explicit
+        # zeros+concat, not jnp.pad: a pad fused with the real()/imag()
+        # producer reads uninitialized memory on some TPU runtimes (the
+        # block.safe_pad gotcha).
+        nsteps = -(-nrows // T)
+        padr = nsteps * T - nrows
+        if padr:
+            z = jnp.zeros((padr, _L), jnp.float32)
+            xr = jnp.concatenate([xr, z])
+            xi = jnp.concatenate([xi, z])
         x_main_r = xr.reshape(nsteps, T, _L)
         x_main_i = xi.reshape(nsteps, T, _L)
         # left-context rows per step: step 0 reads the carried state, the
         # rest read the preceding tile's last rows — built from SMALL
         # static slices of x (no full-signal [state | x] concat: that
-        # copy cost a measurable fraction of the kernel call at C=64)
+        # copy cost a measurable fraction of the kernel call at C=64).
+        # nv < T always (nv <= 127 enforced at create, T = 128 after
+        # padding) so the slice starts stay non-negative.
         sr = jnp.real(state).astype(jnp.float32).reshape(nv, _L)
         si = jnp.imag(state).astype(jnp.float32).reshape(nv, _L)
         x_hist_r = jnp.stack([sr] + [
@@ -227,5 +248,5 @@ class DetFront(struct.PyTreeNode):
             interpret, self.precision)
         new_state = xc[-self.V:] if n >= self.V else jnp.concatenate(
             [state[n:], xc])
-        return new_state, (cr.reshape(-1), ci.reshape(-1),
-                           en.reshape(-1), sc.reshape(-1))
+        return new_state, (cr.reshape(-1)[:n], ci.reshape(-1)[:n],
+                           en.reshape(-1)[:n], sc.reshape(-1)[:n])
