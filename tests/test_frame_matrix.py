@@ -90,3 +90,39 @@ def test_unaligned_header_rejected():
                       payload_bits=129)
     with pytest.raises(ValueError):
         Receiver.create(fmt, DetectorConfig(threshold=0.5))
+
+
+@pytest.mark.parametrize("frac", [False, True])
+def test_receiver_matrix_fused_engine(frac):
+    """The TPU fast path (fused Pallas detector front + stride-8 grouped
+    PLL) through the statistical matrix row: identical gates to the
+    default engines."""
+    wf = WFS["qpsk"]()
+    k = wf.info.k
+    mc = ModConfig(wf=wf, fe=4.0, fsymb=1.0)
+    hdr = np.asarray(randbits(jax.random.PRNGKey(42), 64))
+    fmt = FrameFormat(modulation=mc,
+                      header_bits=tuple(int(b) for b in hdr),
+                      payload_bits=128)
+    tx = Transmitter.create(fmt)
+    payload = randbits(jax.random.PRNGKey(1), 128)
+    frame = np.asarray(tx.transmit(payload))
+    n = 4096
+    x = np.zeros(n, np.complex64)
+    x[700:700 + len(frame)] += (1.5 * np.exp(1j * 0.7) * frame
+                                ).astype(np.complex64)
+    if frac:
+        x = np.asarray(delay_signal(jnp.asarray(x), 0.4))
+    rng = np.random.default_rng(3)
+    x = x + 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+                    ).astype(np.complex64)
+    rx = Receiver.create(fmt, DetectorConfig(threshold=0.5,
+                                             engine="fused"),
+                         pll_stride=8)
+    fr = rx.receive(jnp.asarray(x))
+    v = np.asarray(fr.valid)
+    assert v.any(), "no detection"
+    i = int(np.argmax(v))
+    _, errs, _ = BER.cmp_bits(np.asarray(payload),
+                              np.asarray(fr.bits[i]), 8)
+    assert errs == 0, errs

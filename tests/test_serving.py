@@ -284,3 +284,62 @@ def test_periodogram_cqt_rejects_complex():
     x = jnp.ones(4096, jnp.complex64)
     with pytest.raises(ValueError):
         PSD.periodogram_cqt(x, fs=8000.0, fmin=100.0, fmax=2000.0)
+
+
+def test_stream_receiver_checkpoint_fused_engine(tmp_path):
+    """Checkpoint/restore through the fused-detector state (complex
+    input-tail leaf + the zero-length energy placeholder): resumed
+    stream decodes identically to the uninterrupted one."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from libtsd_tpu.models import waveform as WF
+    from libtsd_tpu.models.bitstream import randbits
+    from libtsd_tpu.models.detector import DetectorConfig
+    from libtsd_tpu.models.frame import (FrameFormat, Receiver,
+                                         StreamReceiver, Transmitter)
+    from libtsd_tpu.models.modulator import ModConfig
+    wf = WF.wf_qpsk(WF.PulseShape.rcs(0.25))
+    hdr = np.asarray(randbits(jax.random.PRNGKey(42), 64))
+    fmt = FrameFormat(modulation=ModConfig(wf=wf, fe=4.0, fsymb=1.0),
+                      header_bits=tuple(int(b) for b in hdr),
+                      payload_bits=128)
+    tx = Transmitter.create(fmt)
+    rng = np.random.default_rng(0)
+    frames_tx = [np.asarray(tx.transmit(randbits(jax.random.PRNGKey(s),
+                                                 128))) for s in range(4)]
+    sig = []
+    for f in frames_tx:
+        sig += [np.zeros(900, np.complex64), f.astype(np.complex64)]
+    sig.append(np.zeros(4096, np.complex64))
+    x = np.concatenate(sig)
+
+    def make():
+        rx = Receiver.create(fmt, DetectorConfig(threshold=0.5,
+                                                 engine="fused"),
+                             pll_stride=8)
+        return StreamReceiver(rx)
+
+    # uninterrupted
+    a = make()
+    a.push(x)
+    a.flush()
+    ref = [(np.asarray(f.bits), int(f.detection.position))
+           for f in a.frames]
+    assert len(ref) == 4
+
+    # interrupted mid-stream + resumed from the checkpoint
+    b = make()
+    cut = len(x) // 2
+    b.push(x[:cut])
+    ck = str(tmp_path / "fused.npz")
+    b.checkpoint(ck)
+    c = make()
+    c.restore(ck)
+    c.push(x[cut:])
+    c.flush()
+    got = [(np.asarray(f.bits), int(f.detection.position))
+           for f in (b.frames + c.frames)]
+    assert len(got) == 4
+    for (rb, _), (gb, _) in zip(ref, got):
+        assert np.array_equal(rb, gb)
