@@ -108,10 +108,15 @@ class ClockRec(Block):
     def gain(self) -> float:
         return self.cfg.loop_gain
 
-    def init(self):
+    def init(self, clock_offset: float = 0.0):
+        """``clock_offset``: initial clock phase preset in SYMBOLS,
+        in [-1, 1] (parity: Démodulateur::regle_horloge /
+        dsp tune_clock, telecom.hpp:935 — declared there but an empty
+        stub in the reference; implemented here)."""
         K = self.itrp.K
         return dict(
-            phase=jnp.asarray(self.cfg.osf / 2.0, real_dtype),
+            phase=jnp.asarray(self.cfg.osf / 2.0
+                              + clock_offset * self.cfg.osf, real_dtype),
             window=jnp.zeros((K,), complex_dtype),
             x0=jnp.zeros((), complex_dtype),
             x1=jnp.zeros((), complex_dtype),

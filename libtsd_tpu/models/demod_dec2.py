@@ -63,14 +63,19 @@ class DecisionDemod2(Block):
         windows stay inside [tail | z] across block boundaries."""
         return self.itrp.K + 2 * self.cfg.osf
 
-    def init(self):
+    def init(self, clock_offset: float = 0.0):
+        """``clock_offset``: initial clock phase preset in SYMBOLS,
+        in [-1, 1] (parity: Démodulateur::regle_horloge / tune_clock,
+        telecom.hpp:935 — an empty stub in the reference; implemented
+        here by presetting the fractional read pointer)."""
         lf = LoopFilter2(self.cfg.BL, self.cfg.eta)
         return dict(
             mf=self.mf.init(),
             lf=lf.init(),
             theta=jnp.zeros((), real_dtype),
             gain=jnp.ones((), real_dtype),
-            ptr=jnp.asarray(self.cfg.osf / 2.0, real_dtype),
+            ptr=jnp.asarray(self.cfg.osf / 2.0
+                            + clock_offset * self.cfg.osf, real_dtype),
             yprev_ri=jnp.zeros((2,), real_dtype),
             # last T matched-filter outputs (block boundaries seamless)
             tail=jnp.zeros((self.itrp.K + 2 * self.cfg.osf,),

@@ -223,6 +223,46 @@ class Figures:
     afficher = show
 
 
+def plot_filter(h, a=(1.0,), complete: bool = False,
+                fs: float = 1.0) -> "Figures":
+    """One-call filter-design figure (parity: plot_filtre,
+    /root/reference/core/src/filtrage/filtre-plot.cc /
+    filtrage.hpp:370): magnitude (dB) + impulse response, and with
+    ``complete=True`` also phase, group delay, step response and the
+    pole/zero map — the reference's standard design-debug panel.
+
+    ``h`` is FIR taps or the numerator of (h, a); frequencies are
+    labeled in units of ``fs``."""
+    from ..ops import filter_analysis as FA
+    ba = (np.asarray(h, float), np.asarray(a, float))
+    f, mag = FA.frmag(ba if len(ba[1]) > 1 else ba[0])
+    figs = Figures()
+    g = figs.subplot()
+    g.plot(f * fs, 20 * np.log10(np.maximum(np.abs(mag), 1e-12)), "b-")
+    g.titles(title="Frequency response", xlabel="frequency",
+             ylabel="dB")
+    g = figs.subplot()
+    hi = FA.repimp(ba if len(ba[1]) > 1 else ba[0])
+    g.plot(np.asarray(hi), "b-o")
+    g.titles(title="Impulse response", xlabel="sample")
+    if complete:
+        fp, ph = FA.frphase(ba if len(ba[1]) > 1 else ba[0])
+        g = figs.subplot()
+        g.plot(fp * fs, ph, "b-")
+        g.titles(title="Phase", xlabel="frequency", ylabel="rad")
+        fg, gd = FA.frgroup(ba if len(ba[1]) > 1 else ba[0])
+        g = figs.subplot()
+        g.plot(fg * fs, gd, "b-")
+        g.titles(title="Group delay", xlabel="frequency",
+                 ylabel="samples")
+        g = figs.subplot()
+        g.plot(np.asarray(FA.repech(ba if len(ba[1]) > 1 else ba[0])),
+               "b-")
+        g.titles(title="Step response", xlabel="sample")
+        figs._subs.append(plot_plz(ba[0], ba[1]))
+    return figs
+
+
 def plot_plz(b, a=(1.0,), title: str = "Poles / zeros") -> Figure:
     """Pole-zero map of a digital transfer function (taps in time order,
     i.e. descending powers of z).  Parity: plot_plz / filtre-plot

@@ -352,3 +352,24 @@ def test_figure_titles_preserve_axis_labels():
     f.titles("My PSD")
     assert f._title == "My PSD"
     assert f._xlabel == "Frequency" and f._ylabel == "PSD (dB)"
+
+
+def test_plot_filter_panel(tmp_path):
+    """plot_filter (parity: plot_filtre, filtre-plot.cc): one-call
+    design panel for FIR taps and (b, a) IIR, complete mode includes
+    phase/group-delay/step/pole-zero subplots."""
+    import os
+    from libtsd_tpu.ops.fir_design import fir_lowpass
+    from libtsd_tpu.ops.iir_design import design_iir
+    from libtsd_tpu.viz import plot_filter
+    figs = plot_filter(fir_lowpass(63, 0.2))
+    p1 = str(tmp_path / "fir.png")
+    figs.save(p1)
+    assert os.path.getsize(p1) > 1000
+    assert len(figs._subs) == 2
+    b, a = design_iir(4, "lp", "butt", 0.2).to_ba()
+    figs = plot_filter(b, a, complete=True)
+    assert len(figs._subs) == 6
+    p2 = str(tmp_path / "iir.png")
+    figs.save(p2)
+    assert os.path.getsize(p2) > 1000
