@@ -54,7 +54,8 @@ def pad_bits(b: Bits, mult: int) -> Bits:
     BitStream::pad_mult)."""
     n = b.shape[0]
     pad = (-n) % mult
-    return jnp.pad(b, (0, pad)) if pad else b
+    from ..block import safe_pad
+    return safe_pad(b, 0, pad, axis=0) if pad else b
 
 
 def hamming_distance(a: Bits, b: Bits) -> jax.Array:

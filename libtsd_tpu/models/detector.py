@@ -222,9 +222,15 @@ class Detector(Block):
         M = self.M
         P = self.cfg.max_peaks
         region = jax.lax.dynamic_slice_in_dim(score, lo, n)
-        # segment-wise max (erosion, parity: detection.cc:264-270)
+        # segment-wise max (erosion, parity: detection.cc:264-270).
+        # safe_pad, not jnp.pad: region's producer is a nontrivial fused
+        # computation and the axon runtime's pad miscompile would put
+        # uninitialized garbage into the LAST segment's max — which
+        # feeds the block-edge deferral logic (latent for n % M != 0
+        # patterns, e.g. the 66-bit 8-PSK header's M=88)
+        from ..block import safe_pad
         pad = nseg * M - n
-        seg = jnp.pad(region, (0, pad)).reshape(nseg, M)
+        seg = safe_pad(region, 0, pad).reshape(nseg, M)
         seg_max = jnp.max(seg, axis=1)
         seg_argr = jnp.argmax(seg, axis=1) + jnp.arange(nseg) * M
         # per-segment refinement data from the correlation planes

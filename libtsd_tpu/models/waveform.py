@@ -42,7 +42,8 @@ def bits_to_symbol_indices(bits: jax.Array, k: int) -> jax.Array:
     n = bits.shape[0]
     nsymb = (n + k - 1) // k
     pad = nsymb * k - n
-    b = jnp.pad(bits.astype(jnp.int32), (0, pad)).reshape(nsymb, k)
+    from ..block import safe_pad
+    b = safe_pad(bits.astype(jnp.int32), 0, pad, axis=0).reshape(nsymb, k)
     weights = (2 ** jnp.arange(k)).astype(jnp.int32)
     return jnp.sum(b * weights, axis=1)
 

@@ -71,8 +71,9 @@ def cqt(x: jax.Array, kernel: CqtKernel, hop: int = 256) -> jax.Array:
     ``hop`` samples; one matmul against the kernel bank."""
     n = x.shape[-1]
     Nmax = kernel.Nmax
-    xp = jnp.pad(x.astype(real_dtype) if not jnp.iscomplexobj(x)
-                 else x, [(0, 0)] * (x.ndim - 1) + [(Nmax // 2, Nmax)])
+    from ..block import safe_pad
+    xp = safe_pad(x.astype(real_dtype) if not jnp.iscomplexobj(x)
+                  else x, Nmax // 2, Nmax, axis=-1)
     nframes = len(np.arange(0, n, hop))
     from .signal import sliding_frames
     F = sliding_frames(xp, Nmax, hop, nframes)  # (nframes, Nmax)

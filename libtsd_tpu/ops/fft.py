@@ -94,9 +94,8 @@ def _fft_dispatch(x: jax.Array, n: Optional[int], axis: int, engine: str,
         if n < cur:
             x = jax.lax.slice_in_dim(x, 0, n, axis=axis)
         else:
-            pads = [(0, 0)] * x.ndim
-            pads[axis if axis >= 0 else x.ndim + axis] = (0, n - cur)
-            x = jnp.pad(x, pads)
+            from ..block import safe_pad
+            x = safe_pad(x, 0, n - cur, axis=axis)
     if engine == "pallas" or (engine == "auto"
                               and _pallas_fft_eligible(x, None, axis)):
         return _fft_pallas(x, axis, inverse)
@@ -295,7 +294,8 @@ def delay_signal(x: jax.Array, delay: float) -> jax.Array:
 
     N = 2 * n
     pad_lo = n // 2
-    x2 = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad_lo, N - n - pad_lo)])
+    from ..block import safe_pad
+    x2 = safe_pad(x, pad_lo, N - n - pad_lo, axis=-1)
     is_real = not jnp.iscomplexobj(x)
     X = jnp.fft.fft(x2)
     kf = jnp.fft.fftfreq(N).astype(real_dtype)  # signed normalized freqs

@@ -874,7 +874,11 @@ class OlaFft(Block):
         # carry_padded = [carry, 0...Ne zeros]; out = yrow[:Ne] + carry_p[:Ne];
         # new carry = carry_p[Ne:] + yrow[Ne:].  Handles tail_len ><= Ne.
         def body(tail, yrow):
-            tail_p = jnp.pad(tail, [(0, 0)] * (tail.ndim - 1) + [(0, Ne)])
+            # safe_pad: the carry's producer is the previous iteration's
+            # fused adds — exactly the shape of the axon jnp.pad
+            # miscompile (uninitialized memory in the padded region)
+            from ..block import safe_pad
+            tail_p = safe_pad(tail, 0, Ne)
             out = yrow[..., :Ne] + tail_p[..., :Ne]
             new_tail = tail_p[..., Ne:] + yrow[..., Ne:]
             return new_tail, out

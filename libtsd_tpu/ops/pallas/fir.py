@@ -118,7 +118,8 @@ def fir_pallas(h, x: jax.Array, interpret: Optional[bool] = None) -> jax.Array:
     n = x.shape[-1]
     tile = _T * _L
     pad = (-n) % tile
-    xp = jnp.pad(x.astype(real_dtype), (0, pad))
+    from ...block import safe_pad
+    xp = safe_pad(x.astype(real_dtype), 0, pad, axis=0)
     xf = xp.reshape(-1, _L)
     yf = _fir_pallas_jit(xf, G, len(h), interpret)
     return yf.reshape(-1)[:n]

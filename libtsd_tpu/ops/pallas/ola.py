@@ -311,7 +311,8 @@ def ola_filter(x: jax.Array, h, Nf: int | None = None,
         x = x[None]
     C, N = x.shape
     pad = (-N) % Ne
-    xp = jnp.pad(x, ((0, 0), (0, pad)))
+    from ...block import safe_pad
+    xp = safe_pad(x, 0, pad, axis=-1)
     state = jnp.zeros((C, V), complex_dtype)
     y, _ = ola_filter_stream(xp, h, state, Nf=Nf, precision=precision,
                              interpret=interpret)

@@ -244,7 +244,8 @@ def zero_pad(x: jax.Array, n: int) -> jax.Array:
     """Pad with zeros to total length n."""
     if n <= x.shape[0]:
         return x[:n]
-    return jnp.pad(x, (0, n - x.shape[0]))
+    from ..block import safe_pad
+    return safe_pad(x, 0, n - x.shape[0], axis=0)
 
 
 def rotate_vec(x: jax.Array, k: int) -> jax.Array:
