@@ -20,11 +20,15 @@ pytestmark = pytest.mark.slow
 
 @pytest.mark.skipif((os.cpu_count() or 1) < 4,
                     reason="needs 4 cores for a 4-process sweep")
-@pytest.mark.skipif(os.getloadavg()[0] > (os.cpu_count() or 4) / 2,
-                    reason="host busy (e.g. pytest-xdist workers): the "
-                           "core-pinned weak-scaling sweep measures CPU "
-                           "contention, not collectives — run this gate "
+@pytest.mark.skipif("PYTEST_XDIST_WORKER" in os.environ,
+                    reason="under pytest-xdist the other workers own the "
+                           "cores this sweep pins — it would measure CPU "
+                           "contention, not collectives.  Run the gate "
                            "standalone: pytest tests/test_scaling.py")
+@pytest.mark.skipif(os.getloadavg()[0] > (os.cpu_count() or 4) / 2,
+                    reason="host busy: the core-pinned weak-scaling "
+                           "sweep measures CPU contention, not "
+                           "collectives — run this gate on an idle host")
 def test_weak_scaling_efficiency_gate(monkeypatch):
     monkeypatch.syspath_prepend(os.path.join(os.path.dirname(__file__),
                                              "..", "examples"))
