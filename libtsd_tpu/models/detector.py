@@ -280,19 +280,21 @@ class Detector(Block):
             es0 = jnp.concatenate([es0, jnp.zeros(z, es0.dtype)])
             es1 = jnp.concatenate([es1, jnp.zeros(z, es1.dtype)])
             es2 = jnp.concatenate([es2, jnp.zeros(z, es2.dtype)])
-        order = jnp.argsort(-masked)[:P]
+        # top-P by score (lax.top_k is O(n*P) selection, not a full
+        # O(n log n) argsort over every segment), then reorder in TIME
+        # (the reference reports detections in occurrence order; score
+        # order would scramble multi-frame blocks for serving consumers)
+        # — invalid slots sort to the end.  Ties: top_k is
+        # stable-by-index like argsort(-masked).
+        _, order = jax.lax.top_k(masked, P)
         val = masked[order] > 0
-        # emit the selected peaks in TIME order (the reference reports
-        # detections in occurrence order; score order would scramble
-        # multi-frame blocks for serving consumers) — invalid slots sort
-        # to the end
         tkey = jnp.where(val, epe[order], jnp.iinfo(jnp.int32).max)
         reorder = jnp.argsort(tkey)
         order = order[reorder]
         val = val[reorder]
-        c1or, c1oi = ec1r[order], ec1i[order]
-        s0o = es0[order]
-        s1o, s2o = es1[order], es2[order]
+        # ONE stacked gather for the five per-peak refinement arrays
+        g5 = jnp.stack([ec1r, ec1i, es0, es1, es2])[:, order]
+        c1or, c1oi, s0o, s1o, s2o = g5[0], g5[1], g5[2], g5[3], g5[4]
 
         # sub-sample refinement + gain/theta from the complex correlation
         denom = s0o - 2 * s1o + s2o
