@@ -320,7 +320,12 @@ def test_adsb_detection_probability_sweep():
     """Statistical gate: P(decode) vs amplitude-to-noise ratio over many
     random trials — the detection front end plus the CRC gate must turn
     on sharply (the reference's test strategy for modems, SURVEY §4,
-    applied to the protocol decoder)."""
+    applied to the protocol decoder).
+
+    DETERMINISTIC: all randomness comes from the seeded generator below
+    (default_rng(42)) — a failure reproduces exactly by re-running this
+    test; the gate thresholds were calibrated against this seed's
+    realization with margin."""
     rng = np.random.default_rng(42)
     osf = 2
     dec = A.AdsbDecoder(A.AdsbConfig(fe=2e6, Ne=4096, max_frames=4))
@@ -347,7 +352,10 @@ def test_adsb_detection_probability_sweep():
 @pytest.mark.slow
 def test_pocsag_message_error_rate_vs_snr():
     """POCSAG decode probability vs AWGN level at 1200 baud: clean decode
-    well above threshold, graceful loss below."""
+    well above threshold, graceful loss below.
+
+    DETERMINISTIC: seeded default_rng(7) — failures reproduce exactly;
+    thresholds calibrated with margin on this seed's realization."""
     from libtsd_tpu.models import pocsag as P
     rng = np.random.default_rng(7)
     fe, baud = 38400.0, 1200
