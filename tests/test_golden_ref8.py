@@ -332,3 +332,27 @@ def test_rxn_noisy_receiver_at_least_reference_parity():
     assert mine[0] >= ref[0], (mine, ref)     # clean frames
     assert mine[1] <= ref[1], (mine, ref)     # errored bits
     assert mine[2] <= ref[2], (mine, ref)     # spurious detections
+
+
+def test_reference_demod_llr_output_is_dead():
+    """REFERENCE DEFECT #16 (recorded by the golden): both demodulator
+    architectures take the LLR output parameter their API documents
+    ('un train de LLR', telecom.hpp demod docs) and NEVER write it —
+    demod-dec.cc:314 / demod-ndec.cc:172 declare `Tabf &llr` and no
+    statement assigns it, so golden_gen8 captured 0-element arrays.
+    Our max-log-MAP LLRs (models/demod.llr) are live: finite, correctly
+    shaped, and sign-consistent with the hard decisions."""
+    from libtsd_tpu.models.demod import llr
+    from libtsd_tpu.models.waveform import wf_qpsk
+    assert g("g8_d1_llr").size == 0
+    assert g("g8_d2_llr").size == 0
+    wf = wf_qpsk(_ps())
+    syms = wf.make_symbols(jnp.asarray(lcg_bits(1, 64), jnp.int8))
+    L = np.asarray(llr(wf, syms))
+    assert L.shape == (64,)          # k=2 bits x 32 symbols
+    assert np.isfinite(L).all()
+    bits = lcg_bits(1, 64)
+    # LLR convention: (d0 - d1)/sigma^2 — NEGATIVE when bit 0 was sent
+    # (d0 ~ 0), positive favors bit 1
+    agree = np.mean((L > 0) == (bits == 1))
+    assert agree == 1.0, agree
