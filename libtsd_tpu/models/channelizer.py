@@ -94,11 +94,14 @@ class Channelizer(Block):
             Y = term if Y is None else Y + term
         # channel separation: IFFT across branches
         ch = jnp.fft.ifft(Y, axis=0) * M  # (M, m)
-        new_hist = full[:, -(K - 1):]
+        # shape-based slices: -(K-1)/-(M-1) would be -0 for K==1 / M==1
+        # and return the WHOLE buffer (state growing every step; scan
+        # carry shape crash)
+        new_hist = full[:, full.shape[1] - (K - 1):]
         new_state = dict(
             hist=jnp.stack([jnp.real(new_hist), jnp.imag(new_hist)]),
-            raw=jnp.stack([jnp.real(xc[-(M - 1):]),
-                           jnp.imag(xc[-(M - 1):])]),
+            raw=jnp.stack([jnp.real(xc[xc.shape[-1] - (M - 1):]),
+                           jnp.imag(xc[xc.shape[-1] - (M - 1):])]),
         )
         return new_state, ch.T
 
@@ -108,16 +111,23 @@ class Channelizer(Block):
         return np.where(f >= 0.5, f - 1.0, f)
 
 
-def channelize(x: jax.Array, M: int, taps_per_branch: int = 8) -> jax.Array:
-    """One-shot channelization -> (n//M, M)."""
-    c = Channelizer.create(M, taps_per_branch)
+def channelize(x: jax.Array, M: int, taps_per_branch: int = 8,
+               bank: "Channelizer" = None) -> jax.Array:
+    """One-shot channelization -> (n//M, M).
+
+    ``bank``: optional pre-built Channelizer — per-block streaming loops
+    should pass one (each bare call otherwise re-runs the host-side
+    prototype design and re-uploads the tap matrix)."""
+    c = bank if bank is not None else Channelizer.create(M,
+                                                        taps_per_branch)
     from ..block import pad_to_multiple
     xp = pad_to_multiple(x, M, axis=x.ndim - 1)
     _, y = c.step(c.init(), xp)
     return y
 
 
-def dechannelize(ch: jax.Array, M: int, taps_per_branch: int = 8) -> jax.Array:
+def dechannelize(ch: jax.Array, M: int, taps_per_branch: int = 8,
+                 bank: "Channelizer" = None) -> jax.Array:
     """Synthesis bank: reassemble the wideband signal from channels.
 
     x_hat[rM + q] = sum_j h[(r-j)M + q] V[q, j] with
@@ -138,7 +148,8 @@ def dechannelize(ch: jax.Array, M: int, taps_per_branch: int = 8) -> jax.Array:
     # zero-stuff each branch to rate M and filter with branch p of h —
     # ALL branches at once via slice-MAC (the per-branch python loop with
     # an index-array window unrolled M gathers and was element-rate bound)
-    c = Channelizer.create(M, taps_per_branch)
+    c = bank if bank is not None else Channelizer.create(M,
+                                                        taps_per_branch)
     K = c.P.shape[1]
     histf = jnp.concatenate(
         [jnp.zeros((M, K - 1), complex_dtype), V], axis=1)  # (M, K-1+m)
@@ -253,8 +264,13 @@ def wola_synthesis(ch: jax.Array, M: int, R: Optional[int] = None,
                    taps_per_branch: int = 16,
                    h: Optional[np.ndarray] = None) -> jax.Array:
     """Inverse of :func:`wola_analysis` (same M, R, prototype):
-    (..., nj, M) -> (..., ~n) with unit passband gain and group delay
-    K*M - R.  Leading axes are independent streams.
+    (..., nj, M) -> (..., ~n) with unit passband gain and ZERO net
+    delay: the round trip is index-aligned, xr[t] reconstructs x[t]
+    (the analysis and synthesis prototype delays cancel by
+    construction — measured: compensating a K*M - R "group delay"
+    as an earlier docstring claimed misaligns by 248 samples at the
+    defaults and reconstructs garbage).  Leading axes are independent
+    streams.
 
     Round-trip accuracy is set by the prototype (root-Nyquist default:
     ~3e-4 broadband at taps_per_branch=16, ~7e-5 at 32 — measured in

@@ -104,23 +104,29 @@ class FirUps(Block):
         n = x.shape[-1]
         Kp = self.Hm.shape[0]
         xx = jnp.concatenate([state, x], axis=-1)  # (..., n + Kp - 1)
-        # windows W[m, i] = x[m - i] = xx[Kp - 1 + m - i]
-        m = jnp.arange(n)[:, None]
-        i = jnp.arange(Kp)[None, :]
-        W = xx[..., Kp - 1 + m - i]  # (..., n, Kp)
-        hp = jax.lax.Precision.HIGHEST
-        if jnp.iscomplexobj(W):
-            Y = (jnp.matmul(jnp.real(W), self.Hm,
-                            preferred_element_type=real_dtype, precision=hp)
-                 + 1j * jnp.matmul(jnp.imag(W), self.Hm,
-                                   preferred_element_type=real_dtype,
-                                   precision=hp))
-            Y = Y.astype(complex_dtype)
+        # Gather-free polyphase: y[mR + r] = sum_i x[m - i] Hm[i, r].
+        # Kp static shifted slices + MACs instead of the (n, Kp)
+        # advanced-index window (an element-rate gather on TPU — the
+        # same pattern whose removal sped the channelizer 270x)
+        def branch(xr):
+            acc = None
+            for i in range(Kp):
+                sl = jax.lax.slice_in_dim(xr, Kp - 1 - i, Kp - 1 - i + n,
+                                          axis=-1)
+                t = sl[..., :, None] * self.Hm[i][None, :]
+                acc = t if acc is None else acc + t
+            return acc                       # (..., n, R)
+
+        if jnp.iscomplexobj(xx):
+            Y = (branch(jnp.real(xx).astype(real_dtype))
+                 + 1j * branch(jnp.imag(xx).astype(real_dtype))
+                 ).astype(complex_dtype)
         else:
-            Y = jnp.matmul(W, self.Hm, preferred_element_type=real_dtype,
-                           precision=hp)
+            Y = branch(xx)
         y = Y.reshape(*x.shape[:-1], n * self.R)
-        return xx[..., -(Kp - 1):], y
+        # shape-based slice: -(Kp-1) would be -0 for Kp == 1 and return
+        # the WHOLE buffer (state growing every step; scan carry crash)
+        return xx[..., xx.shape[-1] - (Kp - 1):], y
 
 
 def fir_ups_delay(nc: int, R: int) -> float:
@@ -210,10 +216,20 @@ class Cic(Block):
 
     def init_for(self, x):
         N = self.config.N
-        return (jnp.zeros(x.shape[:-1] + (N,), jnp.int32),
-                jnp.zeros(x.shape[:-1] + (N,), jnp.int32))
+        # complex IQ runs as a leading (2,) re/im plane axis
+        lead = (2,) if jnp.iscomplexobj(x) else ()
+        return (jnp.zeros(lead + x.shape[:-1] + (N,), jnp.int32),
+                jnp.zeros(lead + x.shape[:-1] + (N,), jnp.int32))
 
     def step(self, state, x):
+        if jnp.iscomplexobj(x):
+            # complex IQ: run the re/im planes through the SAME integer
+            # pipeline as a leading plane axis (the reference FiltreCIC
+            # is templated over complex T, cic.cc:12; the old
+            # complex->int32 cast silently DROPPED the Q plane)
+            planes = jnp.stack([jnp.real(x), jnp.imag(x)])
+            state, y = self.step(state, planes)
+            return state, (y[0] + 1j * y[1]).astype(complex_dtype)
         integ, combs = state
         N, R = self.config.N, self.config.R
         if self.mode == "d":
@@ -473,8 +489,12 @@ def make_interpolator(kind: str = "sinc", **kw) -> Interpolator:
         nc = kw.get("ncoefs", 15)
         lut = sinc_interp_lut(nc, kw.get("nphases", 256),
                               kw.get("fcut", 0.5), kw.get("fen", "hn"))
-        # symmetric kernel: center (nc-1)//2 -> causal group delay
-        delay = nc - 1 - (nc - 1) // 2
+        # kernel center is nc//2 (sinc_interp_coefs uses k = i - nc//2
+        # - tau) -> causal group delay nc - 1 - nc//2.  For odd nc this
+        # equals the old (nc-1) - (nc-1)//2; for EVEN nc the old formula
+        # overstated the delay by one full sample (review finding,
+        # verified by measuring taps(0) @ arange(nc))
+        delay = nc - 1 - nc // 2
         return Interpolator(lut=jnp.asarray(np.asarray(lut, np.float32)), K=nc, delay_=delay)
     if kind == "cspline":
         lut = cspline_lut(kw.get("nphases", 256), kw.get("c", 0.0))
@@ -487,8 +507,11 @@ def make_interpolator(kind: str = "sinc", **kw) -> Interpolator:
         d = kw.get("degree", 3)
         n = kw.get("nphases", 256)
         lut = np.stack([lagrange_coefs(d, i / n) for i in range(n + 1)])
+        # the kernel interpolates at (d-1)/2 + tau -> causal delay
+        # (d+1)/2 EXACTLY (a float: even degrees sit half a sample off
+        # the old integer formula — review finding, measured)
         return Interpolator(lut=jnp.asarray(np.asarray(lut, np.float32)), K=d + 1,
-                            delay_=d - (d - 1) // 2)
+                            delay_=(d + 1) / 2)
     raise ValueError(f"unknown interpolator {kind!r}")
 
 

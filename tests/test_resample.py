@@ -372,3 +372,62 @@ def test_cic_analyse_bit_width_passthrough():
     _, m16 = cic_analyse(cfg)
     _, m12 = cic_analyse(cfg, bin_bits=12, bout_bits=12)
     assert m16["bmax_bits"] - m12["bmax_bits"] == 4
+
+
+def test_cic_complex_iq_preserved():
+    """REGRESSION: complex input used to be silently cast to int32,
+    dropping the Q plane entirely.  The re/im planes now run through the
+    same wraparound-exact integer pipeline (reference FiltreCIC is
+    templated over complex T, cic.cc:12)."""
+    cfg = RS.CicConfig(R=4, N=2)
+    blk = RS.Cic(config=cfg, mode="d", scale=4096.0)
+    n = 256
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+    st = blk.init_for(jnp.asarray(x))
+    _, y = blk.step(st, jnp.asarray(x))
+    y = np.asarray(y)
+    assert np.iscomplexobj(y)
+    b, _ = RS.cic_design_ba(cfg)
+    exp = np.convolve(x, b)[:n][::4]
+    assert np.max(np.abs(y - exp)) < 0.02
+    # streaming in halves continues exactly
+    st = blk.init_for(jnp.asarray(x))
+    st, y1 = blk.step(st, jnp.asarray(x[:128]))
+    _, y2 = blk.step(st, jnp.asarray(x[128:]))
+    ys = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    assert np.max(np.abs(ys - y)) == 0.0
+
+
+def test_fir_ups_short_taps_state():
+    """REGRESSION: len(h) <= R gives a single polyphase row (Kp=1); the
+    old -(Kp-1) slice returned the WHOLE buffer as state (scan carry
+    crash / unbounded growth).  State must stay empty and streaming must
+    equal one-shot."""
+    blk = RS.FirUps.create(np.array([1.0, 0.5]), 2)
+    x = rng.standard_normal(64).astype(np.float32)
+    st = blk.init_for(jnp.asarray(x))
+    assert st.shape[-1] == 0
+    st2, y1 = blk.step(st, jnp.asarray(x))
+    assert st2.shape == st.shape           # no growth
+    _, yref = blk.step(blk.init_for(jnp.asarray(x)), jnp.asarray(x))
+    sa, ya = blk.init_for(jnp.asarray(x[:32])), None
+    sa, ya = blk.step(sa, jnp.asarray(x[:32]))
+    sb, yb = blk.step(sa if not isinstance(sa, tuple) else sa,
+                      jnp.asarray(x[32:]))
+    ys = np.concatenate([np.asarray(ya), np.asarray(yb)])
+    assert np.allclose(ys, np.asarray(yref), atol=1e-6)
+
+
+def test_interpolator_even_length_delays():
+    """REGRESSION: even sinc ncoefs / even Lagrange degree reported a
+    delay off by 1 (resp. 0.5) sample; measure the actual kernel center
+    against K - 1 - delay."""
+    for kind, kw in (("sinc", dict(ncoefs=16)), ("sinc", dict(ncoefs=15)),
+                     ("lagrange", dict(degree=2)),
+                     ("lagrange", dict(degree=3))):
+        it = RS.make_interpolator(kind, **kw)
+        taps0 = np.asarray(it.taps(jnp.asarray(0.0)))
+        center = float(taps0 @ np.arange(it.K))
+        assert abs(center - (it.K - 1 - it.delay_)) < 0.51, \
+            (kind, kw, center, it.delay_)
