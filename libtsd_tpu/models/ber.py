@@ -67,9 +67,16 @@ def cmp_bits_psk(tx: jax.Array, rx: jax.Array, k: int,
     a = np.asarray(tx, np.int8)
     best = None
     rxi = np.asarray(bits_to_symbol_indices(jnp.asarray(rx), k))
+    nrx = len(np.asarray(rx))
     for rot in range(M):
         ri = (rxi + rot) % M
         rb = np.asarray(symbol_indices_to_bits(jnp.asarray(ri), k), np.int8)
+        # trim back to the original rx length: bits_to_symbol_indices
+        # zero-pads a partial trailing symbol, and under a nonzero
+        # rotation the PAD symbol maps to nonzero garbage bits that
+        # would count as extra errors for rotations != 0 only (biasing
+        # the best-rotation pick)
+        rb = rb[:nrx]
         ber, errs, lag = cmp_bits(a, jnp.asarray(rb), max_lag)
         # initialize from the FIRST measurement: a strict < against a
         # sentinel returned a bogus 2^30 error count whenever every
@@ -84,9 +91,10 @@ def cmp_bits_rot(tx: jax.Array, rx_syms: np.ndarray, wf,
                  max_lag: int = 256,
                  rotations: int = 4) -> Tuple[float, int, int]:
     """Resolve the GEOMETRIC rotational ambiguity of a blind carrier
-    loop on an arbitrary constellation (e.g. Gray-mapped square QAM,
-    where a 90-degree lock is NOT an index rotation, so cmp_bits_psk
-    cannot undo it): rotate the received symbols by each multiple of
+    loop on an arbitrary constellation (e.g. square QAM with the
+    reference's per-axis binary mapping, modulations.cc:490 — where a
+    90-degree lock is NOT an index rotation, so cmp_bits_psk cannot
+    undo it): rotate the received symbols by each multiple of
     2*pi/rotations, re-decide on wf, and keep the best bit alignment.
 
     rx_syms: converged received symbols (host array, already masked).
@@ -100,9 +108,9 @@ def cmp_bits_rot(tx: jax.Array, rx_syms: np.ndarray, wf,
         idx = wf.closest(sr)
         rb = symbol_indices_to_bits(idx, k)
         out = cmp_bits(tx, rb, max_lag)
-        # <= so the first rotation always replaces the placeholder — a
-        # strict < with a sentinel returned a bogus nerrs=2^30 when every
-        # rotation measured BER exactly 1.0
+        # initialize from the FIRST measurement (None sentinel): a
+        # strict < against a numeric placeholder returned a bogus
+        # nerrs=2^30 when every rotation measured BER exactly 1.0
         if best is None or out[0] < best[0]:
             best = out
     return best

@@ -86,10 +86,11 @@ class ClockRecConfig:
 class ClockRec(Block):
     """Streaming Gardner clock recovery.
 
-    ``step(state, x)`` returns ``(state, (symbols, valid))`` where symbols
-    has static length ``len(x)//osf + 2`` and ``valid`` marks real outputs
-    (the instantaneous symbol rate wanders around fe/osf while the loop
-    pulls in).
+    ``step(state, x)`` returns ``(state, (symbols, valid))`` where
+    symbols has static length ``n//osf + 2 + n//(64*osf)`` (nominal
+    symbols plus catch-up headroom for timing drift) and ``valid`` marks
+    real outputs (the instantaneous symbol rate wanders around fe/osf
+    while the loop pulls in).
     """
 
     itrp: Interpolator
@@ -101,6 +102,15 @@ class ClockRec(Block):
         if cfg.ted == "mm":
             # M&M works at 1 sample/symbol
             cfg = dataclasses.replace(cfg, ted_osf=1)
+        if cfg.ted_osf >= 2 * cfg.osf:
+            # the loop caps interpolations at 2/input sample; at
+            # ted_osf >= 2*osf the AVERAGE need equals the cap, leaving
+            # zero catch-up headroom — any timing deficit then becomes
+            # a permanent phase underflow (silent mis-sampling)
+            raise ValueError(
+                f"ClockRecConfig: ted_osf={cfg.ted_osf} must be < "
+                f"2*osf={2 * cfg.osf} (the interpolation budget is 2 "
+                f"per input sample; use a higher osf or lower ted_osf)")
         itrp = make_interpolator(cfg.itrp)
         return cls(itrp=itrp, cfg=cfg)
 
@@ -143,8 +153,9 @@ class ClockRec(Block):
         def interp_once(carry):
             ph, win, x0, x1, x2, d1, cnt = carry
             frac = jnp.clip(ph, 0.0, 1.0)
-            taps = lut[jnp.clip(jnp.round(frac * nph).astype(jnp.int32),
-                                0, nph)]
+            # Interpolator.taps inlined NOWHERE else: one copy of the
+            # LUT phase-quantization convention
+            taps = self.itrp.taps(frac)
             y = jnp.sum(win * taps.astype(complex_dtype))
             ph = ph + K1 / K2
             x0, x1, x2 = x1, x2, y

@@ -33,7 +33,13 @@ __all__ = ["ClockRec2"]
 
 class ClockRec2(Block):
     """step(state, x) -> (state, (symbols, valid)) with static output
-    length len(x)//osf (symbols per block)."""
+    length len(x)//osf + 1 + len(x)//(64*osf): the nominal symbol count
+    plus catch-up headroom — an RX symbol clock FASTER than fe/osf
+    produces slightly more than n/osf symbols per block, and without
+    spare masked slots the carried pointer would fall ever further
+    behind until the stale-tail re-anchor silently deleted the backlog
+    (a periodic symbol slip).  Consumers already filter by the validity
+    mask."""
 
     itrp: Interpolator
     cfg: ClockRecConfig = struct.field(pytree_node=False)
@@ -80,7 +86,8 @@ class ClockRec2(Block):
         nph = self.itrp.nphases
         gain = self.gain
         n = x.shape[-1]
-        nsym = n // osf
+        # headroom slots: see class docstring (negative-drift catch-up)
+        nsym = n // osf + 1 + n // (64 * osf)
         x = x.astype(complex_dtype)
         # [carried tail | block | small guard pad]; x[t] sits at index T+t
         xp = jnp.concatenate([state["tail"], x,
@@ -93,8 +100,8 @@ class ClockRec2(Block):
             # ip - itrp.delay_ + tau... consistent with the symbol spacing
             start = T + ip + 1 - K
             win = jax.lax.dynamic_slice(xp, (start,), (K,))
-            taps = lut[jnp.clip(jnp.round(tau * nph).astype(jnp.int32),
-                                0, nph)]
+            # one copy of the LUT phase-quantization convention
+            taps = self.itrp.taps(tau)
             return jnp.sum(win * taps.astype(win.dtype))
 
         def body(st, t):

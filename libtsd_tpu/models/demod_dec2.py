@@ -36,8 +36,12 @@ __all__ = ["DecisionDemod2"]
 
 
 class DecisionDemod2(Block):
-    """step(state, x) -> (state, (bits, symbols, valid, bit_valid)); output
-    length = len(x)//osf symbols (static)."""
+    """step(state, x) -> (state, (bits, symbols, valid, bit_valid));
+    output length = len(x)//osf + 1 + len(x)//(64*osf) symbols (static;
+    nominal count plus catch-up headroom so an RX symbol clock faster
+    than fe/osf cannot starve the carried pointer into the stale-tail
+    re-anchor — the same budget as ClockRec2).  Consumers filter by the
+    validity masks."""
 
     itrp: Interpolator
     mf: Fir
@@ -93,7 +97,8 @@ class DecisionDemod2(Block):
         tgain = self._timing_gain
         aga = self._agc_alpha
         n = x.shape[-1]
-        nsym = n // osf
+        # headroom slots: see class docstring (negative-drift catch-up)
+        nsym = n // osf + 1 + n // (64 * osf)
 
         T = self.T
         mf_state, z = self.mf.step(state["mf"], x)
@@ -110,8 +115,8 @@ class DecisionDemod2(Block):
             ip = jnp.floor(p).astype(jnp.int32)
             tau = p - ip.astype(real_dtype)
             win = jax.lax.dynamic_slice(zp, (T + ip + 1 - K,), (K,))
-            taps = lut[jnp.clip(jnp.round(tau * nph).astype(jnp.int32),
-                                0, nph)]
+            # one copy of the LUT phase-quantization convention
+            taps = self.itrp.taps(tau)
             return jnp.sum(win * taps.astype(win.dtype))
 
         def body(st, t):

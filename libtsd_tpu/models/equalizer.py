@@ -34,6 +34,13 @@ class LmsEqualizer(Block):
       CMA: h += alpha * (1-|out|^2) * out * conj(wnd)
     """
 
+    # MAINTENANCE NOTE: init() and step() intentionally keep the
+    # ref_mode (reference-trajectory-parity) and default branches as
+    # separate literal blocks — the golden tests pin ref_mode
+    # trajectory-exactly, so merged plumbing would risk silently
+    # changing it.  ANY fix to the active-gating / wnd_d roll / state
+    # bookkeeping must be applied to BOTH branches.
+
     wf: Waveform
     structure: str = struct.field(pytree_node=False, default="ffe")
     errf: str = struct.field(pytree_node=False, default="dec")

@@ -76,13 +76,14 @@ class Modulator(Block):
     def init(self):
         return (self.shaper.init_for(jnp.zeros((0,), complex_dtype)),
                 jnp.zeros((), real_dtype),   # NCO phase
-                jnp.zeros((), real_dtype))   # FSK integrated phase
+                jnp.zeros((), real_dtype),   # FSK integrated phase
+                jnp.zeros((), jnp.int32))    # rotation parity (pi/4-QPSK)
 
     def _post_shaper(self, y, ph, fsk_ph):
         """FSK phase integration, IF upconversion, real output — shared by
         step() and flush()."""
         cfg = self.config
-        if self.wf.info.is_fsk:
+        if self.wf.info.is_fsk and y.shape[-1] > 0:
             om_max = jnp.pi * self.wf.info.index / cfg.osf
             vr = jnp.real(y)
             # normalize by the STATIC constellation extreme, not the
@@ -108,7 +109,12 @@ class Modulator(Block):
         return y, ph, fsk_ph
 
     def step(self, state, bits: jax.Array):
-        return self.step_symbols(state, self.wf.make_symbols(bits))
+        # the carried symbol-count parity continues the pi/4-QPSK
+        # rotation across blocks (a per-block restart would emit every
+        # second block pi/4 off — streaming != one-shot)
+        par = state[3]
+        symbs = self.wf.make_symbols(bits, parity=par)
+        return self.step_symbols(state, symbs)
 
     def step_symbols(self, state, symbs: jax.Array):
         """Feed already-mapped symbols through the shared shaping filter +
@@ -118,10 +124,11 @@ class Modulator(Block):
         shaping filter and NCO keep their state — here the caller maps
         header and payload bits with their own waveforms and concatenates
         the symbol streams."""
-        sh_state, ph, fsk_ph = state
+        sh_state, ph, fsk_ph, par = state
         sh_state, y = self.shaper.step(sh_state, symbs)
         y, ph, fsk_ph = self._post_shaper(y, ph, fsk_ph)
-        return (sh_state, ph, fsk_ph), y
+        par = (par + symbs.shape[-1]) % 2
+        return (sh_state, ph, fsk_ph, par), y
 
     def flush(self, state) -> Tuple[tuple, jax.Array]:
         """Push zero SYMBOLS through to drain the filter delay (parity:
@@ -130,11 +137,11 @@ class Modulator(Block):
         constellation point 0 (e.g. -1 for BPSK) and would transmit
         phantom full-power symbols that add ISI to the data tail."""
         nflush = (self.nc + self.config.osf - 1) // self.config.osf
-        sh_state, ph, fsk_ph = state
+        sh_state, ph, fsk_ph, par = state
         zsym = jnp.zeros((nflush,), complex_dtype)
         sh_state, y = self.shaper.step(sh_state, zsym)
         y, ph, fsk_ph = self._post_shaper(y, ph, fsk_ph)
-        return (sh_state, ph, fsk_ph), y
+        return (sh_state, ph, fsk_ph, par), y
 
     def modulate(self, bits: jax.Array) -> Tuple[jax.Array, float]:
         """One-shot: modulate + flush; returns (samples, delay)."""

@@ -195,15 +195,20 @@ class Waveform(struct.PyTreeNode):
         return from_ri(self.symbols_ri)
 
     # --- symbol generation ----------------------------------------------
-    def make_symbols(self, bits: jax.Array) -> jax.Array:
+    def make_symbols(self, bits: jax.Array, parity=0) -> jax.Array:
         """bits -> I/Q symbols (parity: génère_symboles,
-        modulations.cc:108-120)."""
+        modulations.cc:108-120).
+
+        ``parity``: rotation parity of the FIRST symbol for rotating
+        constellations (pi/4-QPSK) — streaming modulators pass their
+        carried symbol-count parity so the pi/4 alternation continues
+        across blocks instead of restarting at even."""
         idx = bits_to_symbol_indices(bits, self.info.k)
         if self.info.is_fsk:
             return self.symbols[idx]  # real frequency levels, complex dtype
         s = self.symbols[idx]
         if self.rotating:
-            rot = jnp.where(jnp.arange(idx.shape[0]) % 2 == 1,
+            rot = jnp.where((jnp.arange(idx.shape[0]) + parity) % 2 == 1,
                             jnp.exp(1j * jnp.pi / 4).astype(complex_dtype),
                             jnp.asarray(1.0 + 0j, complex_dtype))
             s = s * rot
@@ -230,8 +235,11 @@ class Waveform(struct.PyTreeNode):
             # data maximum: a block using only inner FSK levels must not
             # be stretched to full deviation (Modulator._post_shaper
             # documents the same requirement)
+            # SAME zero guard expression as Modulator._post_shaper
+            # (keep in lockstep: one-shot and streaming FSK must match
+            # bit-for-bit)
             vmax = jnp.max(jnp.abs(jnp.real(self.symbols)))
-            vf = vr * (om_max / (vmax + 1e-30))
+            vf = vr * (om_max / jnp.maximum(vmax, 1e-30))
             y = jnp.exp(1j * jnp.cumsum(vf)).astype(complex_dtype)
         return y, float(delay)
 

@@ -168,3 +168,33 @@ def test_end_to_end_qpsk_awgn_ber():
     # statistical agreement with theory (~2.4e-3 at 6 dB): within 3x
     assert ber < th * 3 + 1e-3, (ber, th)
     assert ber > 0  # noise high enough that some errors occur
+
+
+def test_pi4_qpsk_streaming_modulator_parity_carries():
+    """REGRESSION: Modulator.step restarted the pi/4-QPSK rotation
+    parity at even on every block — a stream modulated in blocks with
+    odd symbol counts came out pi/4 off from the second block onward
+    (one-shot != streaming).  The parity now rides the modulator
+    state."""
+    import numpy as np
+    from libtsd_tpu.models.modulator import ModConfig, Modulator
+    wf = WF.wf_pi4_qpsk(WF.PulseShape.rcs(0.35))
+    mod = Modulator.create(ModConfig(wf=wf, fe=4.0, fsymb=1.0))
+    rng = np.random.default_rng(0)
+    bits = jnp.asarray(rng.integers(0, 2, 2 * 31).astype(np.int8))
+    # one shot
+    st = mod.init()
+    st, y1 = mod.step(st, bits)
+    _, yf = mod.flush(st)
+    one = np.concatenate([np.asarray(y1), np.asarray(yf)])
+    # streamed in 3 blocks with ODD symbol counts (14, 22, 26 bits ->
+    # 7, 11, 13 symbols)
+    st = mod.init()
+    outs = []
+    for a, b in ((0, 14), (14, 36), (36, 62)):
+        st, y = mod.step(st, bits[a:b])
+        outs.append(np.asarray(y))
+    _, yf = mod.flush(st)
+    outs.append(np.asarray(yf))
+    two = np.concatenate(outs)
+    assert np.max(np.abs(one - two)) < 1e-6
