@@ -131,6 +131,9 @@ def ekf_filter(f: Callable, g: Callable, Q, R, ys: jax.Array,
 def kalman_steady_gain(ssm: LinearSSM, iters: int = 200) -> np.ndarray:
     """Steady-state Kalman gain by Riccati iteration (parity: kalman_ssg,
     kalman.hpp:412)."""
+    if iters < 1:
+        raise ValueError(f"kalman_steady_gain needs iters >= 1 "
+                         f"(got {iters})")
     A, C, Q, R = (np.asarray(m, np.float64)
                   for m in (ssm.A, ssm.C, ssm.Q, ssm.R))
     nx = A.shape[0]

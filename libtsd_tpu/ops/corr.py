@@ -99,15 +99,20 @@ def coherence(x: jax.Array, y: jax.Array, N: int = 0) -> jax.Array:
     n = x.shape[-1]
     if N <= 0:
         N = max(n // 8, 8)
-    starts = np.arange(0, n - N + 1, max(N // 2, 1))
-    Sxy = Sxx = Syy = 0.0
+    hop = max(N // 2, 1)
+    nseg = (n - N) // hop + 1
+    # frame once + ONE batched FFT pair per signal: the old per-segment
+    # Python loop emitted one FFT op pair per segment (~620 ops at
+    # n=20k/N=64), blowing up trace/compile time inside jitted callers
+    from .signal import sliding_frames
     w = jnp.asarray(np.hanning(N), real_dtype)
-    for s0 in starts:
-        X = jnp.fft.fft(_asc(x[..., s0:s0 + N]) * w)
-        Y = jnp.fft.fft(_asc(y[..., s0:s0 + N]) * w)
-        Sxy = Sxy + X * jnp.conj(Y)
-        Sxx = Sxx + jnp.abs(X) ** 2
-        Syy = Syy + jnp.abs(Y) ** 2
+    Fx = sliding_frames(_asc(x), N, hop, nseg) * w      # (nseg, N)
+    Fy = sliding_frames(_asc(y), N, hop, nseg) * w
+    X = jnp.fft.fft(Fx, axis=-1)
+    Y = jnp.fft.fft(Fy, axis=-1)
+    Sxy = jnp.sum(X * jnp.conj(Y), axis=0)
+    Sxx = jnp.sum(jnp.abs(X) ** 2, axis=0)
+    Syy = jnp.sum(jnp.abs(Y) ** 2, axis=0)
     return jnp.abs(Sxy) ** 2 / (Sxx * Syy + 1e-30)
 
 

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import real_dtype
+from ..config import complex_dtype, real_dtype
 
 __all__ = ["CqtKernel", "cqt_kernel", "cqt", "cqt_freqs",
            "CqtStreamKernel", "cqt_stream_kernel", "cqt_stream",
@@ -200,7 +200,7 @@ def cqt_stream(x: jax.Array, K: CqtStreamKernel):
     def body(carry, xh):
         buf, kphase, t0 = carry
         buf = jnp.concatenate([buf[hop:], xh])
-        X = jnp.fft.fft(buf.astype(jnp.complex64))
+        X = jnp.fft.fft(buf.astype(complex_dtype))
         Xs = X[jidx]                                       # (nbins, ksmax)
         base = kern * jnp.conj(Xs)
         # evaluation positions: kphase + m*dt while pos + ktime <= N

@@ -1,10 +1,20 @@
 """Discrete wavelet transform: Haar / Daubechies-4 / biorthogonal wavelets,
 multi-level analysis/synthesis, 2-D image transform.
 
-Parity: core/include/tsd/fourier/tod.hpp:28-131, core/src/fourier/tod.cc
-(the reference uses the lifting scheme; this implements the equivalent
-filter-bank form — conv + dyadic down/up sampling, which maps to the same
-coefficients and vectorizes on TPU).
+Parity: core/include/tsd/fourier/tod.hpp:28-131, core/src/fourier/tod.cc.
+
+CONVENTIONS (two DWT modules, deliberately different):
+* This module is the FILTER-BANK form (conv + dyadic down/up sampling,
+  vectorizes on TPU); `ops/lifting.py` is the LIFTING form that is
+  golden-diffed against the reference binary.  Both are perfect
+  reconstruction WITHIN themselves, but their subband coefficients are
+  NOT interchangeable: the causal conv pairs (x[2m-1], x[2m]) where the
+  lifting scheme pairs (x[2m], x[2m+1]) (measured: no shift/sign maps
+  one to the other).  Never threshold with one and invert with the
+  other.
+* Coefficient ORDER also differs: dwt() returns [a_L, d_L, ..., d_1];
+  lifting.lift_dwt() returns [d_1, ..., d_L, a_L] (the reference's
+  in-place layout).
 """
 from __future__ import annotations
 

@@ -313,8 +313,15 @@ def resample_freq(x: jax.Array, ratio: float) -> jax.Array:
     scaling)."""
     n = x.shape[-1]
     n2 = int(round(n * ratio))
-    if ratio == 1:
+    if n2 == n:
+        # includes ratios that ROUND to the same length (a sqrt(ratio)
+        # gain on an unchanged-length signal would be inconsistent with
+        # the ratio == 1 early-return)
         return x
+    if n2 < 2 or n < 2:
+        raise ValueError(
+            f"resample_freq: lengths below 2 are degenerate (n={n}, "
+            f"target n2={n2}) — the half-spectrum split has no bins")
     X = jnp.fft.fft(x) * (1.0 / np.sqrt(n))
     if ratio > 1:
         X2 = jnp.zeros(x.shape[:-1] + (n2,), complex_dtype)

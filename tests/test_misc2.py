@@ -157,3 +157,27 @@ def test_eye_diagram(tmp_path):
     p = str(tmp_path / "eye.png")
     f.save(p)
     assert os.path.exists(p) and os.path.getsize(p) > 5000
+
+
+def test_resample_freq_degenerate_guards():
+    """REGRESSION: n2 == 1 crashed with a broadcast error (the -0 slice);
+    a ratio rounding to the same length returned x*sqrt(ratio)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest as _pytest
+    from libtsd_tpu.ops.fft import resample_freq
+    x = jnp.asarray(np.arange(16.0, dtype=np.float32))
+    with _pytest.raises(ValueError):
+        resample_freq(x, 1.0 / 16)
+    y = resample_freq(jnp.asarray(np.arange(10.0, dtype=np.float32)), 1.01)
+    assert np.allclose(np.asarray(y), np.arange(10.0))
+
+
+def test_kalman_steady_gain_iters_guard():
+    import pytest as _pytest
+    import numpy as np
+    from libtsd_tpu.models.kalman import LinearSSM, kalman_steady_gain
+    ssm = LinearSSM(A=np.eye(1), C=np.eye(1),
+                    Q=np.eye(1) * 0.1, R=np.eye(1))
+    with _pytest.raises(ValueError):
+        kalman_steady_gain(ssm, iters=0)
