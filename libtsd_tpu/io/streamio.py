@@ -92,8 +92,20 @@ def _load() -> Optional[ctypes.CDLL]:
     return lib
 
 
+def _load_guarded():
+    """_load with a stale-.so guard: a present-but-outdated
+    libstreamio.so missing a newer symbol must degrade to the numpy
+    fallback, not crash every caller with AttributeError."""
+    global _lib
+    try:
+        return _load()
+    except AttributeError:
+        _lib = None
+        return None
+
+
 def native_available() -> bool:
-    return _load() is not None
+    return _load_guarded() is not None
 
 
 class RingBuffer:
@@ -105,7 +117,7 @@ class RingBuffer:
     def __init__(self, capacity: int, complex_iq: bool = True):
         self.capacity = capacity
         self.channels = 2 if complex_iq else 1
-        self._lib = _load()
+        self._lib = _load_guarded()
         if self._lib is not None:
             self._h = self._lib.rb_create(capacity, self.channels)
             if not self._h:
@@ -128,13 +140,28 @@ class RingBuffer:
         return len(self._buf)
 
     def push(self, x: np.ndarray) -> int:
-        """Push samples (complex64 array or float32); returns accepted."""
+        """Push samples (complex64 array or float32); returns accepted.
+
+        The input domain must match the ring's configuration: a real
+        array into a complex_iq ring (or complex into a real one) used
+        to be silently re-paired into bogus I/Q samples."""
         if np.iscomplexobj(x):
+            if self.channels != 2:
+                raise ValueError(
+                    "complex samples pushed into a REAL ring buffer "
+                    "(construct with complex_iq=True, or push floats)")
             flat = np.empty((len(x), 2), np.float32)
             flat[:, 0] = x.real
             flat[:, 1] = x.imag
         else:
-            flat = np.asarray(x, np.float32).reshape(-1, self.channels)
+            xf = np.asarray(x, np.float32)
+            if self.channels == 2 and xf.ndim == 1:
+                raise ValueError(
+                    "real 1-D samples pushed into a complex_iq ring "
+                    "buffer — consecutive floats would be silently "
+                    "paired into bogus I/Q (pass complex64, an (n, 2) "
+                    "array, or construct with complex_iq=False)")
+            flat = xf.reshape(-1, self.channels)
         if self._lib is not None:
             flat = np.ascontiguousarray(flat)
             return int(self._lib.rb_push(
@@ -221,7 +248,7 @@ def cs16_to_cf32(raw: np.ndarray) -> np.ndarray:
     flattening of either IS the interleaved stream)."""
     raw = np.ascontiguousarray(raw, np.int16).reshape(-1)
     n_iq = raw.size // 2
-    lib = _load()
+    lib = _load_guarded()
     if lib is not None:
         out = np.empty(2 * n_iq, np.float32)
         lib.cs16_to_cf32(raw.ctypes.data_as(ctypes.c_void_p),
@@ -236,7 +263,7 @@ def cu8_to_cf32(raw: np.ndarray) -> np.ndarray:
     interleaved array or (n_iq, 2) IqFileReader blocks."""
     raw = np.ascontiguousarray(raw, np.uint8).reshape(-1)
     n_iq = raw.size // 2
-    lib = _load()
+    lib = _load_guarded()
     if lib is not None:
         out = np.empty(2 * n_iq, np.float32)
         lib.cu8_to_cf32(raw.ctypes.data_as(ctypes.c_void_p),
@@ -251,7 +278,7 @@ def deinterleave(x: np.ndarray) -> np.ndarray:
     see config.to_ri)."""
     x = np.ascontiguousarray(x, np.complex64)
     n = len(x)
-    lib = _load()
+    lib = _load_guarded()
     out = np.empty((2, n), np.float32)
     if lib is not None:
         lib.cf32_deinterleave(x.ctypes.data_as(ctypes.c_void_p),
@@ -267,7 +294,7 @@ def interleave(planes: np.ndarray) -> np.ndarray:
     """(2, n) float32 -> complex64."""
     planes = np.ascontiguousarray(planes, np.float32)
     n = planes.shape[1]
-    lib = _load()
+    lib = _load_guarded()
     if lib is not None:
         out = np.empty(2 * n, np.float32)
         lib.cf32_interleave(planes[0].ctypes.data_as(ctypes.c_void_p),
@@ -305,7 +332,7 @@ class IqFileReader:
         self.dtype = np.dtype(self._DTYPES[fmt])
         self.block_iq = block_iq
         self.block_bytes = block_iq * 2 * self.dtype.itemsize
-        self._lib = _load()
+        self._lib = _load_guarded()
         self._h = None
         self._f = None
         if self._lib is not None:
@@ -335,6 +362,11 @@ class IqFileReader:
         if got == 0:
             return None
         got -= got % (2 * self.dtype.itemsize)
+        if got == 0:
+            # the file tail held only a partial I/Q pair: that's EOF,
+            # not an empty block (consumers use None as the sentinel
+            # and assume returned blocks are non-empty)
+            return None
         return buf[:got].view(self.dtype).reshape(-1, 2)
 
     def __iter__(self):

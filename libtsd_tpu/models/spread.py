@@ -7,7 +7,6 @@ DSSS :93-160), transpo-bb.cc:15-70.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -16,9 +15,8 @@ from flax import struct
 
 from ..block import Block
 from ..config import complex_dtype, real_dtype
-from ..ops.filter_rt import Fir, FirDecim
+from ..ops.filter_rt import Fir
 from ..ops.fir_design import fir_design_windowed
-from ..ops.resample import FirUps
 
 __all__ = ["dsss_modulate", "dsss_demodulate", "fhss_modulate",
            "TranspoBBConfig", "TranspoBB"]
@@ -58,11 +56,19 @@ def fhss_modulate(x: jax.Array, hop_seq: jax.Array, slot_len: int,
     n = (x.shape[-1] // slot_len) * slot_len
     x = x[..., :n]
     nslots = n // slot_len
-    hop = jnp.asarray(hop_seq)[jnp.arange(nslots) % hop_seq.shape[0]]
-    freqs = hop.astype(real_dtype) / nfreqs
-    k = jnp.arange(n, dtype=real_dtype)
-    f_per_sample = jnp.repeat(freqs, slot_len)
-    lo = jnp.exp(2j * jnp.pi * f_per_sample * k).astype(complex_dtype)
+    hop = jnp.asarray(hop_seq, jnp.int64)[jnp.arange(nslots)
+                                          % hop_seq.shape[0]]
+    # EXACT phase via integer modular arithmetic: f = hop/nfreqs with
+    # hop, nfreqs integers, so phase cycles = (hop*k mod nfreqs)/nfreqs
+    # computed in int64 never loses a bit at ANY signal length — the
+    # old float32 f*k ramp had ulp ~0.03 cycles by k ~ 1e6 (the exact
+    # hazard ops/signal.cycles exists for, but here the frequency
+    # varies per slot and the integer route is exact AND cheaper)
+    k = jnp.arange(n, dtype=jnp.int64)
+    hop_per_sample = jnp.repeat(hop, slot_len)
+    ph_int = (hop_per_sample * (k % nfreqs)) % nfreqs
+    cyc = ph_int.astype(real_dtype) / nfreqs
+    lo = jnp.exp(2j * jnp.pi * cyc).astype(complex_dtype)
     return x * lo
 
 
@@ -88,6 +94,7 @@ class TranspoBB(Block):
         return cls(img_filter=Fir.create(h), cfg=cfg, real_input=real_input)
 
     def init(self):
+        # mixer phase carried in CYCLES (wrapped to [0,1) every block)
         return (jnp.zeros((), real_dtype),
                 self.img_filter.init_for(jnp.zeros((0,), complex_dtype)))
 
@@ -99,10 +106,17 @@ class TranspoBB(Block):
         ph, fstate = state
         n = x.shape[-1]
         f = self.cfg.fi
-        k = jnp.arange(n, dtype=real_dtype)
-        lo = jnp.exp(-1j * (ph + 2 * jnp.pi * f * k)).astype(complex_dtype)
+        # phase in wrapped CYCLES with the per-block increment reduced
+        # mod 1 in host float64 (the same NCO pattern as every other
+        # mixer in the repo, ops/signal.cycles): the old radian
+        # accumulator rounded 2*pi*f*n to float32 BEFORE the mod,
+        # adding the same ~1e-4 rad error every block — a deterministic
+        # spurious frequency offset over long streams
+        from ..ops.signal import cycles
+        cyc = ph + cycles(f, n)
+        lo = jnp.exp(-2j * jnp.pi * cyc).astype(complex_dtype)
         y = x.astype(complex_dtype) * lo
-        ph = jnp.mod(ph + 2 * jnp.pi * f * n, 2 * jnp.pi)
+        ph = jnp.mod(ph + jnp.asarray((f * n) % 1.0, real_dtype), 1.0)
         if self.real_input:
             fstate, y = self.img_filter.step(fstate, y)
         return (ph, fstate), y

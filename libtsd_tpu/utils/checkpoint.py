@@ -88,12 +88,23 @@ def state_from_npz(data, like: Any) -> Any:
             arr = _from_ri_jit()(planes)
         else:
             arr = data[key]
-        # a real check, not an assert: python -O must not let a
-        # wrong-shape checkpoint unflatten into the state tree
+        # real checks, not asserts: python -O must not let a wrong-shape
+        # or wrong-dtype checkpoint unflatten into the state tree (a
+        # complex leaf restored into a real slot would silently promote
+        # downstream arithmetic on the next jit retrace)
         if arr.shape != tuple(np.shape(l)):
             raise ValueError(
                 f"leaf {i}: checkpoint shape {arr.shape} != expected "
                 f"{np.shape(l)}")
+        exp_dt = np.dtype(getattr(l, "dtype", np.float32))
+        got_dt = np.dtype(arr.dtype)
+        if (np.issubdtype(got_dt, np.complexfloating)
+                != np.issubdtype(exp_dt, np.complexfloating)) or (
+                np.issubdtype(got_dt, np.integer)
+                != np.issubdtype(exp_dt, np.integer)):
+            raise ValueError(
+                f"leaf {i}: checkpoint dtype {got_dt} is incompatible "
+                f"with expected {exp_dt}")
         new_leaves.append(arr if isinstance(arr, jax.Array)
                           else jax.numpy.asarray(arr))
     return jax.tree.unflatten(treedef, new_leaves)

@@ -276,6 +276,15 @@ class HourComposite:
                 a, b = parts[2].split(".")
                 sec = int(a)
                 ms = int(round(float("0." + b) * 1000))
+                if ms == 1000:
+                    # '.9995' rounds up: carry through sec/min/hour
+                    # (ms=1000 would fail is_valid and print as
+                    # 'ss.1000')
+                    sec, ms = sec + 1, 0
+                    if sec == 60:
+                        sec, m = 0, m + 1
+                    if m == 60:
+                        m, h = 0, h + 1
             else:
                 sec = int(parts[2])
         return HourComposite(h, m, sec, ms)
@@ -307,12 +316,39 @@ class HourComposite:
                 f".{self.ms:03d}")
 
 
+_US_PER_DAY = 86400 * 10 ** 6
+
+
+def _tod_us(tod: "TimeOfDay") -> int:
+    return ((tod.hour * 3600 + tod.minute * 60) * 10 ** 6
+            + int(round(tod.second * 1e6)))
+
+
 def datetime_add(dt: "DateTime", d: Duration) -> "DateTime":
-    """DateTime + Duration via Julian-day arithmetic (parity: operator+
-    on DateHeure, temps.cc:333+)."""
-    return DateTime.from_jd(dt.jd + d.total_days)
+    """DateTime + Duration with EXACT integer-microsecond arithmetic
+    (parity: operator+ on DateHeure, temps.cc:333+).
+
+    The time-of-day rides integer microseconds and only WHOLE days go
+    through Julian-day arithmetic (date-only JDs are exactly
+    representable): the old route through the float64 jd lost ~47 us of
+    resolution near modern dates (eps(2.46e6 days) ~ 47 us), silently
+    dropping sub-quantum Durations despite Duration's integer-tic
+    design."""
+    total = _tod_us(dt.tod) + d.tics
+    days, rem = divmod(total, _US_PER_DAY)
+    if days:
+        y, m, dd = jd_to_gregorian(dt.cal.to_jd() + days)
+        cal = Calendar(y, m, int(dd))
+    else:
+        cal = dt.cal
+    h, rem2 = divmod(rem, 3600 * 10 ** 6)
+    mi, us = divmod(rem2, 60 * 10 ** 6)
+    return DateTime(cal, TimeOfDay(int(h), int(mi), us / 1e6))
 
 
 def datetime_diff(a: "DateTime", b: "DateTime") -> Duration:
-    """DateTime - DateTime -> Duration."""
-    return Duration.days(a.jd - b.jd)
+    """DateTime - DateTime -> Duration, exact to the microsecond: whole
+    days from the (exact) date-only JD difference, the rest from the
+    integer time-of-day microseconds."""
+    djd = int(round(a.cal.to_jd() - b.cal.to_jd()))
+    return Duration(djd * _US_PER_DAY + _tod_us(a.tod) - _tod_us(b.tod))

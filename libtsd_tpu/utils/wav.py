@@ -6,7 +6,6 @@ Parity: core/include/tsd/wav.hpp:17-107, core/src/wav.cc:66-537
 from __future__ import annotations
 
 import struct
-import wave
 from typing import Optional, Tuple
 
 import numpy as np
@@ -156,6 +155,10 @@ class WavWriter:
     at most the unpatched header, not the audio."""
 
     def __init__(self, path: str, rate: int = 44100, dtype: str = "int16"):
+        if dtype not in ("int16", "float32"):
+            # same contract as wav_save: an unknown dtype used to be
+            # silently treated as float32
+            raise ValueError("dtype must be int16 or float32")
         self.path = path
         self.rate = rate
         self.dtype = dtype

@@ -313,3 +313,62 @@ def test_stream_runner_depth_validation():
     blk = Fir.create(np.asarray(FD.fir_lowpass(7, 0.2), np.complex128))
     with pytest.raises(ValueError, match="depth"):
         StreamRunner(blk, 1024, depth=0)
+
+
+def test_ring_buffer_domain_validation():
+    """REGRESSION: real 1-D floats into a complex_iq ring were silently
+    paired into bogus I/Q; complex into a real ring was mangled."""
+    import numpy as np
+    import pytest as _pytest
+    from libtsd_tpu.io.streamio import RingBuffer
+    rb = RingBuffer(1024, complex_iq=True)
+    with _pytest.raises(ValueError):
+        rb.push(np.zeros(64, np.float32))
+    rb.push(np.zeros(64, np.complex64))          # fine
+    rbr = RingBuffer(1024, complex_iq=False)
+    with _pytest.raises(ValueError):
+        rbr.push(np.zeros(64, np.complex64))
+    rbr.push(np.zeros(64, np.float32))           # fine
+
+
+def test_iq_reader_partial_pair_tail(tmp_path):
+    """REGRESSION: a file tail holding only a partial I/Q pair returned
+    an empty (0, 2) block instead of the documented None sentinel."""
+    import numpy as np
+    from libtsd_tpu.io.streamio import IqFileReader
+    p = str(tmp_path / "t.cs16")
+    data = np.arange(64, dtype=np.int16).tobytes() + bytes([1])  # +1 byte
+    open(p, "wb").write(data)
+    r = IqFileReader(p, "cs16", block_iq=16)
+    blocks = list(r)
+    assert all(len(b) > 0 for b in blocks)
+    assert sum(len(b) for b in blocks) == 32
+
+
+def test_datetime_microsecond_arithmetic():
+    """REGRESSION: DateTime +/- Duration routed through the float64
+    Julian day (~47 us resolution near modern dates), silently dropping
+    small durations."""
+    from libtsd_tpu.utils.timedate import (Calendar, DateTime, Duration,
+                                           TimeOfDay, datetime_add,
+                                           datetime_diff)
+    dt = DateTime(Calendar(2026, 8, 21), TimeOfDay(12, 0, 0.0))
+    d2 = datetime_add(dt, Duration.microseconds(20))
+    assert datetime_diff(d2, dt).tics == 20
+    d3 = datetime_add(dt, Duration.days(2) + Duration.seconds(3.5))
+    assert datetime_diff(d3, dt).tics == 2 * 86400 * 10**6 + 3_500_000
+    assert d3.cal.day == 23
+
+
+def test_checkpoint_dtype_mismatch_rejected(tmp_path):
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest as _pytest
+    from libtsd_tpu.utils.checkpoint import (save_stream_state,
+                                             load_stream_state)
+    st = {"a": jnp.zeros((4,), jnp.complex64)}
+    p = str(tmp_path / "c.npz")
+    save_stream_state(p, st, np.zeros(0, np.complex64), {"n": 0})
+    like = {"a": jnp.zeros((4,), jnp.float32)}   # complex -> real drift
+    with _pytest.raises(ValueError):
+        load_stream_state(p, like)
