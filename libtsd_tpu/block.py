@@ -48,6 +48,17 @@ class Block(struct.PyTreeNode):
 
     # --- bookkeeping -----------------------------------------------------
     @property
+    def tail_state(self) -> bool:
+        """True when this block's streaming state IS the last
+        ``state_len`` INPUT samples (the overlap-save contract): only
+        such blocks may be seeded with a neighbor-shard tail halo
+        (parallel.sharded_chain).  Blocks carrying recursion variables,
+        phase counters or any other structured state must return False
+        (the default) — a raw halo array handed to them would be
+        silently consumed as state."""
+        return False
+
+    @property
     def uses_pallas(self) -> bool:
         """True when ``step`` lowers through ``pallas_call``.  shard_map's
         varying-mesh-axes checker cannot see through pallas_call yet, so

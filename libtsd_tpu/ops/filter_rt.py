@@ -164,6 +164,12 @@ class Fir(Block):
     precision: str = struct.field(pytree_node=False, default="highest")
 
     @property
+    def tail_state(self) -> bool:
+        # state = the last K-1 INPUT samples: the overlap-save contract
+        # the parallel tail halo relies on
+        return True
+
+    @property
     def G(self) -> jax.Array:
         return from_ri(self.G_) if self.complex_taps else self.G_
 
@@ -813,6 +819,14 @@ class OlaFft(Block):
 
     @property
     def uses_pallas(self) -> bool:
+        return self.engine == "pallas"
+
+    @property
+    def tail_state(self) -> bool:
+        # pallas engine = overlap-SAVE: state is the last V INPUT
+        # samples (halo-seedable).  xla engine = overlap-ADD: state is
+        # the carried OUTPUT residue — a neighbor-input halo would be
+        # silently consumed as output tail, so it must NOT be seeded
         return self.engine == "pallas"
 
     def init(self):

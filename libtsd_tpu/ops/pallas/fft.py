@@ -128,15 +128,20 @@ def fft_pow2(xr: jax.Array, xi: jax.Array, inverse: bool = False,
     B, nfft = xr.shape
     n1 = nfft // _N2
     F1r, F1i, TWr, TWi, F2r, F2i = dft_factors(nfft, inverse)
-    p = _N2 // n1 if (n1 < _N2 and B % (_N2 // n1) == 0) else 1
+    # largest power-of-two pack count that divides B (the old
+    # all-or-nothing rule fell to p=1 — up to 15/16 wasted MXU sublane
+    # depth — whenever B wasn't divisible by the FULL pack)
+    p = 1
+    if n1 < _N2:
+        cand = _N2 // n1
+        while cand > 1 and B % cand:
+            cand //= 2
+        p = max(cand, 1)
     if p > 1:
-        # pack p frames per MXU tile (block-diagonal F1 + tiled twiddles;
-        # numerically identical — off-block zeros contribute exactly 0)
-        z = np.zeros((n1, n1), np.float32)
-        blk = lambda M: np.block(
-            [[M if i == j else z for j in range(p)] for i in range(p)])
-        F1r, F1i = blk(F1r), blk(F1i)
-        TWr, TWi = np.tile(TWr, (p, 1)), np.tile(TWi, (p, 1))
+        # pack p frames per MXU tile (shared helper — one copy of the
+        # block-diagonal/tile construction)
+        from .periodogram import _pack_factors
+        F1r, F1i, TWr, TWi = _pack_factors(F1r, F1i, TWr, TWi, pack=p)
     tb = _pick_tb(B, nfft, p)
     F1s = F1r + F1i                  # Karatsuba factors (split tier)
     F2s = F2r + F2i

@@ -127,6 +127,12 @@ def iir_cascade_pallas(x, T, S, W, M, state=None, tb: int = 64,
                        interpret: bool = False):
     """x: (C, N) float32, N % (tb*128) == 0.  T/S/W/M: stacked section
     operators from IirCascadePallas.  Returns (y, final_state)."""
+    if jnp.iscomplexobj(x):
+        raise TypeError(
+            "iir_cascade_pallas is a REAL-plane kernel: a complex cast "
+            "would silently drop the imaginary plane.  For complex IQ "
+            "run the re/im planes separately, or use IirFrame (which "
+            "splits them internally)")
     C, N = x.shape
     nsec = T.shape[0]
     rows = tb

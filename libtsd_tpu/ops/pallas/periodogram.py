@@ -52,15 +52,19 @@ def _factors():
             f32(TW.real), f32(TW.imag))
 
 
-def _pack_factors(F32r, F32i, TWr, TWi):
-    """Pack 4 frames per MXU tile: block-diagonal F32 stage factor +
-    vertically tiled twiddles.  Numerically identical to the per-frame
-    form (the off-block zeros contribute exactly 0 in every precision
-    mode) but runs the stage-A/B matmuls with full 128-deep sublane
-    extents — unpacked, the (32,*) matmuls are padded to whole 128^3 MXU
-    tiles and ~3/4 of the MXU issue slots are wasted."""
-    pack = _N2 // _N1
-    z = np.zeros((_N1, _N1), np.float32)
+def _pack_factors(F32r, F32i, TWr, TWi, pack: int = 0):
+    """Pack ``pack`` frames per MXU tile: block-diagonal stage factor +
+    vertically tiled twiddles (default: fill the 128 sublanes).
+    Numerically identical to the per-frame form (the off-block zeros
+    contribute exactly 0 in every precision mode) but runs the
+    stage-A/B matmuls with full sublane extents — unpacked, the (32,*)
+    matmuls are padded to whole 128^3 MXU tiles and ~3/4 of the MXU
+    issue slots are wasted.  The ONE copy of this construction
+    (ops/pallas/chain.py and ops/pallas/fft.py both reuse it)."""
+    n1 = F32r.shape[0]
+    if pack <= 0:
+        pack = _N2 // n1
+    z = np.zeros((n1, n1), np.float32)
     blk = lambda M: np.block(
         [[M if i == j else z for j in range(pack)] for i in range(pack)])
     return (blk(F32r), blk(F32i),

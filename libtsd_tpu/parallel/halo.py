@@ -184,6 +184,19 @@ def sharded_chain(mesh: Mesh, blocks_and_state_lens, x: jax.Array) -> jax.Array:
                 f"state, which the sample-tail halo cannot seed — convert "
                 f"to the frame-parallel form (IirFrame.create(b, a) or "
                 f"sos_frame_chain) for exact cross-shard composition")
+        if not getattr(block, "tail_state", False):
+            # POSITIVE protocol check (Block.tail_state), not an
+            # isinstance denylist: any block whose state is not the
+            # last state_len INPUT samples (phase counters, OA output
+            # residue, nested Chains, future blocks) would silently
+            # consume the raw halo array as structured state
+            raise TypeError(
+                f"sharded_chain: {type(block).__name__} does not declare "
+                f"tail_state=True — its streaming state is not an "
+                f"input-sample tail, so the ppermute halo cannot seed "
+                f"it.  Pass tail-state blocks (Fir, OlaFft "
+                f"engine='pallas') or the frame-parallel recursive "
+                f"forms as separate stages")
         halo = halo_exchange_left(xs, slen)
         _, y = block.step(halo, xs)
         return y

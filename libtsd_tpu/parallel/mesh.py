@@ -44,7 +44,9 @@ def make_mesh(chan: Optional[int] = None, time: int = 1,
                 f"chan explicitly to use a subset deliberately")
         chan = n // time
     need = chan * time
-    assert need <= n, f"chan*time={need} exceeds device count ({n})"
+    if need > n:
+        raise ValueError(
+            f"chan*time={need} exceeds device count ({n})")
     arr = np.array(devices[:need]).reshape(chan, time)
     return Mesh(arr, ("chan", "time"))
 
