@@ -100,6 +100,37 @@ def test_mpx_loopback_noisy():
     assert R.rds_station_name(got) == "TSD TPU!"
 
 
+def test_version_b_offset_selection():
+    # Version-B groups carry offset C' in block 3 (the version bit is
+    # block B bit 11).  A burst-corrupted block 3 must be corrected
+    # against the offset the VERSION BIT selects — trying the wrong
+    # offset first would miscorrect ~36 % of the time (its syndrome
+    # lands in the 367-entry burst table by chance).  This exercises the
+    # previously-unvalidated C' ordering path (ADVICE r4 #1).
+    pi, pty = 0xABCD, 9
+    # type-0B group: version bit set, block 3 repeats the PI code
+    b = (0 << 12) | (1 << 11) | (pty << 5) | (1 << 2) | 2
+    g_b = (pi, b, pi, (ord("X") << 8) | ord("Y"))
+    g_a = R.rds_group_0a(pi, pty, 1, "AB")
+    bits = R.rds_encode_groups([g_a, g_b, g_a, g_b])
+    # clean decode: version flags and block-3 words must round-trip
+    score, got = R._sync_and_decode(bits)
+    assert score >= 3
+    assert [g.version_b for g in got[:4]] == [False, True, False, True]
+    assert got[1].blocks == (pi, b, pi, (ord("X") << 8) | ord("Y"))
+    assert all(e == 0 for g in got[:4] for e in g.errors)
+    # burst-corrupt block 3 of BOTH versions (3-bit burst well inside
+    # the block): each must correct against its own offset
+    for gi in (1, 2):                      # group 1 = version B, 2 = A
+        bad = bits.copy()
+        p = 104 * gi + 52 + 7              # block 3, bit 7
+        bad[p: p + 3] ^= np.uint8(1)
+        _, got2 = R._sync_and_decode(bad)
+        assert got2[gi].blocks == got[gi].blocks, gi
+        assert got2[gi].errors[2] == 3, got2[gi].errors
+        assert got2[gi].version_b == got[gi].version_b
+
+
 @pytest.mark.slow
 def test_fm_if_loopback():
     # full chain: stereo audio + RDS -> FM IF at 1.024 MHz -> front end
