@@ -156,8 +156,8 @@ class Detector(Block):
                 m=jnp.asarray(-1.0, real_dtype),      # segment max score
                 pe=jnp.asarray(0, jnp.int32),         # window-end pos
                 ok_left=jnp.asarray(True),            # left-side verdict
-                c1_ri=jnp.zeros((2,), real_dtype),    # peak correlation
-                s012=jnp.zeros((3,), real_dtype),     # refinement scores
+                # peak refinement row [c1r, c1i, s0, s1, s2]
+                ref5=jnp.zeros((5,), real_dtype),
             ),
         )
 
@@ -233,12 +233,18 @@ class Detector(Block):
         seg = safe_pad(region, 0, pad).reshape(nseg, M)
         seg_max = jnp.max(seg, axis=1)
         seg_argr = jnp.argmax(seg, axis=1) + jnp.arange(nseg) * M
-        # per-segment refinement data from the correlation planes
+        # per-segment refinement data from the correlation planes, packed
+        # as ONE (5, nseg) matrix [c1r; c1i; s0; s1; s2].  NOTE: this
+        # fused form (7 ops vs the previous ~16 scalar-per-array concats/
+        # gathers) measured perf-NEUTRAL on hardware (C=64 x 131k: 11.1
+        # vs 10.8 ms/step, inside run noise) — XLA was already fusing the
+        # small ops; the step's residual cost is the gathers + top-k/sort
+        # + extraction, not trace-level op count.  Kept for clarity.
         exi = seg_argr + lo
-        c1r, c1i = cxr[exi], cxi[exi]
-        s0 = score[jnp.maximum(exi - 1, 0)]
-        s1 = score[exi]
-        s2 = score[jnp.minimum(exi + 1, score.shape[0] - 1)]
+        s_idx = jnp.stack([jnp.maximum(exi - 1, 0), exi,
+                           jnp.minimum(exi + 1, score.shape[0] - 1)])
+        refin = jnp.concatenate([cxr[exi][None], cxi[exi][None],
+                                 score[s_idx]])
         # window-end BLOCK position of each segment's peak (extended index
         # e maps to block position e - M: the tail holds M positions)
         pe = (seg_argr + lo - M).astype(jnp.int32)
@@ -247,22 +253,18 @@ class Detector(Block):
         # segment | current segments 0..nseg-2].  The current LAST
         # segment's right neighborhood extends into the next block, so
         # its decision is deferred — peaks within distance M straddling
-        # the block edge then always see each other.
-        em = jnp.concatenate([prev["m"][None], seg_max[:-1]])
-        epe = jnp.concatenate([prev["pe"][None], pe[:-1]])
-        ec1r = jnp.concatenate([prev["c1_ri"][0:1], c1r[:-1]])
-        ec1i = jnp.concatenate([prev["c1_ri"][1:2], c1i[:-1]])
-        es0 = jnp.concatenate([prev["s012"][0:1], s0[:-1]])
-        es1 = jnp.concatenate([prev["s012"][1:2], s1[:-1]])
-        es2 = jnp.concatenate([prev["s012"][2:3], s2[:-1]])
-        # left/right neighborhood suppression with full context: element
-        # 0's left verdict was decided last block (prev.ok_left); the last
-        # element's right neighbor is the newly deferred segment
-        left_m = jnp.concatenate([jnp.full(1, -1.0, real_dtype), em[:-1]])
-        left_pe = jnp.concatenate(
-            [jnp.full(1, -(10 ** 9), jnp.int32), epe[:-1]])
-        right_m = jnp.concatenate([em[1:], seg_max[-1:]])
-        right_pe = jnp.concatenate([epe[1:], pe[-1:]])
+        # the block edge then always see each other.  The decided rows
+        # AND their left/right neighborhoods are all slices of ONE
+        # extended array [left-sentinel | prev | current]:
+        #   ext[1:-1] = decided, ext[:-2] = left, ext[2:] = right.
+        m_ext = jnp.concatenate([jnp.full(1, -1.0, real_dtype),
+                                 prev["m"][None], seg_max])
+        pe_ext = jnp.concatenate([jnp.full(1, -(10 ** 9), jnp.int32),
+                                  prev["pe"][None], pe])
+        em, left_m, right_m = m_ext[1:-1], m_ext[:-2], m_ext[2:]
+        epe, left_pe, right_pe = pe_ext[1:-1], pe_ext[:-2], pe_ext[2:]
+        erefin = jnp.concatenate([prev["ref5"][:, None], refin[:, :-1]],
+                                 axis=1)
         ok = em > self.cfg.threshold
         okl = ~((left_m > em) & (epe - left_pe < M))
         okl = jnp.concatenate([prev["ok_left"][None], okl[1:]])
@@ -275,11 +277,8 @@ class Detector(Block):
             z = P - nseg
             masked = jnp.concatenate([masked, jnp.full(z, -1.0)])
             epe = jnp.concatenate([epe, jnp.zeros(z, epe.dtype)])
-            ec1r = jnp.concatenate([ec1r, jnp.zeros(z, ec1r.dtype)])
-            ec1i = jnp.concatenate([ec1i, jnp.zeros(z, ec1i.dtype)])
-            es0 = jnp.concatenate([es0, jnp.zeros(z, es0.dtype)])
-            es1 = jnp.concatenate([es1, jnp.zeros(z, es1.dtype)])
-            es2 = jnp.concatenate([es2, jnp.zeros(z, es2.dtype)])
+            erefin = jnp.concatenate(
+                [erefin, jnp.zeros((5, z), erefin.dtype)], axis=1)
         # top-P by score (lax.top_k is O(n*P) selection, not a full
         # O(n log n) argsort over every segment), then reorder in TIME
         # (the reference reports detections in occurrence order; score
@@ -292,8 +291,8 @@ class Detector(Block):
         reorder = jnp.argsort(tkey)
         order = order[reorder]
         val = val[reorder]
-        # ONE stacked gather for the five per-peak refinement arrays
-        g5 = jnp.stack([ec1r, ec1i, es0, es1, es2])[:, order]
+        # ONE stacked gather for the five per-peak refinement rows
+        g5 = erefin[:, order]
         c1or, c1oi, s0o, s1o, s2o = g5[0], g5[1], g5[2], g5[3], g5[4]
 
         # sub-sample refinement + gain/theta from the complex correlation
@@ -321,8 +320,7 @@ class Detector(Block):
         ok_left_new = ~((em[-1] > seg_max[-1]) & (pe[-1] - epe[-1] < M))
         seg_prev_new = dict(
             m=seg_max[-1], pe=pe[-1] - n, ok_left=ok_left_new,
-            c1_ri=jnp.stack([c1r[-1], c1i[-1]]).astype(real_dtype),
-            s012=jnp.stack([s0[-1], s1[-1], s2[-1]]).astype(real_dtype))
+            ref5=refin[:, -1].astype(real_dtype))
         return det, seg_prev_new
 
 
