@@ -120,6 +120,54 @@ def test_music_doa():
     assert np.allclose(np.rad2deg(est), [60.0, 100.0], atol=2.0), np.rad2deg(est)
 
 
+def test_capon_doa():
+    # Capon/MVDR resolves the same two incoherent sources MUSIC does
+    m, d = 16, 0.5
+    angles = np.deg2rad([60.0, 100.0])
+    pos = 2 * np.pi * d * np.arange(m)
+    R = DOA.sensorcov_1d(jnp.asarray(pos), jnp.asarray(angles),
+                         snr_db=20.0)
+    est = np.sort(np.asarray(DOA.capondoa_1d(R, d, 2, Nf=1024)))
+    assert np.allclose(np.rad2deg(est), [60.0, 100.0], atol=2.0), \
+        np.rad2deg(est)
+
+
+def test_spatial_smoothing_coherent_sources():
+    # Two FULLY COHERENT sources (multipath: one common envelope, fixed
+    # complex gain) collapse the signal subspace to RANK 1: the MDL
+    # source counter sees one source and a model-order-2 subspace method
+    # has no rank-2 signal space to work with.  Forward-backward spatial
+    # smoothing restores the rank to 2 — MDL then counts both, and MUSIC
+    # on the smoothed (L, L) covariance localizes both to <0.5 deg.
+    from libtsd_tpu.models.stats import mdl_source_count
+    m, d, L, T = 16, 0.5, 10, 200
+    th = np.deg2rad([70.0, 110.0])
+    k = np.arange(m)
+    a1 = np.exp(2j * np.pi * d * np.cos(th[0]) * k)
+    a2 = np.exp(2j * np.pi * d * np.cos(th[1]) * k)
+    rng = np.random.default_rng(11)
+    c = (rng.standard_normal(T) + 1j * rng.standard_normal(T)) / 2 ** 0.5
+    X = np.outer(a1 + 0.8 * np.exp(1j * 0.7) * a2, c)   # coherent pair
+    X += 0.1 * (rng.standard_normal((m, T))
+                + 1j * rng.standard_normal((m, T))) / 2 ** 0.5
+    R = (X @ X.conj().T / T).astype(np.complex64)
+    # raw sample covariance: rank-1 signal subspace -> MDL counts ONE
+    assert mdl_source_count(R, T)[0] == 1
+    # smoothed: rank restored -> MDL counts TWO, MUSIC resolves both
+    Rs = DOA.spatial_smoothing(jnp.asarray(R), L)
+    assert Rs.shape == (L, L)
+    Rsn = np.asarray(Rs)
+    assert mdl_source_count(Rsn, T)[0] == 2
+    est = np.sort(np.rad2deg(np.asarray(
+        DOA.musicdoa_1d(Rs, d, 2, Nf=1024))))
+    assert np.allclose(est, [70.0, 110.0], atol=0.5), est
+    # smoothed covariance stays Hermitian PSD
+    assert np.allclose(Rsn, Rsn.conj().T, atol=1e-5)
+    assert np.linalg.eigvalsh(Rsn).min() > -1e-5
+    with pytest.raises(ValueError):
+        DOA.spatial_smoothing(jnp.asarray(R), m + 1)
+
+
 def test_kalman_tracks_random_walk():
     ssm = KF.ssm_random_walk(q=0.01, r=0.5)
     key = jax.random.PRNGKey(0)
