@@ -56,8 +56,8 @@ def _top_peaks(S: jax.Array, phis: jax.Array, Ns: int) -> jax.Array:
     right = jnp.concatenate([S[1:], S[-1:] * 0])
     is_peak = (S > left) & (S >= right)
     Sm = jnp.where(is_peak, S, 0.0)
-    order = jnp.argsort(-Sm)[:Ns]
-    return phis[order]
+    _, idx = jax.lax.top_k(Sm, Ns)      # O(Nf*Ns), not a full argsort
+    return phis[idx]
 
 
 def spatial_smoothing(R: jax.Array, L: int,
@@ -114,11 +114,11 @@ def capon_spectrum(R: jax.Array, d: float, Nf: int = 512,
     return phis, 1.0 / jnp.maximum(denom, 1e-30)
 
 
-def capondoa_1d(R: jax.Array, d: float, Ns: int,
-                Nf: int = 512) -> jax.Array:
+def capondoa_1d(R: jax.Array, d: float, Ns: int, Nf: int = 512,
+                diag_load: float = 1e-3) -> jax.Array:
     """Capon/MVDR DOA: the Ns strongest arrival angles (radians) from
-    :func:`capon_spectrum`."""
-    phis, S = capon_spectrum(R, d, Nf)
+    :func:`capon_spectrum` (``diag_load`` forwarded)."""
+    phis, S = capon_spectrum(R, d, Nf, diag_load)
     return _top_peaks(S, phis, Ns)
 
 
