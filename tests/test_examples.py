@@ -18,7 +18,7 @@ pytestmark = pytest.mark.slow
 REPO = os.path.join(os.path.dirname(__file__), "..")
 EXAMPLES = ["fm_demo.py", "iq_stream_demo.py", "qam_serving.py",
             "serving_loop.py", "protocols_demo.py",
-            "debug_report_demo.py"]
+            "debug_report_demo.py", "doa_demo.py"]
 
 
 @pytest.mark.parametrize("name", EXAMPLES)
