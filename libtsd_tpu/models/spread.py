@@ -56,15 +56,25 @@ def fhss_modulate(x: jax.Array, hop_seq: jax.Array, slot_len: int,
     n = (x.shape[-1] // slot_len) * slot_len
     x = x[..., :n]
     nslots = n // slot_len
-    hop = jnp.asarray(hop_seq, jnp.int64)[jnp.arange(nslots)
-                                          % hop_seq.shape[0]]
+    if nfreqs > 46340:
+        # the modular product below is bounded by nfreqs^2, which must
+        # fit int32 (the library runs x64-disabled: a jnp.int64 request
+        # would silently truncate to int32 anyway)
+        raise ValueError(f"nfreqs={nfreqs} > 46340 would overflow the "
+                         f"int32 exact-phase arithmetic")
+    hop = jnp.asarray(jnp.asarray(hop_seq).astype(jnp.int32)
+                      if isinstance(hop_seq, jax.Array)
+                      else np.asarray(hop_seq, np.int32))[
+        jnp.arange(nslots) % hop_seq.shape[0]]
+    hop = hop % nfreqs
     # EXACT phase via integer modular arithmetic: f = hop/nfreqs with
     # hop, nfreqs integers, so phase cycles = (hop*k mod nfreqs)/nfreqs
-    # computed in int64 never loses a bit at ANY signal length — the
-    # old float32 f*k ramp had ulp ~0.03 cycles by k ~ 1e6 (the exact
-    # hazard ops/signal.cycles exists for, but here the frequency
-    # varies per slot and the integer route is exact AND cheaper)
-    k = jnp.arange(n, dtype=jnp.int64)
+    # computed in int32 (both factors < nfreqs <= 46340) never loses a
+    # bit at ANY signal length — the old float32 f*k ramp had ulp ~0.03
+    # cycles by k ~ 1e6 (the exact hazard ops/signal.cycles exists for,
+    # but here the frequency varies per slot and the integer route is
+    # exact AND cheaper)
+    k = jnp.arange(n, dtype=jnp.int32)
     hop_per_sample = jnp.repeat(hop, slot_len)
     ph_int = (hop_per_sample * (k % nfreqs)) % nfreqs
     cyc = ph_int.astype(real_dtype) / nfreqs
